@@ -1,0 +1,58 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + drain). A warmup query
+absorbs JVM/codegen startup so the numbers measure the plans, not session
+boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from sparkwrangle.catalog import CATALOG
+from sparkwrangle.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark("sparkwrangle-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: boot executors + codegen paths once.
+    CATALOG["a_scan_pushdown"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(CATALOG.items()):
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # Drain the full result (what the driver's correctness pass does)
+        # without driver-side materialization cost dominating.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sparkwrangle catalog wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,823 @@
+"""Query catalog: every implemented operator as a (PySpark, oracle SQL) pair.
+
+This is the driver-facing coverage surface (SURVEY.md §2 → __spark_entry__).
+Each entry's Spark callable takes (spark, sf_dir) and returns a DataFrame;
+``oracle`` is the ANSI-SQL equivalent DuckDB runs on the same parquet views.
+Column names are aliased identically on both sides (the driver sorts columns
+by name before hashing).
+
+Determinism rules (so value-hashes match across engines):
+
+* Per-row IEEE double arithmetic is bitwise identical across engines; the
+  hazards are (a) aggregation ORDER for float sums and (b) libm ulp
+  differences (log/exp/pow). Rule: any aggregated or transcendental double
+  is wrapped in round(x, 6).
+* Large SUMs over doubles additionally go through an exact decimal
+  accumulator: CAST(SUM(CAST(expr AS DECIMAL(25,8))) AS DOUBLE) — identical
+  in Spark and DuckDB, immune to partial-aggregation order.
+* Every window orders by a unique tiebreak (event_id / l_orderkey+linenumber).
+* No F.first/any_value without a deterministic frame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkwrangle.io import load_table
+from sparkwrangle.session import prep_session
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One catalog entry: a PySpark query and its DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible (rows-only check)
+    doc: str = ""
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        CATALOG[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def r6(c):
+    return F.round(c, 6)
+
+
+# Exact decimal accumulator for big double sums (order-insensitive).
+def dsum(col_expr) -> F.Column:
+    return F.sum(col_expr.cast("decimal(25,8)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# A. Scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_scan_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity < 5.0
+    """,
+    doc="A2/A3: parquet scan with predicate pushdown + column pruning "
+    "(engine-side form of the reference's per-ticker fetches, "
+    "stock_arbitrage.ipynb:27-28).",
+)
+def a_scan_pushdown(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_quantity") < 5.0)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "a_rows_to_table",
+    """
+    SELECT close_type, CAST(roi AS DOUBLE) AS roi FROM (VALUES
+        ('tp', 0.012), ('sl', -0.03), ('mc', -0.001)
+    ) AS t(close_type, roi)
+    """,
+    doc="A4: in-memory rows → table (pd.DataFrame(returns, ...), "
+    "stock_arbitrage.ipynb:413).",
+)
+def a_rows_to_table(spark, sf_dir):
+    prep_session(spark)
+    return spark.createDataFrame(
+        [("tp", 0.012), ("sl", -0.03), ("mc", -0.001)], "close_type string, roi double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "b_time_range_projection",
+    """
+    SELECT event_id, user_id, round(value * 1500.0, 6) AS scaled,
+           round(abs(value - 50.0), 6) AS abs_dev
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      AND abs(value - 50.0) >= 10.0
+    """,
+    doc="B1+B2+B10: time-range slice (history['2006':]), scalar arithmetic "
+    "(asset2*1500), threshold predicate (delta.abs()>=pct) — "
+    "stock_arbitrage.ipynb:23-28,73.",
+)
+def b_time_range_projection(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    dev = F.abs(F.col("value") - 50.0)
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00"))
+            & (dev >= 10.0)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            r6(F.col("value") * 1500.0).alias("scaled"),
+            r6(dev).alias("abs_dev"),
+        )
+    )
+
+
+@register(
+    "b_time_of_day_band",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE (hour(ts) * 60 + minute(ts)) BETWEEN (14*60+30) AND (16*60+30)
+    """,
+    doc="B9/W7: pandas between_time('14:30','16:30') inclusive band "
+    "(intra_day_arbitrage.ipynb:92; IntradayRegionArbitrage.py:159).",
+)
+def b_time_of_day_band(spark, sf_dir):
+    from sparkwrangle.ops.filters import time_of_day_band
+
+    ev = _t(spark, sf_dir, "events")
+    return time_of_day_band(ev, "ts", (14, 30), (16, 30)).select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "b_div0_inf_replace",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(CASE WHEN l_quantity - 25.0 = 0 THEN 0.0
+                      ELSE l_extendedprice / (l_quantity - 25.0) END, 6) AS ratio
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    """,
+    doc="B7/K.4: pandas x/0 → ±inf → replace 0.0 "
+    "(stock_arbitrage.ipynb:268). Spark-side emulates numpy inf then "
+    "replaces; net effect = CASE in the oracle.",
+)
+def b_div0_inf_replace(spark, sf_dir):
+    from sparkwrangle.ops.filters import replace_inf, safe_div_pandas
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < F.lit("1996-01-01"))
+    df = li.withColumn(
+        "ratio", safe_div_pandas(F.col("l_extendedprice"), F.col("l_quantity") - 25.0)
+    )
+    df = replace_inf(df, ["ratio"], 0.0)
+    return df.select("l_orderkey", "l_linenumber", r6("ratio").alias("ratio"))
+
+
+@register(
+    "b_ffill_gaps",
+    """
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill
+    FROM events
+    """,
+    doc="B8: forward fill, the reference's core missing-data idiom "
+    "(fillna(method='ffill'), intra_day_arbitrage.ipynb:58,91,111,11189). "
+    "'error' rows play the NaN ticks.",
+)
+def b_ffill_gaps(spark, sf_dir):
+    from sparkwrangle.ops.windows import ffill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_gap", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    out = ffill(ev, "value_gap", ["user_id"], ["ts", "event_id"], "value_ffill")
+    return out.select("event_id", "user_id", r6("value_ffill").alias("value_ffill"))
+
+
+@register(
+    "b_eligibility_filter",
+    """
+    SELECT user_id,
+           count(DISTINCT event_type) AS n_types,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+    FROM events
+    GROUP BY user_id
+    HAVING count(DISTINCT event_type) >= 4
+       AND max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+    """,
+    doc="B13: eligibility filter on ragged per-company ticker lists — "
+    "≥2 live tickers AND ≥1 EU listing (intra_day_arbitrage.ipynb:11123-11124), "
+    "re-expressed over events users.",
+)
+def b_eligibility_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_purchase"),
+    )
+    return agg.filter((F.col("n_types") >= 4) & (F.col("has_purchase") == 1))
+
+
+# ---------------------------------------------------------------------------
+# C. Joins / alignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c_join_delta",
+    """
+    SELECT o.o_orderkey,
+           round((o.o_totalprice - c.c_acctbal) / o.o_totalprice, 6) AS delta
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+    doc="C2: two-series index-aligned arithmetic — "
+    "delta=(a2.Close−a1.Close)/a2.Close (stock_arbitrage.ipynb:71). "
+    "Customer side broadcasts.",
+)
+def c_join_delta(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        r6((F.col("o_totalprice") - F.col("c_acctbal")) / F.col("o_totalprice")).alias(
+            "delta"
+        ),
+    )
+
+
+@register(
+    "c_asof_union_ffill",
+    """
+    WITH unioned AS (
+        SELECT user_id, ts, event_id, value, 1 AS src, NULL::DOUBLE AS rate
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, NULL AS event_id, NULL AS value, 0 AS src, value AS rate
+        FROM events WHERE event_type = 'purchase'
+    ), filled AS (
+        SELECT *, last_value(rate IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, src
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_rate
+        FROM unioned
+    )
+    SELECT event_id, user_id, round(value, 6) AS value, round(last_rate, 6) AS last_rate
+    FROM filled WHERE src = 1
+    """,
+    doc="C3: as-of / last-known-value alignment — eur_usd.reindex(idx).ffill() "
+    "(intra_day_arbitrage.ipynb:111) via the union+ffill idiom (SURVEY §4): "
+    "clicks snap to the latest preceding purchase value per user.",
+)
+def c_asof_union_ffill(spark, sf_dir):
+    from sparkwrangle.ops.joins import asof_union_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("rate")
+    )
+    out = asof_union_ffill(
+        clicks, purchases, on="ts", by=["user_id"], value_col="rate", out_col="last_rate"
+    )
+    return out.select(
+        "event_id", "user_id", r6("value").alias("value"), r6("last_rate").alias("last_rate")
+    )
+
+
+@register(
+    "c_conditional_convert",
+    """
+    SELECT p_partkey,
+           round(CASE WHEN p_type LIKE '%BRASS%' THEN p_retailprice * 1.0842
+                      ELSE p_retailprice END, 6) AS price_usd
+    FROM part
+    """,
+    doc="C4: conditional currency conversion — multiply only EU listings "
+    "(ticker contains '.') by the EURUSD rate "
+    "(intra_day_arbitrage.ipynb:113-114).",
+)
+def c_conditional_convert(spark, sf_dir):
+    from sparkwrangle.ops.joins import conditional_convert
+
+    p = _t(spark, sf_dir, "part").withColumn("rate", F.lit(1.0842))
+    out = conditional_convert(
+        p, "p_retailprice", "rate", F.col("p_type").contains("BRASS"), "price_usd"
+    )
+    return out.select("p_partkey", r6("price_usd").alias("price_usd"))
+
+
+@register(
+    "c_block_range_join",
+    """
+    WITH blocks AS (
+        SELECT CAST(b AS INTEGER) AS block_id,
+               TIMESTAMP '2024-01-01' + INTERVAL (7 * b) DAY AS start_ts,
+               TIMESTAMP '2024-01-01' + INTERVAL (7 * b + 7) DAY AS end_ts
+        FROM (SELECT unnest(generate_series(0, 4)) AS b)
+    )
+    SELECT b.block_id, count(*) AS n_events, round(sum(e.value), 6) AS sum_value
+    FROM events e JOIN blocks b ON e.ts >= b.start_ts AND e.ts < b.end_ts
+    GROUP BY b.block_id
+    """,
+    doc="C7: key-range dispatch — weekly time_blocks drive each backtest "
+    "(intra_day_arbitrage.ipynb:1146-1148,132-133). Blocks broadcast → "
+    "broadcast nested-loop range join, then per-block agg.",
+)
+def c_block_range_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    blocks = spark.range(0, 5).select(
+        F.col("id").cast("int").alias("block_id"),
+        (F.lit("2024-01-01").cast("timestamp") + F.expr("make_interval(0,0,0,id*7,0,0,0)")).alias("start_ts"),
+        (F.lit("2024-01-01").cast("timestamp") + F.expr("make_interval(0,0,0,id*7+7,0,0,0)")).alias("end_ts"),
+    )
+    joined = ev.join(
+        F.broadcast(blocks),
+        (ev.ts >= blocks.start_ts) & (ev.ts < blocks.end_ts),
+    )
+    return joined.groupBy("block_id").agg(
+        F.count("*").alias("n_events"), r6(F.sum("value")).alias("sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D. Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d_exceedance_share",
+    """
+    WITH deltas AS (
+        SELECT value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS delta
+        FROM events
+    )
+    SELECT round(avg(CASE WHEN abs(delta) >= 0.5 THEN 1 ELSE 0 END), 6) AS share_05,
+           round(avg(CASE WHEN abs(delta) >= 1.0 THEN 1 ELSE 0 END), 6) AS share_10
+    FROM deltas WHERE delta IS NOT NULL
+    """,
+    doc="D1+W1: threshold-exceedance frequency of pct-change deltas "
+    "((delta.abs()>=pct).sum()/len, stock_arbitrage.ipynb:73-74).",
+)
+def d_exceedance_share(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = ev.withColumn("delta", F.col("value") / F.lag("value").over(w) - 1).filter(
+        F.col("delta").isNotNull()
+    )
+    return deltas.agg(
+        r6(F.avg((F.abs("delta") >= 0.5).cast("int"))).alias("share_05"),
+        r6(F.avg((F.abs("delta") >= 1.0).cast("int"))).alias("share_10"),
+    )
+
+
+@register(
+    "d_compounded_return",
+    """
+    WITH rets AS (
+        SELECT user_id,
+               ln(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS log_ret
+        FROM events WHERE value > 0
+    )
+    SELECT user_id, round(exp(sum(log_ret)), 6) AS compounded
+    FROM rets WHERE log_ret IS NOT NULL AND isfinite(log_ret)
+    GROUP BY user_id
+    """,
+    doc="D4+W2: compounded total return — np.exp(returns).product() == "
+    "exp(sum(log_ret)) (stock_arbitrage.ipynb:266-268,468).",
+)
+def d_compounded_return(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rets = ev.withColumn("log_ret", F.log(F.col("value") / F.lag("value").over(w)))
+    rets = rets.filter(
+        F.col("log_ret").isNotNull()
+        & ~F.col("log_ret").isin(float("inf"), float("-inf"))
+        & ~F.isnan("log_ret")
+    )
+    return rets.groupBy("user_id").agg(r6(F.exp(F.sum("log_ret"))).alias("compounded"))
+
+
+@register(
+    "d_conditional_trade_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(CASE WHEN value > 50 THEN 1 END) AS n_wins,
+           round(avg(CASE WHEN value > 50 THEN value END), 6) AS avg_win,
+           round(avg(CASE WHEN value <= 50 THEN value END), 6) AS avg_loss,
+           round(count(CASE WHEN value <= 10 THEN 1 END) * 1.0
+                 / nullif(count(CASE WHEN value <= 50 THEN 1 END), 0), 6) AS small_loss_share
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="D7: single-pass conditional counts/means over trades — the cell-33 "
+    "report (intra_day_arbitrage.ipynb:11686-11714).",
+)
+def d_conditional_trade_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(v > 50, 1)).alias("n_wins"),
+        r6(F.avg(F.when(v > 50, v))).alias("avg_win"),
+        r6(F.avg(F.when(v <= 50, v))).alias("avg_loss"),
+        r6(
+            F.count(F.when(v <= 10, 1))
+            / F.nullif(F.count(F.when(v <= 50, 1)), F.lit(0))
+        ).alias("small_loss_share"),
+    )
+
+
+@register(
+    "d_first_last_span",
+    """
+    SELECT user_id,
+           round(arg_min(value, ts), 6) AS first_value,
+           round(arg_max(value, ts), 6) AS last_value,
+           date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days,
+           round(arg_max(value, ts) / arg_min(value, ts) - 1, 6) AS roi
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="D8: first/last + date-span ROI "
+    "(intra_day_arbitrage.ipynb:11211-11215 — (index[-1]-index[0]).days, "
+    "iloc[-1]/iloc[0]-1).",
+)
+def d_first_last_span(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        r6(F.min_by("value", "ts")).alias("first_value"),
+        r6(F.max_by("value", "ts")).alias("last_value"),
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("span_days"),
+        r6(F.max_by("value", "ts") / F.min_by("value", "ts") - 1).alias("roi"),
+    )
+
+
+@register(
+    "d_per_day_portfolio_total",
+    """
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value), 6) AS total
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    doc="D5+D9: per-day grouping (corrected to_date semantics of the "
+    "day-of-month quirk K.2) + portfolio row-sum as a long-format "
+    "groupBy(ts).sum (intra_day_arbitrage.ipynb:92,11190).",
+)
+def d_per_day_portfolio_total(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"), r6(F.sum("value")).alias("total")
+    )
+
+
+@register(
+    "d_day_of_month_quirk",
+    """
+    SELECT day(ts) AS dom, count(*) AS n, round(sum(value), 6) AS total
+    FROM events
+    GROUP BY day(ts)
+    """,
+    doc="K.2 faithful mode: groupby(index.day) groups by day-of-month int, "
+    "merging equal day numbers across months "
+    "(intra_day_arbitrage.ipynb:92).",
+)
+def d_day_of_month_quirk(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.dayofmonth("ts").alias("dom")).agg(
+        F.count("*").alias("n"), r6(F.sum("value")).alias("total")
+    )
+
+
+@register(
+    "d_final_above_share",
+    """
+    WITH finals AS (
+        SELECT user_id, arg_max(value, ts) AS final FROM events GROUP BY user_id
+    )
+    SELECT round(avg(CASE WHEN final > 50.0 THEN 1 ELSE 0 END), 6) AS share_above
+    FROM finals
+    """,
+    doc="D10: profitable-ticker share — fraction of series whose final "
+    "value beats the threshold (intra_day_arbitrage.ipynb:11708-11711).",
+)
+def d_final_above_share(spark, sf_dir):
+    from sparkwrangle.ops.aggregates import final_above_share
+
+    ev = _t(spark, sf_dir, "events")
+    out = final_above_share(ev, ["user_id"], "ts", "value", 50.0)
+    return out.select(r6("share_above").alias("share_above"))
+
+
+# ---------------------------------------------------------------------------
+# W. Window / time-series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_pct_change_log_returns",
+    """
+    SELECT event_id, user_id,
+           round(value / lag(value) OVER w - 1, 6) AS pct_change,
+           round(ln(value / lag(value) OVER w), 6) AS log_ret,
+           round(lead(value) OVER w, 6) AS next_value
+    FROM events
+    WHERE value > 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="W1+W2+W5: pct_change, log returns, next-bar lookup "
+    "(stock_arbitrage.ipynb:266-267,407).",
+)
+def w_pct_change_log_returns(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        r6(F.col("value") / F.lag("value").over(w) - 1).alias("pct_change"),
+        r6(F.log(F.col("value") / F.lag("value").over(w))).alias("log_ret"),
+        r6(F.lead("value").over(w)).alias("next_value"),
+    )
+
+
+@register(
+    "w_minmax_normalize",
+    """
+    SELECT event_id, user_id,
+           round(CASE WHEN max(value) OVER w <> min(value) OVER w
+                      THEN (value - min(value) OVER w)
+                           / (max(value) OVER w - min(value) OVER w) END, 6) AS norm
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type)
+    """,
+    doc="W3/D2: per-(ticker,block) min-max normalization — normalize_col "
+    "(intra_day_arbitrage.ipynb:46-47,118-119); event_type plays block_id.",
+)
+def w_minmax_normalize(spark, sf_dir):
+    from sparkwrangle.ops.windows import minmax_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    out = minmax_normalize(ev, "value", ["user_id", "event_type"], "norm")
+    return out.select("event_id", "user_id", r6("norm").alias("norm"))
+
+
+@register(
+    "w_rel_to_base",
+    """
+    SELECT event_id, user_id,
+           round(value / first_value(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS rel_ret
+    FROM events WHERE value > 0
+    """,
+    doc="W4: relative-to-base return — df_basing divides each series by the "
+    "ffilled base series (intra_day_arbitrage.ipynb:57-63); base = first "
+    "value of the series (tickers[0], IntradayRegionArbitrage.py:47).",
+)
+def w_rel_to_base(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        r6(F.col("value") / F.first("value").over(w) - 1).alias("rel_ret"),
+    )
+
+
+@register(
+    "w_running_interval_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+    QUALIFY rn > 1
+    """,
+    doc="D3+W6: running sum (interval sums between trade events = difference "
+    "of running sums, stock_arbitrage.ipynb:409) + drop-first-row "
+    "(.iloc[1:], intra_day_arbitrage.ipynb:11189).",
+)
+def w_running_interval_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("cum_value", r6(F.sum("value").over(wf)))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") > 1)
+        .select("event_id", "user_id", "cum_value", "rn")
+    )
+
+
+@register(
+    "w_business_days",
+    """
+    SELECT CAST(d AS DATE) AS bday
+    FROM (SELECT unnest(generate_series(DATE '2022-12-01', DATE '2023-01-20',
+                                        INTERVAL 1 DAY)) AS d)
+    WHERE dayofweek(d) NOT IN (0, 6)
+    """,
+    doc="W8: business-day sequence generation — pd.bdate_range"
+    "('2022-12-01','2023-01-20') (intra_day_arbitrage.ipynb:1146-1148). "
+    "DuckDB dayofweek: 0=Sun..6=Sat; Spark: 1=Sun..7=Sat.",
+)
+def w_business_days(spark, sf_dir):
+    prep_session(spark)
+    seq = spark.sql(
+        "SELECT explode(sequence(DATE '2022-12-01', DATE '2023-01-20', "
+        "interval 1 day)) AS bday"
+    )
+    return seq.filter(~F.dayofweek("bday").isin(1, 7))
+
+
+@register(
+    "w_tumbling_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+    doc="J/streaming surface in batch form: tumbling 1-hour event-time window "
+    "aggregate (F.window); streaming twin in sparkwrangle.streaming.",
+)
+def w_tumbling_window_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), r6(F.sum("value")).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F/G. Sort / top-k / dedup / reshape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_topk_per_group",
+    """
+    SELECT event_type, event_id, value
+    FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rk
+        FROM events
+    ) WHERE rk <= 3
+    """,
+    doc="F1: ordered top-k per group with deterministic tiebreak; the "
+    "engine's explicit form of the reference's implicit time ordering.",
+)
+def f_topk_per_group(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "event_id", "value")
+    )
+
+
+@register(
+    "g_dedup_by_key",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="G1: dedup by key — the idempotent-backtest guard "
+    "('row[0] not in histories', intra_day_arbitrage.ipynb:11124).",
+)
+def g_dedup_by_key(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+@register(
+    "g_pivot_wide",
+    """
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+           round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+           round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="G3/C1: wide reshape — the per-company balance pivot "
+    "(intra_day_arbitrage.ipynb:11144-11158); explicit value list skips "
+    "the discovery scan; full-outer align semantics == pivot.",
+)
+def g_pivot_wide(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(r6(F.sum("value")))
+    )
+    return out
+
+
+@register(
+    "g_unpivot_long",
+    """
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        FROM lineitem WHERE l_orderkey < 1000
+    )
+    """,
+    doc="G3 inverse: wide → long melt via built-in unpivot/stack.",
+)
+def g_unpivot_long(spark, sf_dir):
+    from sparkwrangle.ops.reshape import unpivot_long
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    return unpivot_long(
+        wide, ["l_orderkey", "l_linenumber"], ["quantity", "discount", "tax"], "metric", "val"
+    )
+
+
+# ---------------------------------------------------------------------------
+# H. Scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h_scalar_suite",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(exp(l_discount), 6) AS exp_disc,
+           round(abs(l_quantity - 25.0), 6) AS abs_dev,
+           round(sign(l_quantity - 25.0), 6) AS sgn,
+           round(pow(1.0 + l_discount, 365.0 / 30.0), 6) AS annualized,
+           round(sqrt(l_quantity), 6) AS sqrt_qty
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+    doc="H: the reference's full scalar surface — np.log/exp/abs/sign, "
+    "annualizing pow (stock_arbitrage.ipynb:266-268,404-406; "
+    "intra_day_arbitrage.ipynb:11215).",
+)
+def h_scalar_suite(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(F.log("l_extendedprice")).alias("ln_price"),
+        r6(F.exp("l_discount")).alias("exp_disc"),
+        r6(F.abs(q - 25.0)).alias("abs_dev"),
+        r6(F.signum(q - 25.0)).alias("sgn"),
+        r6(F.pow(F.lit(1.0) + F.col("l_discount"), 365.0 / 30.0)).alias("annualized"),
+        r6(F.sqrt(q)).alias("sqrt_qty"),
+    )
+
+
+@register(
+    "h_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="H extension (engine surface, not reference capability — SURVEY §2.H "
+    "note): JSON scalar extraction over events.props.",
+)
+def h_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )

@@ -1,0 +1,78 @@
+"""Table registry and parquet IO.
+
+The engine's data model is long/narrow DataFrames with declared schemas
+(SURVEY.md §1.3): no pandas-style implicit wide matrices on the hot path.
+``load_table``/``load_tables`` read the driver's TPC-H-ish testdata
+(TESTDATA.md); ``write_table`` persists partitioned parquet the way a
+100 TB ingest would (date/block partition columns, no coalesce(1)).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Tables the driver generates per TESTDATA.md / FIXTURES.md §B.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always broadcast in joins.
+DIMENSION_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet → full pushdown/pruning support.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS) which Spark cannot
+    read as a timestamp; with ``spark.sql.legacy.parquet.nanosAsLong`` we
+    read raw nanos and floor to microseconds (timestamp_micros). DuckDB's
+    ``CAST(ts_ns AS TIMESTAMP)`` floors identically for positive epochs, so
+    oracle comparisons stay exact. Sub-microsecond ordering ties are
+    impossible in this data (events are seconds apart).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table the way the 100 TB ingest jobs would.
+
+    Partition columns (event date, block_id) enable static + dynamic
+    partition pruning on read; parquet gives row-group min/max skipping.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

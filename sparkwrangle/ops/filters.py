@@ -1,0 +1,78 @@
+"""Projections, filters, predicates (SURVEY.md §2.B).
+
+Reference behaviors covered: time-range slices (B1), ±inf replacement
+after division-by-zero (B7, quirk K.4), time-of-day band filters (B9),
+threshold predicates (B10/B11), null dropping (B6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_POS_INF = float("inf")
+_NEG_INF = float("-inf")
+
+
+def time_range(df: DataFrame, ts_col: str, start=None, end=None) -> DataFrame:
+    """Half-open [start, end) timestamp slice.
+
+    Reference: ``history["2006":]`` label slice
+    (stock_arbitrage.ipynb:27-28, cell 1). Parquet row-group pruning makes
+    this a metadata skip at scale, so the filter must stay a plain
+    comparison (no UDF wrapping).
+    """
+    out = df
+    if start is not None:
+        out = out.filter(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        out = out.filter(F.col(ts_col) < F.lit(end))
+    return out
+
+
+def minute_of_day(ts: Column) -> Column:
+    """Integer minute-of-day; the engine's replacement for the reference's
+    ``datetime.time`` comparisons (IntradayRegionArbitrage.py:152-159)."""
+    return F.hour(ts) * 60 + F.minute(ts)
+
+
+def time_of_day_band(
+    df: DataFrame, ts_col: str, start_hm: tuple[int, int], end_hm: tuple[int, int]
+) -> DataFrame:
+    """Inclusive time-of-day band, pandas ``between_time`` semantics
+    (intra_day_arbitrage.ipynb:92, cell 6 — the 14:30–16:30 UTC session)."""
+    lo = start_hm[0] * 60 + start_hm[1]
+    hi = end_hm[0] * 60 + end_hm[1]
+    m = minute_of_day(F.col(ts_col))
+    return df.filter(m.between(lo, hi))
+
+
+def safe_div_pandas(num: Column, den: Column) -> Column:
+    """Division with pandas semantics: x/0 → ±inf, 0/0 → NaN.
+
+    Spark returns NULL on /0; the reference relies on numpy's ±inf and then
+    replaces them (stock_arbitrage.ipynb:268, cell 5 — quirk K.4). Emulate
+    so downstream `replace_inf` sees what pandas would produce.
+    """
+    return (
+        F.when(den != 0, num / den)
+        .when(num > 0, F.lit(_POS_INF))
+        .when(num < 0, F.lit(_NEG_INF))
+        .otherwise(F.lit(float("nan")))
+    )
+
+
+def replace_inf(df: DataFrame, cols: list[str], value: float = 0.0) -> DataFrame:
+    """``.replace([np.inf, -np.inf], value)`` (stock_arbitrage.ipynb:268)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isin(_POS_INF, _NEG_INF), F.lit(value)).otherwise(F.col(c)),
+        )
+    return out
+
+
+def drop_nulls(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """``dropna()`` (stock_arbitrage.ipynb:268; intra_day_arbitrage.ipynb:11123)."""
+    return df.na.drop(subset=cols)

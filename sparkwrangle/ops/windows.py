@@ -1,0 +1,127 @@
+"""Window / time-series operators (SURVEY.md §2.W, §2.B8).
+
+All are ordinary Spark window expressions — partition by the series key,
+order by timestamp. At 100 TB the partition key (ticker/company/user)
+bounds state per task; no window here is global/unpartitioned, so the
+sort is a per-key sort inside the shuffle, not a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def series_window(keys: list[str], order: list[str]) -> WindowSpec:
+    return Window.partitionBy(*keys).orderBy(*order)
+
+
+def ffill(
+    df: DataFrame,
+    col: str,
+    keys: list[str],
+    order: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Forward fill — THE core missing-data idiom of the reference
+    (``fillna(method='ffill')``, intra_day_arbitrage.ipynb:58,91,111,11189).
+
+    ``F.last(ignorenulls=True)`` over an unbounded-preceding running frame.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col or col, F.last(F.col(col), ignorenulls=True).over(w))
+
+
+def lag_pct_change(
+    df: DataFrame, col: str, keys: list[str], order: list[str], out_col: str = "pct_change"
+) -> DataFrame:
+    """``Series.pct_change()`` (stock_arbitrage.ipynb:266-267, cell 5)."""
+    w = series_window(keys, order)
+    return df.withColumn(out_col, F.col(col) / F.lag(col).over(w) - 1)
+
+
+def log_returns(
+    df: DataFrame, col: str, keys: list[str], order: list[str], out_col: str = "log_ret"
+) -> DataFrame:
+    """``np.log(1 + pct_change())`` == log(x_t / x_{t-1})
+    (stock_arbitrage.ipynb:266-267, cell 5)."""
+    w = series_window(keys, order)
+    return df.withColumn(out_col, F.log(F.col(col) / F.lag(col).over(w)))
+
+
+def minmax_normalize(
+    df: DataFrame, col: str, keys: list[str], out_col: str = "norm"
+) -> DataFrame:
+    """Per-group min-max normalization, ``(x - min)/(max - min)``
+    (normalize_col, intra_day_arbitrage.ipynb:46-47 cell 3; applied :118-119).
+
+    Unbounded frame (whole group), keeps row grain. Degenerate groups
+    (min == max) yield NULL, matching pandas' 0/0 → NaN once /0 is emulated.
+    """
+    w = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lo, hi = F.min(col).over(w), F.max(col).over(w)
+    return df.withColumn(
+        out_col, F.when(hi != lo, (F.col(col) - lo) / (hi - lo))
+    )
+
+
+def rel_to_base(
+    df: DataFrame,
+    value_col: str,
+    base_col: str,
+    out_col: str = "rel_ret",
+) -> DataFrame:
+    """Relative-to-base return: value ÷ base − 1 (df_basing,
+    intra_day_arbitrage.ipynb:57-63 cell 4). ``base_col`` is the already
+    ffilled base-ticker series joined onto each row (see joins.asof)."""
+    return df.withColumn(out_col, F.col(value_col) / F.col(base_col) - 1)
+
+
+def next_bar(
+    df: DataFrame, cols: list[str], keys: list[str], order: list[str], prefix: str = "next_"
+) -> DataFrame:
+    """Next-row lookup — entry prices one bar after the signal
+    (``iloc[get_loc(index)+1]``, stock_arbitrage.ipynb:407, cell 6 / W5)."""
+    w = series_window(keys, order)
+    out = df
+    for c in cols:
+        out = out.withColumn(prefix + c, F.lead(c).over(w))
+    return out
+
+
+def running_sum(
+    df: DataFrame, col: str, keys: list[str], order: list[str], out_col: str = "cum_sum"
+) -> DataFrame:
+    """Running sum over the ordered series — the engine's building block for
+    interval sums between events (D3): sum over [open, close] =
+    cum(close) − cum(row before open)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.sum(col).over(w))
+
+
+def drop_first_row(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """``.iloc[1:]`` per series (intra_day_arbitrage.ipynb:11189, cell 30 / W6)."""
+    w = series_window(keys, order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .drop("__rn")
+    )
+
+
+def business_days(start: Column, end: Column) -> Column:
+    """Business-day sequence (pd.bdate_range,
+    intra_day_arbitrage.ipynb:1146-1148 cell 16 / W8) as an array column:
+    sequence + filter out Sat/Sun. Spark dayofweek: 1=Sun … 7=Sat."""
+    seq = F.sequence(start, end)
+    return F.filter(seq, lambda d: ~F.dayofweek(d).isin(1, 7))

@@ -1,0 +1,61 @@
+"""SparkSession construction and normalization.
+
+The engine assumes: UTC session timezone (the reference's data is UTC —
+see SURVEY.md §1.2), Arrow-backed pandas UDF exchange, and AQE enabled so
+runtime statistics pick broadcast/skew strategies at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sparkwrangle",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for the engine.
+
+    On a real cluster, ``master``/cores come from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``. ``spark.sql.shuffle.partitions``
+    is a floor — AQE coalesces down and splits skewed partitions up.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        # Non-ANSI semantics: x/0 → NULL (matches DuckDB and the pandas
+        # emulation layer; explicit ±inf handling lives in ops.filters).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def prep_session(spark: SparkSession) -> SparkSession:
+    """Normalize a session we did not build (e.g. the driver's).
+
+    Only touches runtime-settable confs that affect result *values*
+    (timezone, Arrow) — never restarts the session.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

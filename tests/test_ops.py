@@ -1,0 +1,127 @@
+"""Unit tests for the pure-Catalyst operator library on tiny frames."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparkwrangle.ops.filters import replace_inf, safe_div_pandas, time_of_day_band
+from sparkwrangle.ops.joins import asof_union_ffill, block_range_join
+from sparkwrangle.ops.windows import (
+    business_days,
+    drop_first_row,
+    ffill,
+    lag_pct_change,
+    log_returns,
+    minmax_normalize,
+    next_bar,
+)
+
+
+def _bars(spark):
+    rows = [
+        ("A", "2024-01-01 10:00:00", 100.0),
+        ("A", "2024-01-01 10:05:00", 110.0),
+        ("A", "2024-01-01 10:10:00", None),
+        ("A", "2024-01-01 10:15:00", 121.0),
+        ("B", "2024-01-01 10:00:00", 50.0),
+        ("B", "2024-01-01 10:05:00", 45.0),
+    ]
+    return spark.createDataFrame(rows, "ticker string, ts_s string, close double").select(
+        "ticker", F.col("ts_s").cast("timestamp").alias("ts"), "close"
+    )
+
+
+def test_ffill_carries_last_value(spark):
+    out = ffill(_bars(spark), "close", ["ticker"], ["ts"]).orderBy("ticker", "ts")
+    vals = [r.close for r in out.collect()]
+    assert vals == [100.0, 110.0, 110.0, 121.0, 50.0, 45.0]
+
+
+def test_pct_change_and_log_returns(spark):
+    df = _bars(spark).filter(F.col("close").isNotNull())
+    out = lag_pct_change(df, "close", ["ticker"], ["ts"]).orderBy("ticker", "ts")
+    pct = [r.pct_change for r in out.collect()]
+    assert pct[0] is None
+    assert abs(pct[1] - 0.10) < 1e-12
+    lr = log_returns(df, "close", ["ticker"], ["ts"]).orderBy("ticker", "ts").collect()
+    assert abs(lr[1].log_ret - math.log(1.10)) < 1e-12
+
+
+def test_minmax_normalize_bounds(spark):
+    out = minmax_normalize(_bars(spark), "close", ["ticker"]).collect()
+    for r in out:
+        if r.norm is not None:
+            assert -1e-12 <= r.norm <= 1 + 1e-12
+
+
+def test_minmax_degenerate_group_is_null(spark):
+    df = spark.createDataFrame([("A", 5.0), ("A", 5.0)], "k string, v double")
+    out = minmax_normalize(df, "v", ["k"]).collect()
+    assert all(r.norm is None for r in out)
+
+
+def test_safe_div_pandas_inf_then_replace(spark):
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (-1.0, 0.0), (0.0, 0.0), (6.0, 2.0)], "num double, den double"
+    )
+    df = df.withColumn("q", safe_div_pandas(F.col("num"), F.col("den")))
+    rows = df.collect()
+    assert rows[0].q == float("inf") and rows[1].q == float("-inf")
+    assert math.isnan(rows[2].q) and rows[3].q == 3.0
+    cleaned = replace_inf(df, ["q"]).collect()
+    assert cleaned[0].q == 0.0 and cleaned[1].q == 0.0
+
+
+def test_time_of_day_band_inclusive(spark):
+    df = _bars(spark)
+    out = time_of_day_band(df, "ts", (10, 5), (10, 10))
+    assert out.count() == 3  # 10:05 A, 10:10 A, 10:05 B — inclusive both ends
+
+
+def test_next_bar_lead(spark):
+    df = _bars(spark).filter(F.col("close").isNotNull())
+    out = next_bar(df, ["close"], ["ticker"], ["ts"]).orderBy("ticker", "ts").collect()
+    assert out[0].next_close == 110.0
+    assert out[-1].next_close is None
+
+
+def test_drop_first_row(spark):
+    out = drop_first_row(_bars(spark), ["ticker"], ["ts"])
+    assert out.count() == 4
+
+
+def test_asof_union_ffill_snaps_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00"), ("u", "2024-01-01 10:07:00")],
+        "k string, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", 1.0), ("u", "2024-01-01 10:05:00", 2.0)],
+        "k string, ts_s string, rate double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "rate")
+    out = asof_union_ffill(left, right, "ts", ["k"], "rate").orderBy("ts").collect()
+    # same-timestamp right row is visible (pandas reindex+ffill semantics)
+    assert [r.rate for r in out] == [1.0, 2.0]
+
+
+def test_block_range_join(spark):
+    facts = _bars(spark)
+    blocks = spark.createDataFrame(
+        [(0, "2024-01-01 09:00:00", "2024-01-01 10:07:00")],
+        "block_id int, s string, e string",
+    ).select(
+        "block_id",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+    out = block_range_join(facts, blocks, "ts", "start_ts", "end_ts")
+    assert out.count() == 4  # inclusive ends: 10:00,10:05 per ticker
+
+
+def test_business_days_skips_weekends(spark):
+    df = spark.sql("SELECT DATE '2022-12-01' AS s, DATE '2022-12-14' AS e")
+    days = df.select(business_days(F.col("s"), F.col("e")).alias("d")).collect()[0].d
+    assert len(days) == 10  # two full business weeks
+    assert all(d.isoweekday() <= 5 for d in days)

@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same sf dir, then compares row count, column names, and
+order-insensitive values. Stricter than the driver (exact string compare
+after 1e-9 float rounding) so anything passing here should hash-match.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from sparkwrangle.io import TABLES
+from sparkwrangle.session import get_spark
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed, passed, rows_only = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            failed.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            rows_only.append((name, len(srows)))
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failed.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            sn, dn = norm_rows(scols, [tuple(r) for r in srows]), norm_rows(dcols, drows)
+            if sn != dn:
+                diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diffs}")
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            passed.append(name)
+            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+
+    print(
+        f"\n{len(passed)} ok, {len(failed)} failed, {len(rows_only)} rows-only "
+        f"(of {len(qs)} queries) at {sf_dir}"
+    )
+    if failed:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
