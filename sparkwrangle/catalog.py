@@ -821,3 +821,194 @@ def h_json_extract(spark, sf_dir):
     return ev.select(
         "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# S. Stateful operators (S1/S2) — inherently sequential scans, not
+# SQL-expressible (SURVEY §2.I) → no oracle; the driver records rows-only
+# and the golden-replication tests in tests/test_stateful.py pin values
+# against the vendored pandas oracle on FIXTURES.md synthetic data.
+# ---------------------------------------------------------------------------
+
+
+def _events_as_pair_bars(spark, sf_dir):
+    """Derive a two-ticker bar stream per user from events: leg A = value,
+    leg B = a coupled series crossing A around value≈50 so the S1 scan
+    produces trades."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.lit("A").alias("ticker"), "ts", F.col("value").alias("close")
+    )
+    b = ev.select(
+        "user_id",
+        F.lit("B").alias("ticker"),
+        "ts",
+        (F.col("value") * 0.5 + 25.0).alias("close"),
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "s1_daily_pairs_backtest",
+    None,
+    doc="S1: sequential pairs-trade scan (stock_arbitrage.ipynb:399-414) via "
+    "applyInPandas per (user) pair — entry at next bar, zero-crossing exit, "
+    "inclusive interval log-return sums. Golden-tested vs pandas oracle.",
+)
+def s1_daily_pairs_backtest(spark, sf_dir):
+    from sparkwrangle.pipelines.daily_pairs import daily_pairs_backtest
+
+    bars = _events_as_pair_bars(spark, sf_dir)
+    return daily_pairs_backtest(
+        bars, "A", "B", ratio=1.0, buy_at=0.005, from_ts=None, extra_keys=["user_id"]
+    )
+
+
+@register(
+    "s1_compounded_return",
+    None,
+    doc="EP1 terminal metric: np.exp(returns).product() over the S1 trade "
+    "log (stock_arbitrage.ipynb:468).",
+)
+def s1_compounded_return(spark, sf_dir):
+    from sparkwrangle.pipelines.daily_pairs import (
+        compounded_return_pct,
+        daily_pairs_backtest,
+    )
+
+    bars = _events_as_pair_bars(spark, sf_dir)
+    trades = daily_pairs_backtest(
+        bars, "A", "B", ratio=1.0, buy_at=0.005, from_ts=None, extra_keys=["user_id"]
+    )
+    return compounded_return_pct(trades)
+
+
+@register(
+    "s2_intraday_trader",
+    None,
+    doc="S2/S3: per-tick intraday trader state machine "
+    "(IntradayRegionArbitrage.py:35-159) via applyInPandas per company — "
+    "TP/SL/market-close ledger with quirks K.1/K.3 preserved. "
+    "Golden-tested vs pandas oracle on FIXTURES.md synthetic data.",
+)
+def s2_intraday_trader(spark, sf_dir):
+    from sparkwrangle.stateful.trader import backtest_trades
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("feed_seq", F.row_number().over(w))
+    base = seq.select(
+        F.col("user_id").alias("company"),
+        "feed_seq",
+        "ts",
+        F.lit(0).alias("ticker_idx"),
+        (F.col("value") / 10.0 + 50.0).alias("price"),
+        F.lit(None).cast("double").alias("ret"),
+    )
+    arb = seq.select(
+        F.col("user_id").alias("company"),
+        "feed_seq",
+        "ts",
+        F.lit(1).alias("ticker_idx"),
+        (F.col("value") + 1.0).alias("price"),
+        ((F.col("value") - 50.0) / 200.0).alias("ret"),
+    )
+    feed = base.unionByName(arb)
+    params = dict(
+        bal=1000.0,
+        min_deviation=0.1,
+        sl_percent=0.03,
+        trigger_range=0.01,
+        trade_size=0.1,
+        trade_size_percent=True,
+    )
+    return backtest_trades(feed, params)
+
+
+@register(
+    "r_balance_report",
+    """
+    WITH ticks AS (SELECT DISTINCT ts FROM events),
+    comps AS (SELECT DISTINCT user_id FROM events),
+    grid AS (SELECT t.ts, c.user_id FROM ticks t CROSS JOIN comps c),
+    joined AS (
+        SELECT g.ts, g.user_id, e.value
+        FROM grid g LEFT JOIN events e ON g.ts = e.ts AND g.user_id = e.user_id
+    ), filled AS (
+        SELECT ts, user_id, last_value(value IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal_ff
+        FROM joined
+    ), dropped AS (
+        SELECT * FROM filled WHERE ts > (SELECT min(ts) FROM events)
+    ), totals AS (
+        SELECT ts, sum(bal_ff) AS total FROM dropped GROUP BY ts
+    )
+    SELECT round(arg_max(total, ts) / arg_min(total, ts) - 1, 6) AS roi,
+           date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days,
+           round(pow(arg_max(total, ts) / arg_min(total, ts),
+                 365.0 / date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))) - 1,
+                 6) AS annualized_roi
+    FROM totals
+    """,
+    doc="EP2 report layer (cells 29-31): per-company balance series → "
+    "global-grid ffill → drop first row → TOTAL per ts → ROI + "
+    "annualization (G3/C1/B8/W6/D5/D8), events.value playing balance.",
+)
+def r_balance_report(spark, sf_dir):
+    from sparkwrangle.pipelines.intraday import balance_report
+
+    ev = _t(spark, sf_dir, "events")
+    balances = ev.select(
+        F.col("user_id").alias("company"), "ts", F.col("value").alias("balance")
+    )
+    out = balance_report(balances)
+    return out.select(
+        r6("roi").alias("roi"),
+        "span_days",
+        r6("annualized_roi").alias("annualized_roi"),
+    )
+
+
+@register(
+    "r_trade_report",
+    """
+    WITH trades AS (
+        SELECT CASE event_type WHEN 'purchase' THEN 'tp'
+                               WHEN 'error' THEN 'mc' ELSE 'sl' END AS close_type,
+               (value - 50.0) / 100.0 AS roi
+        FROM events
+    )
+    SELECT count(CASE WHEN roi > 0 THEN 1 END) AS n_wins,
+           count(CASE WHEN roi < 0 THEN 1 END) AS n_losses,
+           round(count(CASE WHEN roi > 0 THEN 1 END) * 1.0 /
+                 (count(CASE WHEN roi > 0 THEN 1 END) + count(CASE WHEN roi < 0 THEN 1 END)), 6) AS win_share,
+           round(avg(CASE WHEN roi > 0 THEN roi END), 6) AS avg_profit,
+           round(avg(CASE WHEN roi < 0 THEN roi END), 6) AS avg_loss,
+           round(count(CASE WHEN roi < 0 AND close_type = 'mc' THEN 1 END) * 1.0 /
+                 count(CASE WHEN roi < 0 THEN 1 END), 6) AS mc_loss_share
+    FROM trades
+    """,
+    doc="EP2 cell-33 report: win share, avg profit/loss, market-close loss "
+    "share (D7) over a trades table derived from events.",
+)
+def r_trade_report(spark, sf_dir):
+    from sparkwrangle.pipelines.intraday import trade_report
+
+    ev = _t(spark, sf_dir, "events")
+    trades = ev.select(
+        F.when(F.col("event_type") == "purchase", "tp")
+        .when(F.col("event_type") == "error", "mc")
+        .otherwise("sl")
+        .alias("close_type"),
+        ((F.col("value") - 50.0) / 100.0).alias("roi"),
+    )
+    out = trade_report(trades)
+    return out.select(
+        "n_wins",
+        "n_losses",
+        r6("win_share").alias("win_share"),
+        r6("avg_profit").alias("avg_profit"),
+        r6("avg_loss").alias("avg_loss"),
+        r6("mc_loss_share").alias("mc_loss_share"),
+    )

@@ -55,7 +55,13 @@ def safe_div_pandas(num: Column, den: Column) -> Column:
     so downstream `replace_inf` sees what pandas would produce.
     """
     return (
-        F.when(den != 0, num / den)
+        # NULL in/NULL out (pandas has no NULL; NULL plays missing ≡ NaN
+        # for downstream dropna)
+        F.when(num.isNull() | den.isNull(), F.lit(None).cast("double"))
+        .when(den != 0, num / den)  # den NaN lands here (NaN != 0) → NaN out
+        # den == 0 below; NaN num must short-circuit because Spark orders
+        # NaN ABOVE all numbers (NaN > 0 is true), unlike pandas.
+        .when(F.isnan(num), F.lit(float("nan")))
         .when(num > 0, F.lit(_POS_INF))
         .when(num < 0, F.lit(_NEG_INF))
         .otherwise(F.lit(float("nan")))

@@ -1,0 +1,176 @@
+"""EP2 — intraday cross-exchange arbitrage backtest (intra_day_arbitrage.ipynb).
+
+Feed construction (SURVEY.md §3 EP2), all pure Catalyst until the S2 UDF:
+
+1. block tagging       — weekly time_blocks range join (C7, cell 16)
+2. per-company grid    — union of the company's tick timestamps × its
+                         tickers (C1: pd.concat(axis=1) index semantics)
+3. FX snap             — exact-ts join + ffill within block (C3:
+                         eur_usd.reindex(price_df.index).ffill(), cell 7)
+4. conditional convert — EU tickers ('.'-suffixed) × rate (C4), applied to
+                         PRICES only; normalized returns stay unconverted
+                         (faithful to get_price_data, cell 7)
+5. min-max normalize   — per (company, block, ticker) over the WHOLE block
+                         incl. out-of-session rows, before ffill (W3/D2)
+6. ffill               — per ticker over the block grid (B8, cell 6)
+7. session band        — between_time 14:30–16:30 inclusive (B9)
+8. base-relative ret   — norm ÷ base_norm − 1 with pandas /0→±inf
+                         semantics (W4, df_basing cell 4)
+9. feed order          — day-of-month grouping (quirk K.2) makes feed
+                         order differ from ts order across month
+                         boundaries; dense_rank over (block, dom, ts)
+
+The S2 trader (stateful.trader) then runs per company — the reference's
+fan-out loop over 41 companies (S4) becomes the shuffle axis. At 100 TB
+companies × blocks bound every window partition; nothing here is a global
+sort or unpartitioned window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkwrangle.ops.filters import minute_of_day, safe_div_pandas
+from sparkwrangle.stateful.trader import backtest_balances, backtest_trades
+
+
+def build_intraday_feed(
+    bars: DataFrame,
+    fx: DataFrame,
+    blocks: DataFrame,
+    listings: DataFrame,
+    session_start: tuple[int, int] = (14, 30),
+    session_end: tuple[int, int] = (16, 30),
+) -> DataFrame:
+    """Build the per-tick trader feed.
+
+    bars:     (company, ticker, ts, close) raw 5-minute closes, native ccy
+    fx:       (ts, rate) EURUSD series
+    blocks:   (block_id, start_ts, end_ts) — membership is [start, end)
+    listings: (company, ticker, ticker_idx) — idx 0 is the base (first US
+              listing, IntradayRegionArbitrage.py:47)
+
+    Returns (company, feed_seq, ts, ticker_idx, price, ret).
+    """
+    b = bars.join(
+        F.broadcast(blocks),
+        (bars.ts >= blocks.start_ts) & (bars.ts < blocks.end_ts),
+        "inner",
+    ).select("company", "ticker", "ts", "close", "block_id")
+
+    # 2. grid = company-block tick timeline × the company's tickers
+    ticks = b.select("company", "block_id", "ts").distinct()
+    grid = ticks.join(F.broadcast(listings), "company")
+    g = grid.join(b, ["company", "block_id", "ts", "ticker"], "left")
+
+    # 3. FX: exact-ts match then ffill over the block grid (reindex+ffill
+    #    semantics — a grid ts before the first in-block fx row stays null)
+    g = g.join(F.broadcast(fx.select("ts", "rate")), "ts", "left")
+    wg = (
+        Window.partitionBy("company", "block_id", "ticker")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = g.withColumn("rate_ff", F.last("rate", ignorenulls=True).over(wg))
+
+    # 4. convert prices (not returns) for EU listings, at each row's own ts
+    g = g.withColumn(
+        "price_conv",
+        F.when(
+            F.col("ticker").contains("."), F.col("close") * F.col("rate_ff")
+        ).otherwise(F.col("close")),
+    )
+
+    # 5. block-wide min-max normalize of the RAW close
+    wb = Window.partitionBy("company", "block_id", "ticker").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lo, hi = F.min("close").over(wb), F.max("close").over(wb)
+    g = g.withColumn("norm", safe_div_pandas(F.col("close") - lo, hi - lo))
+
+    # 6. ffill both series over the block grid
+    g = g.withColumn("price_ff", F.last("price_conv", ignorenulls=True).over(wg))
+    g = g.withColumn("norm_ff", F.last("norm", ignorenulls=True).over(wg))
+
+    # 7. session band (inclusive, pandas between_time)
+    lo_m = session_start[0] * 60 + session_start[1]
+    hi_m = session_end[0] * 60 + session_end[1]
+    g = g.filter(minute_of_day(F.col("ts")).between(lo_m, hi_m))
+
+    # 8. base-relative deviation: norm ÷ base_norm − 1, pandas /0 → ±inf
+    base = g.filter(F.col("ticker_idx") == 0).select(
+        "company", "block_id", "ts", F.col("norm_ff").alias("base_norm")
+    )
+    g = g.join(base, ["company", "block_id", "ts"], "left")
+    g = g.withColumn(
+        "ret",
+        F.when(
+            F.col("ticker_idx") > 0,
+            safe_div_pandas(F.col("norm_ff"), F.col("base_norm")) - 1,
+        ),
+    )
+
+    # 9. feed order: blocks, then day-of-month (K.2!), then ts
+    wseq = Window.partitionBy("company").orderBy(
+        "block_id", F.dayofmonth("ts"), "ts"
+    )
+    g = g.withColumn("feed_seq", F.dense_rank().over(wseq))
+
+    return g.select(
+        "company", "feed_seq", "ts", "ticker_idx", F.col("price_ff").alias("price"), "ret"
+    )
+
+
+def intraday_backtest(
+    feed: DataFrame, params: dict
+) -> tuple[DataFrame, DataFrame]:
+    """Run S2 over the feed → (trades, balance_history)."""
+    return backtest_trades(feed, params), backtest_balances(feed, params)
+
+
+def balance_report(balances: DataFrame) -> DataFrame:
+    """Cells 29-31: per-company balance series → global-grid ffill →
+    drop first row → portfolio TOTAL per ts → ROI/annualized (D5/D8/W6)."""
+    ticks = balances.select("ts").distinct()
+    companies = balances.select("company").distinct()
+    grid = ticks.crossJoin(companies)
+    g = grid.join(balances, ["ts", "company"], "left")
+    w = (
+        Window.partitionBy("company")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = g.withColumn("bal_ff", F.last("balance", ignorenulls=True).over(w))
+    first_ts = balances.agg(F.min("ts").alias("first_ts"))
+    g = g.join(F.broadcast(first_ts), F.col("ts") > F.col("first_ts"), "inner")
+    total = g.groupBy("ts").agg(F.sum("bal_ff").alias("total"))
+    return total.agg(
+        (F.max_by("total", "ts") / F.min_by("total", "ts") - 1).alias("roi"),
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("span_days"),
+        (
+            F.pow(
+                F.max_by("total", "ts") / F.min_by("total", "ts"),
+                365.0 / F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))),
+            )
+            - 1
+        ).alias("annualized_roi"),
+    )
+
+
+def trade_report(trades: DataFrame) -> DataFrame:
+    """Cell 33: win share, avg profit/loss, market-close loss share (D7)."""
+    roi, typ = F.col("roi"), F.col("close_type")
+    return trades.agg(
+        F.count(F.when(roi > 0, 1)).alias("n_wins"),
+        F.count(F.when(roi < 0, 1)).alias("n_losses"),
+        (
+            F.count(F.when(roi > 0, 1))
+            / (F.count(F.when(roi > 0, 1)) + F.count(F.when(roi < 0, 1)))
+        ).alias("win_share"),
+        F.avg(F.when(roi > 0, roi)).alias("avg_profit"),
+        F.avg(F.when(roi < 0, roi)).alias("avg_loss"),
+        (
+            F.count(F.when((roi < 0) & (typ == "mc"), 1)) / F.count(F.when(roi < 0, 1))
+        ).alias("mc_loss_share"),
+    )

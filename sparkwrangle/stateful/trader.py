@@ -1,0 +1,241 @@
+"""S2/S3 — intraday region-arbitrage trader state machine (SURVEY.md §2.S2).
+
+A fresh implementation of the per-tick protocol of the reference's
+``IntradayRegionArbitrage`` class (IntradayRegionArbitrage.py:35-159),
+reproducing its semantics exactly, including the quirks:
+
+* K.1 — opportunity triggers only on ``ret > min_deviation`` (no abs), so
+  ``signal`` is always True for triggered indices (:75-79).
+* K.3 — take-profit ``break``: at most one TP close per tick (:117); and
+  both the SL path and the market-close path iterate the live position
+  list while ``close_trade`` removes from it (:112/:150 and :57-58 —
+  ``tmp = self._cpt`` aliases, it does not copy), so Python's
+  skip-after-remove behavior is part of the semantics.
+* K.5 — feed shape: ``tickers`` includes the base at index 0;
+  ``price_data`` aligns with ``tickers``; ``return_data`` excludes the
+  base (:44-49).
+* market close: any tick strictly after 16:29:00 (:152-159); positions
+  are marked 'mc'. Ledger arithmetic per :90-99 (open, net-zero cash) and
+  :137-139 (close, roi vs pre-close balance).
+
+The protocol consumes one tick at a time, so state is a plain object; the
+distributed operator (``backtest_trades`` / ``backtest_balances``) runs it
+inside ``applyInPandas`` keyed by company — Spark's parallelism axis is
+companies (S4's fan-out loop, intra_day_arbitrage.ipynb:11121-11126), and
+per-company history is bounded, so the sequential core never sees more
+than one group.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def _is_closing(minute_of_day_sec: int) -> bool:
+    """Market closing check: strictly after 16:29:00 (ref :152-159)."""
+    return minute_of_day_sec > 16 * 3600 + 29 * 60
+
+
+class TraderState:
+    """Mutable per-company trading state (ref :22-33)."""
+
+    __slots__ = (
+        "min_deviation",
+        "sl_percent",
+        "trigger_range",
+        "trade_size",
+        "trade_size_percent",
+        "balance",
+        "trades",
+        "shares",
+        "base_shares",
+        "cpt",
+    )
+
+    def __init__(
+        self,
+        bal: float,
+        min_deviation: float,
+        sl_percent: float,
+        trigger_range: float,
+        trade_size: float,
+        trade_size_percent: bool = False,
+    ):
+        if not min_deviation > 0:
+            raise ValueError("min_deviation must be > 0")
+        if not sl_percent > 0:
+            raise ValueError("sl_percent must be > 0")
+        if not (min_deviation > trigger_range > 0):
+            raise ValueError("need min_deviation > trigger_range > 0")
+        if trade_size_percent and not trade_size < 1:
+            raise ValueError("percentage trade_size must be < 1")
+        self.min_deviation = min_deviation
+        self.sl_percent = sl_percent
+        self.trigger_range = trigger_range
+        self.trade_size = trade_size
+        self.trade_size_percent = trade_size_percent
+        self.balance = bal
+        self.trades: list[tuple[str, float]] = []
+        self.shares: dict[int, float] = {}  # keyed by arb-ticker index
+        self.base_shares: dict[int, float] = {}
+        self.cpt: list[int] = []  # open-position ticker indices
+
+    # -- protocol ----------------------------------------------------------
+
+    def data_feed(
+        self, second_of_day: int, return_data: list[float], price_data: list[float]
+    ) -> None:
+        """One tick (ref :35-65). ``price_data[0]`` is the base price;
+        ``return_data[i]`` aligns with ``price_data[i+1]``."""
+        closing = _is_closing(second_of_day)
+        base_price = price_data[0]
+        arb_prices = price_data[1:]
+        if self.cpt:
+            self._price_check(return_data, arb_prices, base_price)
+            if closing:
+                # ref :57-58 — iterates the LIVE list (tmp aliases _cpt),
+                # so each close skips the following element: faithful.
+                for i in self.cpt:
+                    self._close_trade(i, "mc", arb_prices, base_price)
+        elif not closing:
+            # K.1: positive deviations only, no abs (ref :75-79)
+            self.cpt = [
+                i for i, r in enumerate(return_data) if r > self.min_deviation
+            ]
+            if self.cpt:
+                self._trade_signal(return_data, arb_prices, base_price)
+
+    def _trade_signal(
+        self, return_data: list[float], arb_prices: list[float], base_price: float
+    ) -> None:
+        """Open zero-net-cost pair positions (ref :81-102)."""
+        order_size = (
+            (self.trade_size * self.balance if self.trade_size_percent else self.trade_size)
+            / len(self.cpt)
+            * 2
+        )
+        for idx in self.cpt:
+            price = arb_prices[idx]
+            long_arb = return_data[idx] > 0  # 'signal' (always True under K.1)
+            self.shares[idx] = order_size / price * (1 if long_arb else -1)
+            self.base_shares[idx] = order_size / base_price * (-1 if long_arb else 1)
+            self.balance += self.shares[idx] * price
+            self.balance += self.base_shares[idx] * base_price
+
+    def _price_check(
+        self, return_data: list[float], arb_prices: list[float], base_price: float
+    ) -> None:
+        """TP/SL checks on open positions (ref :104-124)."""
+        for i in self.cpt:
+            r = return_data[i]
+            # take profit: deviation back inside ±trigger_range; at most
+            # one TP per tick (K.3 break)
+            if -self.trigger_range <= r <= self.trigger_range:
+                self._close_trade(i, "tp", arb_prices, base_price)
+                break
+            # stop loss on mark-to-market pnl (ref :121)
+            pnl = (
+                self.balance
+                + (self.base_shares[i] * base_price * -1)
+                + (self.shares[i] * arb_prices[i] * -1)
+            ) / self.balance - 1
+            if pnl < -self.sl_percent:
+                self._close_trade(i, "sl", arb_prices, base_price)
+
+    def _close_trade(
+        self, idx: int, close_type: str, arb_prices: list[float], base_price: float
+    ) -> None:
+        """Settle both legs at current prices; roi vs pre-close balance
+        (ref :126-150)."""
+        tmp_bal = self.balance
+        self.balance += (self.base_shares[idx] * base_price * -1) + (
+            self.shares[idx] * arb_prices[idx] * -1
+        )
+        roi = self.balance / tmp_bal - 1
+        del self.shares[idx]
+        del self.base_shares[idx]
+        self.trades.append((close_type, roi))
+        self.cpt.remove(idx)
+
+
+def run_trader_on_feed(
+    feed: pd.DataFrame, params: dict
+) -> tuple[list[tuple[str, float]], list[tuple]]:
+    """Run one company's feed through the state machine.
+
+    ``feed`` is long format with columns: ts, ticker_idx (0 = base, listing
+    order — IntradayRegionArbitrage.py:47 ``tickers[0]``), price (converted
+    + ffilled), ret (base-relative normalized deviation; NaN for idx 0).
+    Returns (trades, balance_history) where balance_history is
+    [(ts, balance)] with one row per tick, recorded AFTER the tick is fed
+    (intra_day_arbitrage.ipynb:145-147, cell 8).
+    """
+    st = TraderState(**params)
+    # pivot on feed_seq, not ts: the reference's day-of-month grouping
+    # (quirk K.2) feeds days OUT of ts order across month boundaries, and
+    # state must see ticks in that exact order.
+    wide_p = feed.pivot_table(
+        index="feed_seq", columns="ticker_idx", values="price", aggfunc="first", dropna=False
+    ).sort_index()
+    wide_r = feed.pivot_table(
+        index="feed_seq", columns="ticker_idx", values="ret", aggfunc="first", dropna=False
+    ).sort_index()
+    n_idx = int(feed["ticker_idx"].max()) + 1
+    wide_p = wide_p.reindex(columns=range(n_idx))
+    wide_r = wide_r.reindex(columns=range(1, n_idx))
+    seq_ts = feed.drop_duplicates("feed_seq").set_index("feed_seq")["ts"]
+
+    history: list[tuple] = []
+    p_vals = wide_p.to_numpy()
+    r_vals = wide_r.to_numpy()
+    for k, seq in enumerate(wide_p.index):
+        ts = seq_ts.loc[seq]
+        sod = ts.hour * 3600 + ts.minute * 60 + ts.second
+        st.data_feed(sod, list(r_vals[k]), list(p_vals[k]))
+        history.append((ts, st.balance))
+    return st.trades, history
+
+
+def _key_type(feed: DataFrame) -> str:
+    return {f.name: f.dataType.simpleString() for f in feed.schema.fields}["company"]
+
+
+def backtest_trades(feed: DataFrame, params: dict) -> DataFrame:
+    """Distributed S2 trade log: (company, trade_seq, close_type, roi)."""
+    schema = f"company {_key_type(feed)}, trade_seq int, close_type string, roi double"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        trades, _ = run_trader_on_feed(pdf, params)
+        company = pdf["company"].iloc[0]
+        return pd.DataFrame(
+            [
+                {"company": company, "trade_seq": i, "close_type": t, "roi": r}
+                for i, (t, r) in enumerate(trades)
+            ],
+            columns=["company", "trade_seq", "close_type", "roi"],
+        )
+
+    cols = ["company", "feed_seq", "ts", "ticker_idx", "price", "ret"]
+    return feed.select(*cols).groupBy("company").applyInPandas(run, schema)
+
+
+def backtest_balances(feed: DataFrame, params: dict) -> DataFrame:
+    """Distributed S2 balance history: (company, ts, balance) per tick,
+    in feed order (which is NOT ts order across month boundaries — quirk
+    K.2's day-of-month grouping reorders days; see pipelines.intraday)."""
+    schema = f"company {_key_type(feed)}, ts timestamp, balance double"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        _, history = run_trader_on_feed(pdf, params)
+        company = pdf["company"].iloc[0]
+        return pd.DataFrame(
+            [{"company": company, "ts": ts, "balance": b} for ts, b in history],
+            columns=["company", "ts", "balance"],
+        )
+
+    cols = ["company", "feed_seq", "ts", "ticker_idx", "price", "ret"]
+    return feed.select(*cols).groupBy("company").applyInPandas(run, schema)
