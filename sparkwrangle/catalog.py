@@ -1012,3 +1012,8 @@ def r_trade_report(spark, sf_dir):
         r6("avg_loss").alias("avg_loss"),
         r6("mc_loss_share").alias("mc_loss_share"),
     )
+
+
+# Extension operators register themselves into the same CATALOG (import at
+# the bottom so `register` is already bound; the circular edge is benign).
+from sparkwrangle import catalog_ext  # noqa: E402,F401

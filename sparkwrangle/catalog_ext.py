@@ -1,0 +1,452 @@
+"""Extension-operator catalog entries (north-star §2.J): dedup, similarity
+search, text analysis, multimodal — each PySpark query paired with a
+DuckDB oracle wherever SQL-expressible.
+
+Cross-engine determinism: hashes use the portable md5-derived h60
+(ext.hashing); MinHash mixing stays in exact int64; cosine similarities
+round to 6dp (fold-order fp noise ≪ 1e-12). DuckDB-side regexp_replace
+needs the explicit 'g' flag to match Spark's replace-all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkwrangle.catalog import _t, r6, register
+from sparkwrangle.ext.hashing import (
+    MERSENNE_P,
+    h60_sql,
+    minhash_coeffs,
+    universal_hash_sql,
+)
+
+_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_EN_STOP = "('the','and','of','to','a','in','is','that','with','for')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_text_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           round(CASE WHEN len(t) > 0 THEN
+                 CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+                 END, 6) AS avg_word_len,
+           round(CASE WHEN length(text) > 0 THEN
+                 CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                 / length(text) END, 6) AS punct_ratio,
+           round(CASE WHEN len(t) > 0 THEN
+                 CAST(len(list_filter(t, x -> x IN {_EN_STOP})) AS DOUBLE) / len(t)
+                 END, 6) AS stopword_ratio
+    FROM toks
+    """,
+    doc="North-star text analysis: token count, avg word length, "
+    "punctuation density, stopword ratio per document — map-side only.",
+)
+def x_text_stats(spark, sf_dir):
+    from sparkwrangle.ext.text import add_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = add_text_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        r6("avg_word_len").alias("avg_word_len"),
+        r6("punct_ratio").alias("punct_ratio"),
+        r6("stopword_ratio").alias("stopword_ratio"),
+    )
+
+
+@register(
+    "x_quality_score",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+    stats AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                    / length(text) END AS punct_ratio,
+               CASE WHEN len(t) > 0 THEN
+                    CAST(len(list_filter(t, x -> x IN {_EN_STOP})) AS DOUBLE) / len(t)
+                    END AS stop_ratio
+        FROM toks
+    )
+    SELECT doc_id,
+           round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                 + least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+    FROM stats
+    """,
+    doc="North-star quality scoring: length/punctuation/stopword-structure "
+    "composite for corpus filtering.",
+)
+def x_quality_score(spark, sf_dir):
+    from sparkwrangle.ext.text import add_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return add_text_stats(docs).select("doc_id", r6("quality").alias("quality"))
+
+
+@register(
+    "x_lang_id",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+               CASE WHEN length(text) > 0 THEN
+                    1.0 - CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS DOUBLE)
+                          / length(text) ELSE 0.0 END AS non_ascii
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, lang, non_ascii,
+           len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','that','with','for'))) AS h_en,
+           len(list_filter(t, x -> x IN ('der','die','das','und','von','zu','mit','ist','ein','nicht'))) AS h_de,
+           len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS h_es,
+           len(list_filter(t, x -> x IN ('le','la','de','et','un','est','que','pour','dans','des'))) AS h_fr
+        FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN non_ascii > 0.5 THEN 'zh'
+                WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+                WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+    doc="North-star language ID: CJK-script ratio → zh, else stopword-list "
+    "argmax with fixed tie order (deterministic n-gram-free heuristic).",
+)
+def x_lang_id(spark, sf_dir):
+    from sparkwrangle.ext.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "x_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+    FROM documents
+    """,
+    doc="North-star token counting: whitespace words + a BPE-ish regex "
+    "tokenizer (words/numbers/punctuation marks).",
+)
+def x_token_count_bpe(spark, sf_dir):
+    from sparkwrangle.ext.text import BPE_RE, token_count, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text", BPE_RE).alias("n_bpe_tokens"),
+        F.size(tokenize("text")).alias("n_words"),
+    )
+
+
+@register(
+    "x_doc_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(t) > 0 THEN
+                list_min(list_transform(t, x -> {h60_sql('x')})) END AS fingerprint
+    FROM toks
+    """,
+    doc="North-star document fingerprinting: min portable-hash over the "
+    "token set (1-permutation MinHash).",
+)
+def x_doc_fingerprint(spark, sf_dir):
+    from sparkwrangle.ext.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_exact",
+    f"""
+    WITH normed AS (
+        SELECT doc_id,
+               {h60_sql("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS text_hash
+        FROM documents
+    )
+    SELECT doc_id, text_hash,
+           count(*) OVER (PARTITION BY text_hash) AS dup_count
+    FROM normed
+    """,
+    doc="North-star exact dedup: hash-groupBy over normalized text "
+    "(lower/strip-punct/collapse-ws) — the canonical 100 TB first pass.",
+)
+def x_dedup_exact(spark, sf_dir):
+    from sparkwrangle.ext.dedup import exact_dup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(docs).select("doc_id", "text_hash", "dup_count")
+
+
+_SHINGLES_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+                      i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS shingle
+        FROM toks
+    )
+"""
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    _SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.05
+    """,
+    doc="North-star near-dedup: exact word-3-gram Jaccard via shingle "
+    "self-join — the verifier for LSH candidates.",
+)
+def x_dedup_ngram_jaccard(spark, sf_dir):
+    from sparkwrangle.ext.dedup import ngram_jaccard_pairs, shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    out = ngram_jaccard_pairs(sh, "doc_id", threshold=0.05)
+    return out.select("id_a", "id_b", "inter", r6("jaccard").alias("jaccard"))
+
+
+def _minhash_sql(k: int = 16) -> str:
+    mins = ",\n           ".join(
+        f"min({universal_hash_sql(h60_sql('shingle'), a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    )
+    return (
+        _SHINGLES_SQL
+        + f", sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+    )
+
+
+@register(
+    "x_dedup_minhash_sigs",
+    _minhash_sql(16)
+    + """
+    SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+           mh8, mh9, mh10, mh11, mh12, mh13, mh14, mh15
+    FROM sigs
+    """,
+    doc="North-star MinHash: 16-permutation signature per doc — "
+    "min((a·h+b) mod p) over the shingle set, exact int64 both engines.",
+)
+def x_dedup_minhash_sigs(spark, sf_dir):
+    from sparkwrangle.ext.dedup import minhash_signatures, shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    return minhash_signatures(sh, "doc_id", k=16)
+
+
+@register(
+    "x_dedup_minhash_lsh",
+    _minhash_sql(16)
+    + f"""
+    , bands AS (
+        SELECT doc_id, b.band,
+               CASE b.band
+                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
+                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
+                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
+                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+               END AS bh
+        FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+    doc="North-star MinHash-LSH: 4 bands × 4 rows banding of the signature; "
+    "docs sharing any band hash become candidate pairs — linear candidate "
+    "generation, the 100 TB near-dedup path.",
+)
+def x_dedup_minhash_lsh(spark, sf_dir):
+    from sparkwrangle.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, "doc_id", k=16)
+    return lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hashed AS (
+        SELECT doc_id, {h60_sql('tok')} AS h FROM toks
+    ), sums AS (
+        SELECT doc_id, {sums} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {sig} AS simhash FROM sums
+    """
+
+
+@register(
+    "x_dedup_simhash",
+    _simhash_sql(32),
+    doc="North-star SimHash: 32-bit signed-projection signature from token "
+    "hashes — near-dups differ in few bits; one explode + one groupBy.",
+)
+def x_dedup_simhash(spark, sf_dir):
+    from sparkwrangle.ext.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "x_knn_cosine_brute",
+    f"""
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_COS_SQL}, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 5
+    ) WHERE rk <= 5
+    """,
+    doc="North-star similarity search, correctness baseline: brute-force "
+    "cosine top-5 for query vectors (JVM-side fold expressions, queries "
+    "broadcast).",
+)
+def x_knn_cosine_brute(spark, sf_dir):
+    from sparkwrangle.ext.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select("query_id", "neighbor_id", r6("cos_sim").alias("cos_sim"), "rk")
+
+
+@register(
+    "x_knn_ivf_label",
+    f"""
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_COS_SQL}, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 5
+    ) WHERE rk <= 5
+    """,
+    doc="North-star ANN scale path: IVF-style top-5 probing only the "
+    "query's coarse cell (label = centroid assignment, nprobe=1) — "
+    "cells× cheaper than brute force.",
+)
+def x_knn_ivf_label(spark, sf_dir):
+    from sparkwrangle.ext.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select("query_id", "neighbor_id", r6("cos_sim").alias("cos_sim"), "rk")
+
+
+@register(
+    "x_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.4
+    """,
+    doc="North-star embedding-cosine near-dup pairs (cell-pruned self-join, "
+    "sim ≥ 0.4 — the synthetic embeddings are near-orthogonal, max intra-cell cos ≈ 0.5).",
+)
+def x_embedding_neardup(spark, sf_dir):
+    from sparkwrangle.ext.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", r6("cos_sim").alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_multimodal_meta",
+    """
+    SELECT doc_id, 'text/plain' AS media_type,
+           concat('mem://doc/', doc_id) AS uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="North-star multimodal columns: binary payload + typed metadata; "
+    "metadata filters prune without touching payload bytes.",
+)
+def x_multimodal_meta(spark, sf_dir):
+    from sparkwrangle.ext.multimodal import attach_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    return attach_payload(docs).select("doc_id", "media_type", "uri", "n_bytes")
+
+
+@register(
+    "x_multimodal_features",
+    None,
+    doc="North-star multimodal decode: Arrow-batched mapInPandas feature "
+    "extraction over payload bytes (STUB decoder — deterministic byte-mean; "
+    "real schema/partitioning/batch plumbing).",
+)
+def x_multimodal_features(spark, sf_dir):
+    from sparkwrangle.ext.multimodal import attach_payload, decode_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_features(attach_payload(docs))

@@ -1,0 +1,163 @@
+"""Deduplication operators for training-data pipelines (north-star §2.J).
+
+Four families, each a different cost/recall point:
+
+* exact       — hash-groupBy on normalized text. One shuffle on a 60-bit
+                key; the canonical first pass at 100 TB.
+* MinHash+LSH — shingle → k minhashes → b bands → bucket join. The
+                near-dup scale path: candidate generation is linear, only
+                bucket-mates are compared.
+* SimHash     — 32-bit signed-projection signature; near-dups share most
+                bits (compare via hamming distance on candidates).
+* n-gram Jaccard — exact set overlap via a shingle self-join; quadratic
+                only within shared shingles, used to verify LSH candidates.
+
+All are built-in expressions (explode / groupBy / join) so Catalyst and
+AQE own the physical plan; the shingle explode is the only row-expansion
+and it is bounded by document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkwrangle.ext.hashing import h60, minhash_coeffs, universal_hash
+from sparkwrangle.ext.text import tokenize
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace, strip punctuation — the exact-dedup
+    canonical form."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: normalized-text hash → group size per doc. Keep rows
+    with dup_count == 1 (or min doc_id per group) to dedupe."""
+    withhash = df.withColumn("text_hash", h60(normalize_text(F.col(text_col))))
+    counts = withhash.groupBy("text_hash").agg(F.count("*").alias("dup_count"))
+    return withhash.join(counts, "text_hash")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, long format
+    (id, shingle). The dedup building block."""
+    toks = tokenize(F.col(text_col))
+    # guard: Spark sequence(0, negative) counts DOWN — short docs need an
+    # explicit empty shingle set
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.select(id_col, F.explode(grams).alias("shingle")).distinct()
+    return out
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, k: int = 16, seed: int = 7
+) -> DataFrame:
+    """k-permutation MinHash signature per doc from its shingle set:
+    sig_i = min over shingles of (a_i·(h60(shingle) mod p) + b_i) mod p.
+    One aggregation — partial mins combine map-side."""
+    base = sh.withColumn("h", h60(F.col("shingle")) )
+    aggs = [
+        F.min(universal_hash(F.col("h"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k, seed))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature (k/bands rows per band), bucket-join docs sharing
+    a band hash → candidate pairs (id_a < id_b). Linear candidate
+    generation: the join key is (band, band_hash)."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), h60(F.concat_ws("_", *cols)).alias("bh"))
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bh")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, id_col: str, threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard over a shingle self-join:
+    |A∩B| / (|A| + |B| − |A∩B|), pairs with id_a < id_b above threshold."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard"
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash signature: per token, take the portable hash; per bit j, sum
+    ±1 over tokens; bit j of the signature = 1 iff the sum > 0.
+
+    Expressed as one explode + one groupBy with ``bits`` conditional sums —
+    map-side combinable, no UDF.
+    """
+    toks = df.select(id_col, F.explode(tokenize(F.col(text_col))).alias("tok"))
+    toks = toks.withColumn("h", h60(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select(id_col, sig.alias("simhash"))

@@ -1,0 +1,52 @@
+"""Cross-engine-portable hashing primitives.
+
+The DuckDB oracle gate needs hash values that are IDENTICAL in Spark and
+DuckDB. Neither engine's native hash matches the other (Spark: murmur3 /
+xxhash64; DuckDB: its own), so we derive a 60-bit integer from the md5 hex
+digest — md5 is byte-identical everywhere:
+
+    Spark : conv(substring(md5(s), 1, 15), 16, 10)::bigint
+    DuckDB: CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+
+15 hex chars = 60 bits → always positive, no overflow. MinHash mixes it
+with (a·(h mod p) + b) mod p over p = 2^31 − 1, keeping every intermediate
+below 2^62 so int64 arithmetic is exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def h60(col: Column | str) -> Column:
+    """Portable 60-bit hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def h60_sql(expr: str) -> str:
+    """Portable 60-bit hash (DuckDB oracle side)."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k universal-hash functions, identical
+    on both sides because they're generated here and inlined as literals."""
+    coeffs = []
+    a, b = seed, seed * 31 + 1
+    for _ in range(k):
+        a = (a * 1_103_515_245 + 12_345) % (MERSENNE_P - 1) + 1  # a ∈ [1, p-1]
+        b = (b * 69_069 + 1) % MERSENNE_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def universal_hash(hcol: Column, a: int, b: int) -> Column:
+    """(a·(h mod p) + b) mod p — exact in int64 (Spark side)."""
+    return (F.lit(a) * (hcol % MERSENNE_P) + F.lit(b)) % MERSENNE_P
+
+
+def universal_hash_sql(hexpr: str, a: int, b: int) -> str:
+    return f"(({a} * ({hexpr} % {MERSENNE_P}) + {b}) % {MERSENNE_P})"

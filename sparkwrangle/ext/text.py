@@ -1,0 +1,101 @@
+"""Text analysis operators for training-data pipelines (north-star §2.J).
+
+All pure Catalyst: language ID (stopword + script heuristic), quality
+scoring (length/punct/stopword ratios), token counting (regex families),
+and document fingerprinting (min-hash of the token set). At 100 TB these
+are embarrassingly parallel map-side expressions — zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkwrangle.ext.hashing import h60
+
+WORD_RE = "[a-z0-9]+"
+# BPE-ish token families: words, numbers, punctuation runs
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+# Tiny per-language stopword lists — a deterministic n-gram-free heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "with", "for"],
+    "de": ["der", "die", "das", "und", "von", "zu", "mit", "ist", "ein", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "des"],
+}
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercase word tokens as an array column."""
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), 0)
+
+
+def token_count(col: Column | str, pattern: str = BPE_RE) -> Column:
+    """Token count under a BPE-ish regex tokenizer (words / numbers /
+    punctuation marks) — the cheap proxy for LLM token budgeting."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), 0))
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword statistics + a quality score.
+
+    Quality = penalize too-short docs, high punctuation density, and a
+    token stream with no common-word structure (word-salad detector).
+    """
+    t = F.col(text_col)
+    tokens = tokenize(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(tokens)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), 0))
+    avg_word_len = F.when(
+        n_tokens > 0,
+        F.aggregate(tokens, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+        / n_tokens,
+    )
+    stop_hits = _stopword_hits(tokens, STOPWORDS["en"])
+    stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars)
+    quality = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("avg_word_len", avg_word_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality", quality)
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic language ID: CJK-script ratio → 'zh'; otherwise the
+    latin language whose stopword list hits most (ties break by fixed
+    language order en→de→es→fr; no hit at all → 'und')."""
+    t = F.col(text_col)
+    tokens = tokenize(t)
+    ascii_chars = F.length(F.regexp_replace(t, "[^ -~]", ""))
+    non_ascii_ratio = F.when(
+        F.length(t) > 0, 1.0 - ascii_chars.cast("double") / F.length(t)
+    ).otherwise(F.lit(0.0))
+    hits = {lang: _stopword_hits(tokens, ws) for lang, ws in STOPWORDS.items()}
+    best = F.greatest(*[hits[k] for k in STOPWORDS])
+    # branch order matters: script check first (a CJK doc has zero latin
+    # stopword hits), then the no-signal fallback, then the argmax
+    pred = F.when(non_ascii_ratio > 0.5, F.lit("zh")).when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # insertion order = tie priority
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return df.withColumn("lang_pred", pred)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: min portable-hash over the token array — a
+    1-perm MinHash, stable under token reordering-free edits."""
+    tokens = tokenize(col)
+    return F.array_min(F.transform(tokens, lambda tok: h60(tok)))

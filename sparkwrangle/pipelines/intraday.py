@@ -130,31 +130,44 @@ def intraday_backtest(
 
 
 def balance_report(balances: DataFrame) -> DataFrame:
-    """Cells 29-31: per-company balance series → global-grid ffill →
-    drop first row → portfolio TOTAL per ts → ROI/annualized (D5/D8/W6)."""
-    ticks = balances.select("ts").distinct()
-    companies = balances.select("company").distinct()
-    grid = ticks.crossJoin(companies)
-    g = grid.join(balances, ["ts", "company"], "left")
-    w = (
-        Window.partitionBy("company")
+    """Cells 29-31: ROI/annualization of the portfolio TOTAL (D5/D8/W6).
+
+    Reference semantics: align every company's balance series on the union
+    tick grid, ffill, drop the first row, row-sum to TOTAL, then
+    first/last. Materializing that grid is O(|ts| × |companies|) — at
+    100 TB that cross join dwarfs the answer. But the report only reads
+    TOTAL at two timestamps: the SECOND distinct tick (after the W6 drop)
+    and the last. TOTAL at tick t = Σ per company of its latest balance at
+    or before t (ffill definition), so two bounded aggregations suffice:
+    per company max_by(balance, ts ≤ t) — companies with no data yet drop
+    out, exactly like the NaN rows pandas' row-sum skips.
+    """
+    t2 = (
+        balances.select("ts")
+        .distinct()
         .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .limit(2)
+        .agg(F.max("ts").alias("t2"))
     )
-    g = g.withColumn("bal_ff", F.last("balance", ignorenulls=True).over(w))
-    first_ts = balances.agg(F.min("ts").alias("first_ts"))
-    g = g.join(F.broadcast(first_ts), F.col("ts") > F.col("first_ts"), "inner")
-    total = g.groupBy("ts").agg(F.sum("bal_ff").alias("total"))
-    return total.agg(
-        (F.max_by("total", "ts") / F.min_by("total", "ts") - 1).alias("roi"),
-        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("span_days"),
-        (
-            F.pow(
-                F.max_by("total", "ts") / F.min_by("total", "ts"),
-                365.0 / F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))),
-            )
-            - 1
-        ).alias("annualized_roi"),
+    g = balances.crossJoin(F.broadcast(t2))
+    per_company = g.groupBy("company").agg(
+        F.max_by("balance", F.when(F.col("ts") <= F.col("t2"), F.col("ts"))).alias(
+            "bal_at_t2"
+        ),
+        F.max_by("balance", "ts").alias("final_bal"),
+        F.max(F.to_date("ts")).alias("max_d"),
+        F.max(F.to_date("t2")).alias("t2_d"),
+    )
+    agg = per_company.agg(
+        F.sum("bal_at_t2").alias("first_total"),
+        F.sum("final_bal").alias("last_total"),
+        F.datediff(F.max("max_d"), F.max("t2_d")).alias("span_days"),
+    )
+    ratio = F.col("last_total") / F.col("first_total")
+    return agg.select(
+        (ratio - 1).alias("roi"),
+        "span_days",
+        (F.pow(ratio, 365.0 / F.col("span_days")) - 1).alias("annualized_roi"),
     )
 
 

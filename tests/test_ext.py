@@ -1,0 +1,112 @@
+"""Behavioral tests for the LLM-pipeline extensions: planted duplicates
+must be found; multimodal plumbing must stream Arrow batches with the
+declared schema."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkwrangle.ext.dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from sparkwrangle.ext.multimodal import attach_payload, decode_features
+from sparkwrangle.ext.similarity import cosine_topk
+from sparkwrangle.ext.text import language_id
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank now"
+    rows = [
+        (0, base),
+        (1, "The quick  brown fox jumps over the lazy dog near the old river bank today!"),
+        (2, near),
+        (3, "completely different words about spark catalyst plans and shuffles here"),
+        (4, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted_duplicate(spark):
+    out = exact_dup_groups(_docs(spark)).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 1 differs only in case/punct/whitespace → same normalized hash
+    assert by_id[0].text_hash == by_id[1].text_hash
+    assert by_id[0].dup_count == 2
+    assert by_id[3].dup_count == 1
+
+
+def test_minhash_lsh_finds_near_duplicate(spark):
+    sh = shingles(_docs(spark), "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, "doc_id", k=16)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs  # one-word edit shares most shingles
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard_ranks_near_dup_high(spark):
+    sh = shingles(_docs(spark), "doc_id", "text", 3)
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(sh, "doc_id").collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] > 0.8
+    assert (0, 3) not in out
+
+
+def test_simhash_near_dups_differ_in_few_bits(spark):
+    sigs = {r.doc_id: r.simhash for r in simhash(_docs(spark), "doc_id", "text").collect()}
+    assert sigs[0] == sigs[1]  # normalization-equal docs → equal tokens
+    hamming = bin(sigs[0] ^ sigs[2]).count("1")
+    assert hamming <= 6
+    assert bin(sigs[0] ^ sigs[3]).count("1") > hamming
+
+
+def test_lang_id_on_driver_documents(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat is in the house and that is fine", "en"),
+            (1, "der hund ist nicht zu haus und das ist gut", "de"),
+            (2, "el perro es un animal que vive en la casa", "es"),
+            (3, "le chien est dans la maison pour la nuit", "fr"),
+            (4, "这是一个中文文档的例子没有英文单词", "zh"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = language_id(docs).collect()
+    for r in out:
+        assert r.lang_pred == r.lang, f"doc {r.doc_id}: {r.lang_pred} != {r.lang}"
+
+
+def test_cosine_topk_self_similarity_excluded(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    assert [r.neighbor_id for r in out] == [1, 2, 3]  # by similarity order
+    assert abs(out[0].cos_sim - 0.99995) < 1e-3
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_multimodal_decode_stub_schema_and_values(spark):
+    docs = _docs(spark)
+    media = attach_payload(docs)
+    assert [f.name for f in media.schema.fields] == [
+        "doc_id", "media_type", "uri", "n_bytes", "payload",
+    ]
+    feats = decode_features(media)
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert len(rows) == 5
+    r = rows[4]  # "short doc" → mean of its utf-8 bytes
+    payload = b"short doc"
+    assert r.n_bytes == len(payload)
+    assert abs(r.byte_mean - sum(payload) / len(payload)) < 1e-9
+    assert r.feature_dim == 1
