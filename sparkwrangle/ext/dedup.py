@@ -34,10 +34,15 @@ def normalize_text(col: Column | str) -> Column:
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: normalized-text hash → group size per doc. Keep rows
-    with dup_count == 1 (or min doc_id per group) to dedupe."""
+    with dup_count == 1 (or min doc_id per group) to dedupe.
+
+    Window form, not groupBy+join-back: one scan, one shuffle, and the
+    (expensive) normalize+hash expression evaluates once per row."""
+    from pyspark.sql import Window
+
     withhash = df.withColumn("text_hash", h60(normalize_text(F.col(text_col))))
-    counts = withhash.groupBy("text_hash").agg(F.count("*").alias("dup_count"))
-    return withhash.join(counts, "text_hash")
+    w = Window.partitionBy("text_hash")
+    return withhash.withColumn("dup_count", F.count("*").over(w))
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

@@ -178,25 +178,34 @@ def run_trader_on_feed(
     # pivot on feed_seq, not ts: the reference's day-of-month grouping
     # (quirk K.2) feeds days OUT of ts order across month boundaries, and
     # state must see ticks in that exact order.
-    wide_p = feed.pivot_table(
-        index="feed_seq", columns="ticker_idx", values="price", aggfunc="first", dropna=False
-    ).sort_index()
-    wide_r = feed.pivot_table(
-        index="feed_seq", columns="ticker_idx", values="ret", aggfunc="first", dropna=False
-    ).sort_index()
+    # (feed_seq, ticker_idx) is unique per group → plain pivot (errors on
+    # duplicates, which would mean a malformed feed) and much faster than
+    # pivot_table's aggregation machinery
+    wide_p = feed.pivot(index="feed_seq", columns="ticker_idx", values="price").sort_index()
+    wide_r = feed.pivot(index="feed_seq", columns="ticker_idx", values="ret").sort_index()
     n_idx = int(feed["ticker_idx"].max()) + 1
     wide_p = wide_p.reindex(columns=range(n_idx))
     wide_r = wide_r.reindex(columns=range(1, n_idx))
-    seq_ts = feed.drop_duplicates("feed_seq").set_index("feed_seq")["ts"]
+    seq_ts = (
+        feed.drop_duplicates("feed_seq")
+        .set_index("feed_seq")["ts"]
+        .reindex(wide_p.index)
+    )
+    ts_list = seq_ts.to_list()
+    # vectorized second-of-day (the per-tick attribute access dominates
+    # otherwise)
+    sods = (
+        seq_ts.dt.hour.to_numpy() * 3600
+        + seq_ts.dt.minute.to_numpy() * 60
+        + seq_ts.dt.second.to_numpy()
+    )
 
     history: list[tuple] = []
     p_vals = wide_p.to_numpy()
     r_vals = wide_r.to_numpy()
-    for k, seq in enumerate(wide_p.index):
-        ts = seq_ts.loc[seq]
-        sod = ts.hour * 3600 + ts.minute * 60 + ts.second
-        st.data_feed(sod, list(r_vals[k]), list(p_vals[k]))
-        history.append((ts, st.balance))
+    for k in range(len(ts_list)):
+        st.data_feed(int(sods[k]), list(r_vals[k]), list(p_vals[k]))
+        history.append((ts_list[k], st.balance))
     return st.trades, history
 
 
