@@ -1017,3 +1017,4 @@ def r_trade_report(spark, sf_dir):
 # Extension operators register themselves into the same CATALOG (import at
 # the bottom so `register` is already bound; the circular edge is benign).
 from sparkwrangle import catalog_ext  # noqa: E402,F401
+from sparkwrangle import catalog_relational  # noqa: E402,F401

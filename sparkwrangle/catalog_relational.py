@@ -1,0 +1,342 @@
+"""Relational-breadth catalog entries: multi-join analytics in the TPC-H
+style over the driver's star schema, plus set ops, rollup, ranking, and
+the faithful-mode K.6 quirk — the "free from Spark SQL" surface
+(SURVEY.md §2.D note) exercised and oracle-checked.
+
+Big double sums go through the exact decimal accumulator (see catalog.py
+docstring) so partial-aggregation order can never break the cross-engine
+hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkwrangle.catalog import _t, dsum, r6, register
+
+_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(25,8))) AS DOUBLE)"
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_DSUM.format(expr='l_quantity')} AS sum_qty,
+           {_DSUM.format(expr='l_extendedprice')} AS sum_base_price,
+           {_DSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_DSUM.format(expr='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           count(*) AS count_order,
+           round({_DSUM.format(expr='l_quantity')} / count(*), 6) AS avg_qty,
+           round({_DSUM.format(expr='l_discount')} / count(*), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: the flagship wide aggregation — "
+    "map-side partial aggregation over a pushed-down scan; exact decimal "
+    "accumulators keep the doubles order-insensitive.",
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+        r6(dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+        r6(dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT o.o_orderkey,
+           {_DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style shipping priority: selective dimension filter → "
+    "broadcast join chain → top-10 by revenue with deterministic tiebreak.",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        joined.groupBy("o_orderkey", F.to_date("o_orderdate").alias("orderdate"))
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "orderdate")
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    f"""
+    SELECT n.n_name,
+           {_DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-style local-supplier revenue: five-way join with the "
+    "region/nation/supplier dimensions broadcast; AQE owns the join order.",
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(dsum(revenue).alias("revenue"))
+
+
+@register(
+    "q_rollup_revenue",
+    f"""
+    SELECT n.n_name, year(o.o_orderdate) AS yr,
+           {_DSUM.format(expr='o.o_totalprice')} AS total, count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+    """,
+    doc="Grouping-sets surface: ROLLUP over (nation, year) — subtotals and "
+    "grand total in one pass (free from Spark SQL per SURVEY §2.D note).",
+)
+def q_rollup_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return joined.rollup("n_name", F.year("o_orderdate").alias("yr")).agg(
+        dsum(F.col("o_totalprice")).alias("total"), F.count("*").alias("n_orders")
+    )
+
+
+@register(
+    "q_set_ops",
+    """
+    SELECT user_id, 'both' AS tag FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT user_id, 'purchase_only' AS tag FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+    doc="Set-operation surface: INTERSECT / EXCEPT / UNION ALL over user "
+    "cohorts.",
+)
+def q_set_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    e = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = p.intersect(e).withColumn("tag", F.lit("both"))
+    only = p.subtract(e).withColumn("tag", F.lit("purchase_only"))  # EXCEPT = distinct set-minus
+    return both.unionByName(only)
+
+
+@register(
+    "q_anti_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti-join surface: customers with no orders (left_anti — the "
+    "distributed form of the reference's 'not in processed set' guard G1).",
+)
+def q_anti_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_rank_family",
+    """
+    SELECT event_id, event_type,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    QUALIFY rnk <= 5
+    """,
+    doc="Ranking-window surface: rank / dense_rank / ntile with "
+    "deterministic tiebreaks (beyond the reference's running windows).",
+)
+def q_rank_family(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    wq = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("quartile", F.ntile(4).over(wq))
+        .filter(F.col("rnk") <= 5)
+        .select("event_id", "event_type", "rnk", "drnk", "quartile")
+    )
+
+
+@register(
+    "q_global_sort_limit",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 20
+    """,
+    doc="Global top-k: ORDER BY + LIMIT compiles to TakeOrderedAndProject "
+    "(per-partition top-k + driver merge — no full sort shuffle).",
+)
+def q_global_sort_limit(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "k6_faithful_ticker_share",
+    """
+    WITH finals AS (
+        SELECT user_id, arg_max(value, ts) AS final FROM events GROUP BY user_id
+    ), trimmed AS (
+        -- K.6: columns[:-2] drops TOTAL *and* the last ticker column;
+        -- 'last' = highest key in processing order
+        SELECT * FROM finals WHERE user_id < (SELECT max(user_id) FROM finals)
+    )
+    SELECT round(avg(CASE WHEN final > 50.0 THEN 1 ELSE 0 END), 6) AS share_above
+    FROM trimmed
+    """,
+    doc="Quirk K.6 faithful mode: the cell-33 ticker-share metric silently "
+    "drops the LAST ticker column (columns[:-2] though only TOTAL was "
+    "appended) — reproduced by excluding the max-order company.",
+)
+def k6_faithful_ticker_share(spark, sf_dir):
+    from sparkwrangle.ops.aggregates import final_above_share
+
+    ev = _t(spark, sf_dir, "events")
+    last = ev.groupBy().agg(F.max("user_id").alias("last_uid"))
+    trimmed = ev.crossJoin(F.broadcast(last)).filter(
+        F.col("user_id") < F.col("last_uid")
+    )
+    out = final_above_share(trimmed, ["user_id"], "ts", "value", 50.0)
+    return out.select(r6("share_above").alias("share_above"))
+
+
+@register(
+    "ep2_full_pipeline",
+    None,
+    doc="EP2 end-to-end on driver testdata: events-derived 5-min bars for "
+    "3 synthetic companies (base + EU ticker with '.') → block range join, "
+    "tick grid, FX snap, normalize, ffill, session band, base-relative "
+    "returns → S2 trader → trade log. The full SURVEY §3 EP2 lifecycle in "
+    "one plan; golden-tested against the pandas oracle on fixtures.",
+)
+def ep2_full_pipeline(spark, sf_dir):
+    from sparkwrangle.pipelines.intraday import build_intraday_feed
+    from sparkwrangle.stateful.trader import backtest_trades
+
+    ev = _t(spark, sf_dir, "events")
+    # derive a bars table: 3 companies × (base, EU) tickers from events
+    company = F.concat(F.lit("CO"), (F.col("user_id") % 3).cast("string"))
+    base = ev.select(
+        company.alias("company"),
+        F.concat(F.lit("T"), (F.col("user_id") % 3).cast("string")).alias("ticker"),
+        "ts",
+        (F.col("value") + 100.0).alias("close"),
+    )
+    # bounded pseudo-random deviation (±10%) so the base-relative return
+    # oscillates through the open/TP thresholds after normalization
+    dev = ((F.col("event_id") % 7) - 3).cast("double") / 30.0
+    eu = ev.select(
+        company.alias("company"),
+        F.concat(F.lit("T"), (F.col("user_id") % 3).cast("string"), F.lit(".DE")).alias(
+            "ticker"
+        ),
+        "ts",
+        ((F.col("value") + 100.0) * (1 + dev) / 1.05).alias("close"),
+    )
+    bars = base.unionByName(eu)
+    listings = (
+        bars.select("company", "ticker")
+        .distinct()
+        .withColumn(
+            "ticker_idx", F.when(F.col("ticker").contains("."), 1).otherwise(0)
+        )
+    )
+    fx = ev.filter(F.col("event_type") == "signup").select(
+        "ts", (F.lit(1.0) + (F.col("value") - 50.0) / 1000.0).alias("rate")
+    )
+    blocks = spark.range(0, 5).select(
+        F.col("id").cast("int").alias("block_id"),
+        (F.lit("2024-01-01").cast("timestamp") + F.expr("make_interval(0,0,0,id*7,0,0,0)")).alias("start_ts"),
+        (F.lit("2024-01-01").cast("timestamp") + F.expr("make_interval(0,0,0,id*7+7,0,0,0)")).alias("end_ts"),
+    )
+    feed = build_intraday_feed(bars, fx, blocks, listings)
+    # looser thresholds than the reference defaults: the events-derived
+    # deviations are mild and the synthetic session has few post-16:29
+    # ticks, so tp/sl must carry the exits
+    params = dict(
+        bal=1000.0,
+        min_deviation=0.02,
+        sl_percent=0.03,
+        trigger_range=0.005,
+        trade_size=0.1,
+        trade_size_percent=True,
+    )
+    return backtest_trades(feed, params)
