@@ -340,3 +340,33 @@ def ep2_full_pipeline(spark, sf_dir):
         trade_size_percent=True,
     )
     return backtest_trades(feed, params)
+
+
+@register(
+    "q_salted_skew_agg",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS total,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew path: two-phase salted aggregation (partial by (key, salt), "
+    "final by key) — the explicit hot-key spreader for 100 TB groupBys; "
+    "algebraic aggregates make the result salt-invariant, so the oracle "
+    "is the plain GROUP BY.",
+)
+def q_salted_skew_agg(spark, sf_dir):
+    from sparkwrangle.ops.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "total": ("sum", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select("event_type", "n", r6("total").alias("total"), "vmin", "vmax")

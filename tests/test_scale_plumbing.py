@@ -1,0 +1,61 @@
+"""Scale-plumbing tests: partitioned write → partition pruning on read;
+salted two-phase aggregation equals the plain aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkwrangle.io import load_table, write_table
+from sparkwrangle.ops.skew import salted_agg
+
+from conftest import SF_SMOKE
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_part")
+    write_table(ev, path, partition_by=["event_date"])
+
+    back = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-05")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "2024-01-05" in plan  # static partition pruning reached the scan
+    expected = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert back.count() == expected
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r.event_type,): (r.n, r.total, r.vmin, r.vmax)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.event_type,): (r.n, round(r.total, 6), r.vmin, r.vmax)
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": ("count", "*"),
+                "total": ("sum", "value"),
+                "vmin": ("min", "value"),
+                "vmax": ("max", "value"),
+            },
+            salt_buckets=8,
+        ).collect()
+    }
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        pn, pt, pmin, pmax = plain[k]
+        sn, st_, smin, smax = salted[k]
+        assert pn == sn and pmin == smin and pmax == smax
+        assert abs(pt - st_) < 1e-5

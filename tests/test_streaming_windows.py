@@ -1,0 +1,102 @@
+"""Watermark semantics: windows finalize in append mode once the watermark
+passes; rows arriving later than the watermark are dropped."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from sparkwrangle.streaming.windows import windowed_counts
+
+_SCHEMA = "ts timestamp, value double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+
+
+def _write(spark, rows, path):
+    _df(spark, rows).coalesce(1).write.parquet(path)
+
+
+def _wait_batches(q, n, timeout=60):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        p = q.lastProgress
+        if p and p["batchId"] >= n - 1 and p["numInputRows"] >= 0:
+            time.sleep(1.5)  # let the commit settle
+            if q.lastProgress["batchId"] >= n - 1:
+                return
+        time.sleep(0.3)
+    raise TimeoutError(f"stream did not reach batch {n}")
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    d = str(tmp_path / "win")
+    os.makedirs(d)
+    # batch 1: two full hours of data → watermark advances to 11:50
+    _write(
+        spark,
+        [
+            ("2024-01-01 10:05:00", 1.0),
+            ("2024-01-01 10:55:00", 2.0),
+            ("2024-01-01 11:30:00", 3.0),
+            ("2024-01-01 12:00:00", 0.5),
+        ],
+        os.path.join(d, "b1"),
+    )
+    stream = spark.readStream.schema(_SCHEMA).parquet(os.path.join(d, "*"))
+    out = windowed_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        _wait_batches(q, 1)
+        # batch 2 (written only after batch 1 committed): one on-time row
+        # and one LATE row (10:20 — before the 11:50 watermark) → dropped
+        _write(
+            spark,
+            [
+                ("2024-01-01 12:10:00", 8.0),
+                ("2024-01-01 10:20:00", 100.0),
+                ("2024-01-01 13:05:00", 4.0),
+            ],
+            os.path.join(d, "b2"),
+        )
+        deadline = time.time() + 60
+        rows = {}
+        while time.time() < deadline:
+            rows = {
+                r.window_start.strftime("%H:%M"): (r.n, r.sum_value)
+                for r in spark.sql("SELECT * FROM win_sink").collect()
+            }
+            if "11:00" in rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # the 10:00 window finalized with n=2 (sum 3.0): the late 100.0 row
+    # never entered it
+    assert rows.get("10:00") == (2, 3.0)
+    assert rows.get("11:00") == (1, 3.0)
+    # the 13:00 window is still open in append mode (not yet emitted)
+    assert "13:00" not in rows
+
+
+def test_windowed_counts_batch_equivalence(spark):
+    df = _df(
+        spark,
+        [("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:35:00", 2.0),
+         ("2024-01-01 11:10:00", 4.0)],
+    )
+    out = {r.window_start.strftime("%H:%M"): (r.n, r.sum_value)
+           for r in windowed_counts(df).collect()}
+    assert out == {"10:00": (2, 3.0), "11:00": (1, 4.0)}
