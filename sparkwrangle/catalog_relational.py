@@ -370,3 +370,58 @@ def q_salted_skew_agg(spark, sf_dir):
         salt_buckets=16,
     )
     return out.select("event_type", "n", r6("total").alias("total"), "vmin", "vmax")
+
+
+@register(
+    "s1_prepared_pair_math",
+    """
+    WITH a AS (
+        SELECT user_id, ts, value AS c1,
+               ln(1 + (value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1)) AS ret1
+        FROM events
+    ), b AS (
+        SELECT user_id, ts, (value * 0.5 + 25.0) AS c2,
+               ln(1 + ((value * 0.5 + 25.0) /
+                   lag(value * 0.5 + 25.0) OVER (PARTITION BY user_id ORDER BY ts) - 1)) AS ret2
+        FROM events
+    )
+    SELECT b.user_id, CAST(b.ts AS TIMESTAMP) AS ts,
+           round((b.c2 - a.c1) / b.c2, 6) AS delta,
+           round(a.ret1, 6) AS ret1, round(b.ret2, 6) AS ret2
+    FROM b LEFT JOIN a ON a.user_id = b.user_id AND a.ts = b.ts
+    WHERE a.ret1 IS NOT NULL AND b.ret2 IS NOT NULL
+      AND (b.c2 - a.c1) / b.c2 IS NOT NULL
+    """,
+    doc="The SQL-expressible half of EP1 (stock_arbitrage cells 1/3/5): "
+    "pad-semantics pct_change -> log returns, ts-aligned delta, dropna — "
+    "oracle-checks the exact prep math the S1 scan consumes. The scan "
+    "itself (sequential state) is covered by golden tests.",
+)
+def s1_prepared_pair_math(spark, sf_dir):
+    from sparkwrangle.pipelines.daily_pairs import prepare_pair
+
+    bars = _events_as_pair_bars_rel(spark, sf_dir)
+    out = prepare_pair(
+        bars, "A", "B", ratio=1.0, from_ts=None, extra_keys=["user_id"]
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        r6("delta").alias("delta"),
+        r6("ret1").alias("ret1"),
+        r6("ret2").alias("ret2"),
+    )
+
+
+def _events_as_pair_bars_rel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.lit("A").alias("ticker"), "ts", F.col("value").alias("close")
+    )
+    b = ev.select(
+        "user_id",
+        F.lit("B").alias("ticker"),
+        "ts",
+        (F.col("value") * 0.5 + 25.0).alias("close"),
+    )
+    return a.unionByName(b)

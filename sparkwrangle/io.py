@@ -66,13 +66,31 @@ def write_table(
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
     """Persist a table the way the 100 TB ingest jobs would.
 
     Partition columns (event date, block_id) enable static + dynamic
     partition pruning on read; parquet gives row-group min/max skipping.
+    CSV/JSON are supported for interchange but parquet is the engine's
+    canonical storage (the reference's xlsx input is ingested once to
+    parquet the same way — SURVEY §2.A1).
     """
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None):
+    """Format-flexible reader for ingest jobs (csv/json/orc/parquet).
+    Always pass an explicit schema for text formats — inference scans the
+    data twice and guesses types the oracle gate would reject."""
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)

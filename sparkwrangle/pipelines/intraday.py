@@ -42,6 +42,7 @@ def build_intraday_feed(
     listings: DataFrame,
     session_start: tuple[int, int] = (14, 30),
     session_end: tuple[int, int] = (16, 30),
+    strict_reference: bool = True,
 ) -> DataFrame:
     """Build the per-tick trader feed.
 
@@ -111,10 +112,13 @@ def build_intraday_feed(
         ),
     )
 
-    # 9. feed order: blocks, then day-of-month (K.2!), then ts
-    wseq = Window.partitionBy("company").orderBy(
-        "block_id", F.dayofmonth("ts"), "ts"
-    )
+    # 9. feed order: blocks, then day grouping, then ts. strict mode keys
+    #    days by DAY-OF-MONTH (quirk K.2 — pandas groupby(index.day) sorts
+    #    group keys, feeding Jan days before late-Dec days inside a block
+    #    that spans the month boundary); corrected mode uses the calendar
+    #    date, i.e. plain ts order.
+    day_key = F.dayofmonth("ts") if strict_reference else F.to_date("ts")
+    wseq = Window.partitionBy("company").orderBy("block_id", day_key, "ts")
     g = g.withColumn("feed_seq", F.dense_rank().over(wseq))
 
     return g.select(

@@ -49,6 +49,7 @@ class TraderState:
         "trigger_range",
         "trade_size",
         "trade_size_percent",
+        "strict_reference",
         "balance",
         "trades",
         "shares",
@@ -64,6 +65,7 @@ class TraderState:
         trigger_range: float,
         trade_size: float,
         trade_size_percent: bool = False,
+        strict_reference: bool = True,
     ):
         if not min_deviation > 0:
             raise ValueError("min_deviation must be > 0")
@@ -78,6 +80,10 @@ class TraderState:
         self.trigger_range = trigger_range
         self.trade_size = trade_size
         self.trade_size_percent = trade_size_percent
+        # strict_reference=True reproduces the published quirks (K.1 no-abs
+        # opportunity check, K.3 one-TP-per-tick break + live-list skip on
+        # market close); False applies the corrected semantics.
+        self.strict_reference = strict_reference
         self.balance = bal
         self.trades: list[tuple[str, float]] = []
         self.shares: dict[int, float] = {}  # keyed by arb-ticker index
@@ -97,15 +103,26 @@ class TraderState:
         if self.cpt:
             self._price_check(return_data, arb_prices, base_price)
             if closing:
-                # ref :57-58 — iterates the LIVE list (tmp aliases _cpt),
-                # so each close skips the following element: faithful.
-                for i in self.cpt:
-                    self._close_trade(i, "mc", arb_prices, base_price)
+                if self.strict_reference:
+                    # ref :57-58 — iterates the LIVE list (tmp aliases
+                    # _cpt), so each close skips the following element.
+                    for i in self.cpt:
+                        self._close_trade(i, "mc", arb_prices, base_price)
+                else:
+                    for i in list(self.cpt):  # corrected: snapshot copy
+                        self._close_trade(i, "mc", arb_prices, base_price)
         elif not closing:
-            # K.1: positive deviations only, no abs (ref :75-79)
-            self.cpt = [
-                i for i, r in enumerate(return_data) if r > self.min_deviation
-            ]
+            if self.strict_reference:
+                # K.1: positive deviations only, no abs (ref :75-79)
+                self.cpt = [
+                    i for i, r in enumerate(return_data) if r > self.min_deviation
+                ]
+            else:
+                self.cpt = [
+                    i
+                    for i, r in enumerate(return_data)
+                    if abs(r) > self.min_deviation
+                ]
             if self.cpt:
                 self._trade_signal(return_data, arb_prices, base_price)
 
@@ -130,13 +147,16 @@ class TraderState:
         self, return_data: list[float], arb_prices: list[float], base_price: float
     ) -> None:
         """TP/SL checks on open positions (ref :104-124)."""
-        for i in self.cpt:
+        positions = self.cpt if self.strict_reference else list(self.cpt)
+        for i in positions:
             r = return_data[i]
             # take profit: deviation back inside ±trigger_range; at most
-            # one TP per tick (K.3 break)
+            # one TP per tick in strict mode (K.3 break)
             if -self.trigger_range <= r <= self.trigger_range:
                 self._close_trade(i, "tp", arb_prices, base_price)
-                break
+                if self.strict_reference:
+                    break
+                continue
             # stop loss on mark-to-market pnl (ref :121)
             pnl = (
                 self.balance

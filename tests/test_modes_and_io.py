@@ -1,0 +1,64 @@
+"""Faithful-vs-corrected mode flags (SURVEY §2.K contract) and
+multi-format IO round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkwrangle.io import load_table, read_any, write_table
+from sparkwrangle.stateful.trader import TraderState
+
+from conftest import SF_SMOKE
+
+
+def _params(**over):
+    p = dict(
+        bal=1000.0,
+        min_deviation=0.1,
+        sl_percent=0.03,
+        trigger_range=0.01,
+        trade_size=0.1,
+        trade_size_percent=True,
+    )
+    p.update(over)
+    return p
+
+
+def test_corrected_mode_abs_opportunity():
+    st = TraderState(**_params(strict_reference=False))
+    st.data_feed(15 * 3600, [-0.5], [100.0, 50.0])  # negative deviation
+    assert st.cpt == [0]  # corrected: abs() triggers; strict would not
+
+
+def test_corrected_mode_multiple_tp_per_tick():
+    st = TraderState(**_params(strict_reference=False))
+    st.data_feed(15 * 3600, [0.25, 0.3], [100.0, 50.0, 60.0])
+    st.data_feed(15 * 3600 + 300, [0.005, 0.005], [100.0, 50.0, 60.0])
+    assert len(st.trades) == 2  # both close (strict: one-TP break)
+    assert st.cpt == []
+
+
+def test_corrected_mode_market_close_flushes_all():
+    st = TraderState(**_params(strict_reference=False))
+    st.data_feed(15 * 3600, [0.25, 0.3], [100.0, 50.0, 60.0])
+    st.data_feed(16 * 3600 + 30 * 60, [0.25, 0.3], [100.0, 50.0, 60.0])
+    assert st.cpt == [] and len(st.trades) == 2  # strict: one per tick
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for fmt in ("csv", "json", "orc"):
+        p = str(tmp_path / f"ev_{fmt}")
+        write_table(ev, p, fmt=fmt)
+        back = read_any(
+            spark,
+            p,
+            fmt,
+            schema="event_id bigint, user_id bigint, event_type string, value double",
+        )
+        assert back.count() == ev.count()
+        a = {r.event_id: (r.user_id, r.event_type, r.value) for r in back.collect()}
+        b = {r.event_id: (r.user_id, r.event_type, r.value) for r in ev.collect()}
+        assert a == b, fmt
