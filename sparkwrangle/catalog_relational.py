@@ -425,3 +425,55 @@ def _events_as_pair_bars_rel(spark, sf_dir):
         (F.col("value") * 0.5 + 25.0).alias("close"),
     )
     return a.unionByName(b)
+
+
+@register(
+    "q_array_zip_aggregate",
+    """
+    WITH arrs AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS l
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, len(l) AS n,
+           round(list_sum(list_transform(range(1, len(l) + 1),
+                 i -> l[i] * list_reverse(l)[i])), 6) AS dot_rev
+    FROM arrs
+    """,
+    doc="D6 + array surface: deterministic per-user value array (ordered "
+    "collect) folded element-wise against its reverse via zip_with + "
+    "aggregate — the engine form of the reference's sum_dict list zip "
+    "(intra_day_arbitrage.ipynb:35, dead helper).",
+)
+def q_array_zip_aggregate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    arr = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s.value,
+    )
+    arrs = ev.groupBy("user_id").agg(arr.alias("l"))
+    dot_rev = F.aggregate(
+        F.zip_with(F.col("l"), F.reverse("l"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return arrs.select("user_id", F.size("l").alias("n"), r6(dot_rev).alias("dot_rev"))
+
+
+@register(
+    "q_percent_format",
+    """
+    SELECT event_type,
+           printf('%.3f%%', avg(value)) AS avg_pct,
+           printf('%08.2f', max(value)) AS max_padded
+    FROM events GROUP BY event_type
+    """,
+    doc="H row: percent/number formatting (f-strings in the reference's "
+    "reports, intra_day_arbitrage.ipynb:11213-11215) as format_string — "
+    "identical C-style formatting in both engines.",
+)
+def q_percent_format(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.format_string("%.3f%%", F.avg("value")).alias("avg_pct"),
+        F.format_string("%08.2f", F.max("value")).alias("max_padded"),
+    )

@@ -1,0 +1,63 @@
+"""Plan-quality regression tests: the physical plans the engine promises
+(SCALE.md) — pushdown reaching the scan, pruned read schemas, broadcast
+joins for dimensions, no Python in relational paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkwrangle.catalog import CATALOG
+
+from conftest import SF_SMOKE
+
+
+def _plan(spark, name):
+    # formatted explain — toString() truncates long fields like
+    # PushedFilters/ReadSchema
+    jdf = CATALOG[name].fn(spark, SF_SMOKE)._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_scan_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "a_scan_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # column pruning: only the needed columns in the read schema
+    assert "l_tax" not in plan and "l_returnflag" not in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ["c_join_delta", "tpch_q5_local_supplier", "c_block_range_join"]:
+        plan = _plan(spark, name)
+        assert "Broadcast" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: dimension join shuffled"
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "q_global_sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_relational_paths_are_python_free(spark):
+    # no ArrowEvalPython / BatchEvalPython / FlatMapGroupsInPandas outside
+    # the two stateful operators and the multimodal stub
+    for name in [
+        "tpch_q1_pricing_summary",
+        "w_minmax_normalize",
+        "c_asof_union_ffill",
+        "x_dedup_minhash_lsh",
+        "x_knn_cosine_brute",
+        "x_text_stats",
+    ]:
+        plan = _plan(spark, name)
+        for marker in ("EvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            assert marker not in plan, f"{name} runs Python on executors"
+
+
+def test_stateful_operator_prunes_before_udf(spark):
+    plan = _plan(spark, "s2_intraday_trader")
+    assert "FlatMapGroupsInPandas" in plan
+    # props/event_type never reach the UDF: projection happens below it
+    assert "props" not in plan
