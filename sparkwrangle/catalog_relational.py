@@ -477,3 +477,30 @@ def q_percent_format(spark, sf_dir):
         F.format_string("%.3f%%", F.avg("value")).alias("avg_pct"),
         F.format_string("%08.2f", F.max("value")).alias("max_padded"),
     )
+
+
+_SHARED_DIALECT_SQL = """
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sum_qty,
+           min(l_shipdate) AS first_ship
+    FROM lineitem
+    WHERE l_discount > 0.02
+    GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_surface_shared_dialect",
+    _SHARED_DIALECT_SQL,
+    doc="The engine's SQL entry surface (SURVEY §3 lifecycle #2): the SAME "
+    "SQL text runs through spark.sql over registered temp views AND "
+    "through the DuckDB oracle — one dialect, two engines, equal hashes.",
+)
+def sql_surface_shared_dialect(spark, sf_dir):
+    from sparkwrangle.io import register_views
+    from sparkwrangle.session import prep_session
+
+    prep_session(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_DIALECT_SQL)

@@ -208,3 +208,60 @@ def test_param_validation():
         _mk_trader(trigger_range=0.5)  # > min_deviation
     with pytest.raises(ValueError):
         _mk_trader(trade_size=1.5, trade_size_percent=True)
+
+
+def test_ep2_report_layer_golden(spark, intraday_pdf):
+    """Cells 29-33 metrics computed by the Spark report layer must match
+    the same metrics derived pandas-style from the oracle's outputs."""
+    import numpy as np
+    from sparkwrangle.pipelines.intraday import balance_report, trade_report
+
+    bars, fx, blocks, listings = intraday_pdf
+
+    def naive(df, cols):
+        out = df.copy()
+        for c in cols:
+            out[c] = out[c].dt.tz_localize(None)
+        return out
+
+    feed = build_intraday_feed(
+        spark.createDataFrame(naive(bars, ["ts"])),
+        spark.createDataFrame(naive(fx, ["ts"])),
+        spark.createDataFrame(naive(blocks, ["start_ts", "end_ts"])),
+        spark.createDataFrame(listings),
+    )
+    trades_df, balances_df = intraday_backtest(feed, TRADER_PARAMS)
+
+    # pandas-oracle side: concat per-company series, ffill on the union
+    # grid, drop first row, TOTAL = row sum (cells 29-31)
+    all_trades, hist_frames = [], []
+    for company, tickers in [
+        ("Alpha", ["ALF", "ALF.DE", "ALF.F"]),
+        ("Beta", ["BET", "BET.DE"]),
+        ("Gamma", ["GAM", "GAM.PA"]),
+    ]:
+        tr, hist = ep2_run_company(
+            bars[bars.company == company], fx, blocks, tickers, TRADER_PARAMS
+        )
+        all_trades.extend(tr)
+        s = pd.DataFrame(hist, columns=["ts", company]).set_index("ts")[company]
+        hist_frames.append(s)
+    bal = pd.concat(hist_frames, axis=1).ffill().iloc[1:]
+    total = bal.sum(axis=1)
+    exp_roi = total.iloc[-1] / total.iloc[0] - 1
+    exp_days = (total.index[-1] - total.index[0]).days
+
+    got = balance_report(balances_df).collect()[0]
+    assert got.span_days == exp_days
+    assert abs(got.roi - exp_roi) < 1e-9
+
+    # cell 33 trade stats
+    wins = [r for _, r in all_trades if r > 0]
+    losses = [(t, r) for t, r in all_trades if r < 0]
+    got_t = trade_report(trades_df).collect()[0]
+    assert got_t.n_wins == len(wins) and got_t.n_losses == len(losses)
+    assert abs(got_t.win_share - len(wins) / (len(wins) + len(losses))) < 1e-12
+    assert abs(got_t.avg_profit - np.mean(wins)) < 1e-9
+    assert abs(got_t.avg_loss - np.mean([r for _, r in losses])) < 1e-9
+    mc = [r for t, r in losses if t == "mc"]
+    assert abs(got_t.mc_loss_share - len(mc) / len(losses)) < 1e-12
