@@ -9,12 +9,18 @@ by name before hashing).
 Determinism rules (so value-hashes match across engines):
 
 * Per-row IEEE double arithmetic is bitwise identical across engines; the
-  hazards are (a) aggregation ORDER for float sums and (b) libm ulp
-  differences (log/exp/pow). Rule: any aggregated or transcendental double
-  is wrapped in round(x, 6).
-* Large SUMs over doubles additionally go through an exact decimal
-  accumulator: CAST(SUM(CAST(expr AS DECIMAL(25,8))) AS DOUBLE) — identical
-  in Spark and DuckDB, immune to partial-aggregation order.
+  hazards are (a) aggregation ORDER for float sums, (b) libm ulp
+  differences (log/exp/pow), and (c) round() implementation divergence —
+  Spark rounds the exact BigDecimal expansion, DuckDB multiplies in
+  floating point, so equal doubles can round differently on .5 boundaries.
+* Rules, validated green at BOTH sf0.01 and sf0.1:
+  - plain double SUMs → exact decimal accumulator ``dsum``
+    (CAST(SUM(CAST(expr AS DECIMAL(25,8))) AS DOUBLE)) — immune to
+    partial-aggregation order, no rounding needed at all;
+  - transcendental-derived columns (ln/exp/pow/sqrt chains) → ``rf``
+    floor-formula rounding (floor(x·10⁶+0.5)/10⁶ — same IEEE ops in both
+    engines, so equal inputs always round equally);
+  - other derived doubles → round(x, 6) (r6).
 * Every window orders by a unique tiebreak (event_id / l_orderkey+linenumber).
 * No F.first/any_value without a deterministic frame.
 """
@@ -58,6 +64,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def r6(c):
     return F.round(c, 6)
+
+
+def rf(c, digits: int = 6):
+    """floor-formula rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
+
+    Spark's round() goes through an exact BigDecimal expansion while
+    DuckDB's multiplies in floating point — equal input doubles can round
+    DIFFERENTLY on .5 boundaries. This formula is the same three IEEE ops
+    in both engines, so equal inputs always produce equal outputs. Use for
+    transcendental-derived columns (ln/exp/pow chains) where inputs may
+    also differ by ulps; pair with rf_sql."""
+    scale = float(10**digits)
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
+def rf_sql(expr: str, digits: int = 6) -> str:
+    scale = float(10**digits)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
 
 
 # Exact decimal accumulator for big double sums (order-insensitive).
@@ -330,7 +354,8 @@ def c_conditional_convert(spark, sf_dir):
                TIMESTAMP '2024-01-01' + INTERVAL (7 * b + 7) DAY AS end_ts
         FROM (SELECT unnest(generate_series(0, 4)) AS b)
     )
-    SELECT b.block_id, count(*) AS n_events, round(sum(e.value), 6) AS sum_value
+    SELECT b.block_id, count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(25,8))) AS DOUBLE) AS sum_value
     FROM events e JOIN blocks b ON e.ts >= b.start_ts AND e.ts < b.end_ts
     GROUP BY b.block_id
     """,
@@ -350,7 +375,7 @@ def c_block_range_join(spark, sf_dir):
         (ev.ts >= blocks.start_ts) & (ev.ts < blocks.end_ts),
     )
     return joined.groupBy("block_id").agg(
-        F.count("*").alias("n_events"), r6(F.sum("value")).alias("sum_value")
+        F.count("*").alias("n_events"), dsum(F.col("value")).alias("sum_value")
     )
 
 
@@ -393,7 +418,9 @@ def d_exceedance_share(spark, sf_dir):
                ln(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS log_ret
         FROM events WHERE value > 0
     )
-    SELECT user_id, round(exp(sum(log_ret)), 6) AS compounded
+    SELECT user_id,
+           floor(exp(CAST(SUM(CAST(log_ret AS DECIMAL(25,8))) AS DOUBLE)) * 1000000.0 + 0.5)
+               / 1000000.0 AS compounded
     FROM rets WHERE log_ret IS NOT NULL AND isfinite(log_ret)
     GROUP BY user_id
     """,
@@ -409,7 +436,9 @@ def d_compounded_return(spark, sf_dir):
         & ~F.col("log_ret").isin(float("inf"), float("-inf"))
         & ~F.isnan("log_ret")
     )
-    return rets.groupBy("user_id").agg(r6(F.exp(F.sum("log_ret"))).alias("compounded"))
+    return rets.groupBy("user_id").agg(
+        rf(F.exp(dsum(F.col("log_ret")))).alias("compounded")
+    )
 
 
 @register(
@@ -471,7 +500,8 @@ def d_first_last_span(spark, sf_dir):
 @register(
     "d_per_day_portfolio_total",
     """
-    SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value), 6) AS total
+    SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS total
     FROM events
     GROUP BY CAST(ts AS DATE)
     """,
@@ -482,14 +512,15 @@ def d_first_last_span(spark, sf_dir):
 def d_per_day_portfolio_total(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count("*").alias("n"), r6(F.sum("value")).alias("total")
+        F.count("*").alias("n"), dsum(F.col("value")).alias("total")
     )
 
 
 @register(
     "d_day_of_month_quirk",
     """
-    SELECT day(ts) AS dom, count(*) AS n, round(sum(value), 6) AS total
+    SELECT day(ts) AS dom, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS total
     FROM events
     GROUP BY day(ts)
     """,
@@ -500,7 +531,7 @@ def d_per_day_portfolio_total(spark, sf_dir):
 def d_day_of_month_quirk(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(F.dayofmonth("ts").alias("dom")).agg(
-        F.count("*").alias("n"), r6(F.sum("value")).alias("total")
+        F.count("*").alias("n"), dsum(F.col("value")).alias("total")
     )
 
 
@@ -533,9 +564,9 @@ def d_final_above_share(spark, sf_dir):
     "w_pct_change_log_returns",
     """
     SELECT event_id, user_id,
-           round(value / lag(value) OVER w - 1, 6) AS pct_change,
-           round(ln(value / lag(value) OVER w), 6) AS log_ret,
-           round(lead(value) OVER w, 6) AS next_value
+           floor((value / lag(value) OVER w - 1) * 1000000.0 + 0.5) / 1000000.0 AS pct_change,
+           floor(ln(value / lag(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS log_ret,
+           floor(lead(value) OVER w * 1000000.0 + 0.5) / 1000000.0 AS next_value
     FROM events
     WHERE value > 0
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -549,9 +580,9 @@ def w_pct_change_log_returns(spark, sf_dir):
     return ev.select(
         "event_id",
         "user_id",
-        r6(F.col("value") / F.lag("value").over(w) - 1).alias("pct_change"),
-        r6(F.log(F.col("value") / F.lag("value").over(w))).alias("log_ret"),
-        r6(F.lead("value").over(w)).alias("next_value"),
+        rf(F.col("value") / F.lag("value").over(w) - 1).alias("pct_change"),
+        rf(F.log(F.col("value") / F.lag("value").over(w))).alias("log_ret"),
+        rf(F.lead("value").over(w)).alias("next_value"),
     )
 
 
@@ -654,7 +685,8 @@ def w_business_days(spark, sf_dir):
     "w_tumbling_window_agg",
     """
     SELECT date_trunc('hour', ts) AS window_start,
-           count(*) AS n, round(sum(value), 6) AS sum_value
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY date_trunc('hour', ts)
     """,
@@ -665,7 +697,7 @@ def w_tumbling_window_agg(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour"))
-        .agg(F.count("*").alias("n"), r6(F.sum("value")).alias("sum_value"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("sum_value"))
         .select(F.col("window.start").alias("window_start"), "n", "sum_value")
     )
 
@@ -716,11 +748,11 @@ def g_dedup_by_key(spark, sf_dir):
     "g_pivot_wide",
     """
     SELECT user_id,
-           round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
-           round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
-           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
-           round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
-           round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+           CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(25,8))) AS DOUBLE) AS click,
+           CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(25,8))) AS DOUBLE) AS error,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(25,8))) AS DOUBLE) AS purchase,
+           CAST(SUM(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(25,8))) AS DOUBLE) AS signup,
+           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(25,8))) AS DOUBLE) AS view
     FROM events GROUP BY user_id
     """,
     doc="G3/C1: wide reshape — the per-company balance pivot "
@@ -733,7 +765,7 @@ def g_pivot_wide(spark, sf_dir):
     out = (
         ev.groupBy("user_id")
         .pivot("event_type", types)
-        .agg(r6(F.sum("value")))
+        .agg(F.sum(F.col("value").cast("decimal(25,8)")).cast("double"))
     )
     return out
 
@@ -780,12 +812,12 @@ def g_unpivot_long(spark, sf_dir):
     "h_scalar_suite",
     """
     SELECT l_orderkey, l_linenumber,
-           round(ln(l_extendedprice), 6) AS ln_price,
-           round(exp(l_discount), 6) AS exp_disc,
+           floor(ln(l_extendedprice) * 1000000.0 + 0.5) / 1000000.0 AS ln_price,
+           floor(exp(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS exp_disc,
            round(abs(l_quantity - 25.0), 6) AS abs_dev,
            round(sign(l_quantity - 25.0), 6) AS sgn,
-           round(pow(1.0 + l_discount, 365.0 / 30.0), 6) AS annualized,
-           round(sqrt(l_quantity), 6) AS sqrt_qty
+           floor(pow(1.0 + l_discount, 365.0 / 30.0) * 1000000.0 + 0.5) / 1000000.0 AS annualized,
+           floor(sqrt(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS sqrt_qty
     FROM lineitem WHERE l_orderkey < 2000
     """,
     doc="H: the reference's full scalar surface — np.log/exp/abs/sign, "
@@ -798,12 +830,12 @@ def h_scalar_suite(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        r6(F.log("l_extendedprice")).alias("ln_price"),
-        r6(F.exp("l_discount")).alias("exp_disc"),
+        rf(F.log("l_extendedprice")).alias("ln_price"),
+        rf(F.exp("l_discount")).alias("exp_disc"),
         r6(F.abs(q - 25.0)).alias("abs_dev"),
         r6(F.signum(q - 25.0)).alias("sgn"),
-        r6(F.pow(F.lit(1.0) + F.col("l_discount"), 365.0 / 30.0)).alias("annualized"),
-        r6(F.sqrt(q)).alias("sqrt_qty"),
+        rf(F.pow(F.lit(1.0) + F.col("l_discount"), 365.0 / 30.0)).alias("annualized"),
+        rf(F.sqrt(q)).alias("sqrt_qty"),
     )
 
 

@@ -375,22 +375,34 @@ def q_salted_skew_agg(spark, sf_dir):
 @register(
     "s1_prepared_pair_math",
     """
-    WITH a AS (
-        SELECT user_id, ts, value AS c1,
-               ln(1 + (value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1)) AS ret1
+    WITH lagged AS (
+        SELECT user_id, ts, value AS c1, (value * 0.5 + 25.0) AS c2,
+               lag(value) OVER w AS l1,
+               lag(value * 0.5 + 25.0) OVER w AS l2
         FROM events
-    ), b AS (
-        SELECT user_id, ts, (value * 0.5 + 25.0) AS c2,
-               ln(1 + ((value * 0.5 + 25.0) /
-                   lag(value * 0.5 + 25.0) OVER (PARTITION BY user_id ORDER BY ts) - 1)) AS ret2
-        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), rets AS (
+        -- pandas semantics mirrored branch by branch: first row → NULL
+        -- (dropped), lag=0 → ±inf → replaced 0.0, log(0) → -inf → 0.0,
+        -- log(<0) → NaN → NULL (dropped). Values are ≥ 0 so c2 > 0 always.
+        SELECT user_id, ts, c1, c2,
+               CASE WHEN l1 IS NULL THEN NULL
+                    WHEN l1 = 0 AND c1 = 0 THEN NULL
+                    WHEN l1 = 0 THEN 0.0
+                    WHEN 1 + (c1 / l1 - 1) > 0 THEN ln(1 + (c1 / l1 - 1))
+                    WHEN 1 + (c1 / l1 - 1) = 0 THEN 0.0
+                    ELSE NULL END AS ret1_raw,
+               ln(1 + (c2 / l2 - 1)) AS ret2_raw
+        FROM lagged
     )
-    SELECT b.user_id, CAST(b.ts AS TIMESTAMP) AS ts,
-           round((b.c2 - a.c1) / b.c2, 6) AS delta,
-           round(a.ret1, 6) AS ret1, round(b.ret2, 6) AS ret2
-    FROM b LEFT JOIN a ON a.user_id = b.user_id AND a.ts = b.ts
-    WHERE a.ret1 IS NOT NULL AND b.ret2 IS NOT NULL
-      AND (b.c2 - a.c1) / b.c2 IS NOT NULL
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           round((c2 - c1) / c2, 6) AS delta,
+           round(CASE WHEN ret1_raw = 'infinity'::DOUBLE
+                        OR ret1_raw = '-infinity'::DOUBLE THEN 0.0
+                      ELSE ret1_raw END, 6) AS ret1,
+           round(ret2_raw, 6) AS ret2
+    FROM rets
+    WHERE ret1_raw IS NOT NULL AND ret2_raw IS NOT NULL
     """,
     doc="The SQL-expressible half of EP1 (stock_arbitrage cells 1/3/5): "
     "pad-semantics pct_change -> log returns, ts-aligned delta, dropna — "
