@@ -450,3 +450,59 @@ def x_multimodal_features(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return decode_features(attach_payload(docs))
+
+
+@register(
+    "x_dedup_pipeline_end_to_end",
+    _minhash_sql(16)
+    + f"""
+    , bands AS (
+        SELECT doc_id, b.band,
+               CASE b.band
+                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
+                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
+                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
+                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+               END AS bh
+        FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.15
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM verified)
+    """,
+    doc="North-star dedup END-TO-END: MinHash-LSH candidate generation → "
+    "exact n-gram-Jaccard verification (≥0.15) → keep-list (drop the "
+    "higher doc_id of each confirmed pair). The full linear-candidate "
+    "near-dedup pipeline a 100 TB corpus pass runs, as one plan.",
+)
+def x_dedup_pipeline_end_to_end(spark, sf_dir):
+    from sparkwrangle.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, "doc_id", k=16)
+    cand = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
+    jac = ngram_jaccard_pairs(sh, "doc_id", threshold=0.15)
+    verified = cand.join(jac, ["id_a", "id_b"], "inner").select("id_a", "id_b")
+    drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id")

@@ -28,23 +28,32 @@ from sparkwrangle.stateful.trader import TraderState
 
 _OUT_SCHEMA = "company string, trade_seq int, close_type string, roi double"
 _STATE_SCHEMA = (
-    "balance double, cpt string, shares string, base_shares string, n_trades int"
+    "balance double, cpt string, shares string, base_shares string, n_trades int, "
+    "last_prices string, deadline_ms bigint"
 )
 
+_MARKET_CLOSE_SEC = 16 * 3600 + 29 * 60 + 1  # first second past 16:29:00
 
-def _restore(state: GroupState, params: dict) -> tuple[TraderState, int]:
+
+def _restore(state: GroupState, params: dict) -> tuple[TraderState, int, list, int]:
     st = TraderState(**params)
     if state.exists:
-        balance, cpt_s, shares_s, base_s, n_trades = state.get
+        balance, cpt_s, shares_s, base_s, n_trades, prices_s, deadline = state.get
         st.balance = balance
         st.cpt = json.loads(cpt_s)
         st.shares = {int(k): v for k, v in json.loads(shares_s).items()}
         st.base_shares = {int(k): v for k, v in json.loads(base_s).items()}
-        return st, n_trades
-    return st, 0
+        return st, n_trades, json.loads(prices_s), deadline or 0
+    return st, 0, [], 0
 
 
-def _persist(state: GroupState, st: TraderState, n_trades: int) -> None:
+def _persist(
+    state: GroupState,
+    st: TraderState,
+    n_trades: int,
+    last_prices: list,
+    deadline_ms: int = 0,
+) -> None:
     state.update(
         (
             st.balance,
@@ -52,26 +61,68 @@ def _persist(state: GroupState, st: TraderState, n_trades: int) -> None:
             json.dumps(st.shares),
             json.dumps(st.base_shares),
             n_trades,
+            json.dumps(last_prices),
+            deadline_ms,
         )
     )
 
 
-def streaming_backtest_trades(feed_stream: DataFrame, params: dict) -> DataFrame:
+def streaming_backtest_trades(
+    feed_stream: DataFrame,
+    params: dict,
+    market_close_flush: bool = False,
+    watermark: str = "10 minutes",
+) -> DataFrame:
     """S2 over a stream: feed rows (company, feed_seq, ts, ticker_idx,
-    price, ret) → appended trade rows as positions close."""
+    price, ret) → appended trade rows as positions close.
+
+    ``market_close_flush=True`` arms an EVENT-TIME TIMER (SURVEY §2.J /
+    W7): if positions are still open and no tick past 16:29 ever arrives
+    (a halted feed), the timer fires once the watermark passes that day's
+    16:29:01 and force-closes every position as 'mc' at the last seen
+    prices. This is an engine extension over batch semantics — the batch
+    operator can only close on an actual tick.
+    """
+
+    def _emit(company, st, seen, new_trades):
+        return pd.DataFrame(
+            [
+                {"company": company, "trade_seq": seen + i, "close_type": t, "roi": r}
+                for i, (t, r) in enumerate(new_trades)
+            ],
+            columns=["company", "trade_seq", "close_type", "roi"],
+        )
+
+    def _flush(st, last_prices):
+        """Force-close every open position at the last seen prices
+        (a timer fires once, so the corrected close loop applies)."""
+        if st.cpt and last_prices:
+            base, arbs = last_prices[0], last_prices[1:]
+            for i in list(st.cpt):
+                st._close_trade(i, "mc", arbs, base)
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         company = key[0]
-        st, seen = _restore(state, params)
+        st, seen, last_prices, deadline = _restore(state, params)
+
+        if market_close_flush and state.hasTimedOut:
+            before = len(st.trades)
+            _flush(st, last_prices)
+            new_trades = st.trades[before:]
+            _persist(state, st, seen + len(new_trades), last_prices, 0)
+            yield _emit(company, st, seen, new_trades)
+            return
+
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf) == 0:
-            _persist(state, st, seen)
+            _persist(state, st, seen, last_prices, deadline)
             return
         pdf = pdf.sort_values(["feed_seq", "ticker_idx"], kind="mergesort")
         n_idx = int(pdf["ticker_idx"].max()) + 1
         before = len(st.trades)
+        last_ts = None
         for _, tick in pdf.groupby("feed_seq", sort=True):
             by_idx = tick.set_index("ticker_idx")
             prices = [
@@ -79,27 +130,48 @@ def streaming_backtest_trades(feed_stream: DataFrame, params: dict) -> DataFrame
             ]
             rets = [float(by_idx["ret"].get(i, float("nan"))) for i in range(1, n_idx)]
             ts = tick["ts"].iloc[0]
+            last_ts = ts
             sod = ts.hour * 3600 + ts.minute * 60 + ts.second
             st.data_feed(sod, rets, prices)
-        new_trades = st.trades[before:]
-        out = pd.DataFrame(
-            [
-                {
-                    "company": company,
-                    "trade_seq": seen + i,
-                    "close_type": t,
-                    "roi": r,
-                }
-                for i, (t, r) in enumerate(new_trades)
-            ],
-            columns=["company", "trade_seq", "close_type", "roi"],
-        )
-        _persist(state, st, seen + len(new_trades))
-        yield out
+            last_prices = prices
 
-    return (
-        feed_stream.groupBy("company")
-        .applyInPandasWithState(
-            fn, _OUT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
-        )
+        if market_close_flush:
+            wm = state.getCurrentWatermarkMs()
+            if not st.cpt:
+                deadline = 0
+            else:
+                if deadline == 0 and last_ts is not None:
+                    # arm at the market close of the day the position is
+                    # open on — the deadline does NOT roll forward; a
+                    # position carried past its day's close is flushed as
+                    # soon as the watermark proves no closing tick came
+                    day = last_ts.normalize()
+                    close_ts = day + pd.Timedelta(seconds=_MARKET_CLOSE_SEC)
+                    if last_ts >= close_ts:
+                        close_ts += pd.Timedelta(days=1)
+                    deadline = int(close_ts.timestamp() * 1000)
+                if deadline <= wm:
+                    # watermark already past the close → flush inline (a
+                    # timer for the past cannot be registered)
+                    _flush(st, last_prices)
+                    deadline = 0
+                else:
+                    # timers are cleared on every invocation — re-register
+                    state.setTimeoutTimestamp(deadline)
+        new_trades = st.trades[before:]
+        _persist(state, st, seen + len(new_trades), last_prices, deadline)
+        yield _emit(company, st, seen, new_trades)
+
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if market_close_flush
+        else GroupStateTimeout.NoTimeout
+    )
+    src = (
+        feed_stream.withWatermark("ts", watermark)
+        if market_close_flush
+        else feed_stream
+    )
+    return src.groupBy("company").applyInPandasWithState(
+        fn, _OUT_SCHEMA, _STATE_SCHEMA, "append", timeout
     )

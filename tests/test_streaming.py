@@ -114,3 +114,70 @@ def test_streaming_parity_multi_batch(spark, feed_df, tmp_path):
     q.awaitTermination(180)
     got = spark.sql("SELECT * FROM stream_two").toPandas()
     _assert_same_trades(batch, got)
+
+
+def test_event_time_timer_flushes_market_close(spark, tmp_path):
+    """A feed that halts BEFORE 16:29 leaves positions open in batch mode;
+    with market_close_flush the event-time timer fires once the watermark
+    passes 16:29:01 and force-closes them as 'mc'."""
+    import pandas as pd
+
+    schema_str = (
+        "company string, feed_seq bigint, ts timestamp, ticker_idx bigint, "
+        "price double, ret double"
+    )
+
+    def feed_rows(day, seqs_rets):
+        rows = []
+        for seq, (hm, ret) in enumerate(seqs_rets):
+            ts = f"{day} {hm}:00"
+            rows.append(("X", seq, ts, 0, 100.0, None))
+            rows.append(("X", seq, ts, 1, 50.0, ret))
+        return rows
+
+    def write(rows, sub):
+        pdf = pd.DataFrame(
+            rows, columns=["company", "feed_seq", "ts", "ticker_idx", "price", "ret"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf["ret"] = pdf["ret"].astype(float)
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(sub)
+
+    d = str(tmp_path / "flush")
+    os.makedirs(d)
+    # day 1: open at 15:00 (dev 0.25 > 0.1), last tick 15:30 — no tick
+    # after 16:29 → batch semantics would never close
+    write(feed_rows("2024-01-02", [("15:00", 0.25), ("15:30", 0.3)]),
+          os.path.join(d, "b1"))
+
+    stream = spark.readStream.schema(schema_str).parquet(os.path.join(d, "*"))
+    from fixtures import TRADER_PARAMS
+    out = streaming_backtest_trades(
+        stream, TRADER_PARAMS, market_close_flush=True, watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("flush_sink")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and (q.lastProgress is None
+                                          or q.lastProgress["batchId"] < 1):
+            time.sleep(0.3)
+        # day 2 data advances the watermark far past day 1's 16:29:01
+        write(feed_rows("2024-01-03", [("15:00", 0.5)]), os.path.join(d, "b2"))
+        deadline = time.time() + 60
+        got = []
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM flush_sink").collect()
+            if any(r.close_type == "mc" for r in got):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    mc = [r for r in got if r.close_type == "mc"]
+    assert len(mc) == 1, f"expected one timer-flushed mc trade, got {got}"
+    assert mc[0].company == "X"
