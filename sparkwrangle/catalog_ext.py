@@ -506,3 +506,54 @@ def x_dedup_pipeline_end_to_end(spark, sf_dir):
     verified = cand.join(jac, ["id_a", "id_b"], "inner").select("id_a", "id_b")
     drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "x_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000.0 + 0.5)
+                   / 1000000.0 AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    doc="North-star text analysis: TF-IDF (tf × ln(N/df)) with top-3 terms "
+    "per document — two map-side-combinable aggregations + a broadcast of "
+    "the tiny df table; the relational form of HashingTF/IDF.",
+)
+def x_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # tiny scalar; at scale: a broadcast agg
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        rf(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

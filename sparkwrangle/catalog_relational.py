@@ -516,3 +516,67 @@ def sql_surface_shared_dialect(spark, sf_dir):
     prep_session(spark)
     register_views(spark, sf_dir)
     return spark.sql(_SHARED_DIALECT_SQL)
+
+
+@register(
+    "w_sessionize_gaps",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           date_diff('second', min(ts), max(ts)) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization: gaps-and-islands with a 30-minute inactivity "
+    "gap — the batch-expressible form of F.session_window (the streaming "
+    "variant shares the same semantics via session windows).",
+)
+def w_sessionize_gaps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_sec"
+        ),
+    )
+
+
+@register(
+    "d_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont, both linear interpolation).",
+)
+def d_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r6(F.percentile("value", 0.5)).alias("p50"),
+        r6(F.percentile("value", 0.9)).alias("p90"),
+        r6(F.percentile("value", 0.99)).alias("p99"),
+    )
