@@ -58,4 +58,11 @@ def prep_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # a foreign session may carry the 200-partition default; AQE coalesces,
+    # but a sane floor cuts scheduling overhead on small-SF runs
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "64")
+    except Exception:
+        pass
     return spark
