@@ -94,3 +94,21 @@ def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None):
     if fmt == "csv":
         r = r.option("header", "true")
     return r.load(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write — the co-located-join layout for 100 TB fact
+    tables: two tables bucketed (and sorted) on the same join key join
+    WITHOUT a shuffle (no Exchange in the plan). Bucketing requires the
+    table catalog (saveAsTable), not a bare path."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

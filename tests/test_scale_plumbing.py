@@ -59,3 +59,30 @@ def test_salted_agg_matches_plain(spark):
         sn, st_, smin, smax = salted[k]
         assert pn == sn and pmin == smin and pmax == smax
         assert abs(pt - st_) < 1e-5
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Two tables bucketed on the join key join without an Exchange —
+    the co-located-join layout SCALE.md promises for repeated fact joins."""
+    from sparkwrangle.io import write_bucketed
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bucketed", "l_orderkey", 8, sort_col="l_orderkey")
+    write_bucketed(o, "o_bucketed", "o_orderkey", 8, sort_col="o_orderkey")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("li_bucketed")
+        b = spark.table("o_bucketed")
+        j = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert j.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
