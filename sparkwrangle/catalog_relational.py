@@ -580,3 +580,120 @@ def d_percentiles(spark, sf_dir):
         r6(F.percentile("value", 0.9)).alias("p90"),
         r6(F.percentile("value", 0.99)).alias("p99"),
     )
+
+
+@register(
+    "h_null_semantics",
+    """
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'n/a') AS type_or_na,
+           (value IS NOT DISTINCT FROM 50.0) AS exactly_fifty,
+           CASE WHEN nullif(value, 0.0) IS NULL THEN -1.0
+                ELSE round(100.0 / nullif(value, 0.0), 6) END AS inv_pct
+    FROM events WHERE user_id < 20
+    """,
+    doc="NULL-semantics surface: coalesce / nullif / null-safe equality "
+    "(Spark <=> == DuckDB IS NOT DISTINCT FROM).",
+)
+def h_null_semantics(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    nz = F.nullif(F.col("value"), F.lit(0.0))
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("n/a")).alias(
+            "type_or_na"
+        ),
+        F.col("value").eqNullSafe(F.lit(50.0)).alias("exactly_fifty"),
+        F.when(nz.isNull(), F.lit(-1.0))
+        .otherwise(r6(F.lit(100.0) / nz))
+        .alias("inv_pct"),
+    )
+
+
+@register(
+    "h_string_suite",
+    """
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 8)) AS name_prefix,
+           length(p_name) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           replace(p_brand, '#', '-') AS brand_norm,
+           levenshtein(p_brand, 'Brand-11') AS brand_dist,
+           split_part(p_type, ' ', 1) AS type_head
+    FROM part WHERE p_partkey < 500
+    """,
+    doc="String-function surface: case/substr/pad/replace/split plus "
+    "levenshtein edit distance (the char-level near-dup metric).",
+)
+def h_string_suite(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_norm"),
+        F.levenshtein("p_brand", F.lit("Brand-11")).alias("brand_dist"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@register(
+    "w_rolling_mean",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+           round(min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_min
+    FROM events
+    """,
+    doc="Bounded rolling frames: 7-row moving average/min per series — the "
+    "rolling-stats family the reference's windows imply (rowsBetween "
+    "bounded frames, not just unbounded-preceding).",
+)
+def w_rolling_mean(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        r6(F.avg("value").over(w)).alias("ma7"),
+        r6(F.min("value").over(w)).alias("roll_min"),
+    )
+
+
+@register(
+    "d_corr_stats",
+    """
+    WITH pairs AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT user_id,
+           round(corr(value, prev), 5) AS autocorr,
+           round(covar_samp(value, prev), 5) AS autocov,
+           round(stddev_samp(value), 5) AS sd
+    FROM pairs WHERE prev IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Statistical aggregate surface: lag-1 autocorrelation, sample "
+    "covariance, stddev per series (5dp — both engines use numerically "
+    "stable one-pass algorithms with ulp-level differences).",
+)
+def d_corr_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("prev", F.lag("value").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return pairs.groupBy("user_id").agg(
+        F.round(F.corr("value", "prev"), 5).alias("autocorr"),
+        F.round(F.covar_samp("value", "prev"), 5).alias("autocov"),
+        F.round(F.stddev_samp("value"), 5).alias("sd"),
+    )
