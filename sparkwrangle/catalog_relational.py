@@ -697,3 +697,49 @@ def d_corr_stats(spark, sf_dir):
         F.round(F.covar_samp("value", "prev"), 5).alias("autocov"),
         F.round(F.stddev_samp("value"), 5).alias("sd"),
     )
+
+
+@register(
+    "c_positional_join",
+    """
+    WITH a AS (
+        SELECT value AS v_a, row_number() OVER (ORDER BY value DESC, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), b AS (
+        SELECT value AS v_b, row_number() OVER (ORDER BY value DESC, event_id) AS rn
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT a.rn, round(a.v_a, 6) AS v_a, round(b.v_b, 6) AS v_b,
+           round(a.v_a - b.v_b, 6) AS spread
+    FROM a JOIN b ON a.rn = b.rn
+    WHERE a.rn <= 100
+    """,
+    doc="C5: positional (row-index) join — the reference's "
+    "us_tickers.join(eu_tickers) row alignment "
+    "(intra_day_arbitrage.ipynb:1053). Distributed form: synthesize "
+    "explicit row_number keys over a deterministic order, then equi-join; "
+    "here joining the rank-aligned purchase/click value curves.",
+)
+def c_positional_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def ranked(tp, alias):
+        w = Window.orderBy(F.desc("value"), F.asc("event_id"))
+        return (
+            ev.filter(F.col("event_type") == tp)
+            .withColumn("rn", F.row_number().over(w))
+            .select("rn", F.col("value").alias(alias))
+        )
+
+    a = ranked("purchase", "v_a")
+    b = ranked("click", "v_b")
+    return (
+        a.join(b, "rn")
+        .filter(F.col("rn") <= 100)
+        .select(
+            "rn",
+            r6("v_a").alias("v_a"),
+            r6("v_b").alias("v_b"),
+            r6(F.col("v_a") - F.col("v_b")).alias("spread"),
+        )
+    )

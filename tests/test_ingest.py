@@ -1,0 +1,72 @@
+"""A1 ingest wrangle: sparse wide ticker matrix → long eligible listings
+(cells 11-14 + eligibility of cell 27), plus the MLlib MinHashLSH interop
+check — the pyspark.ml implementation must find the same planted near-dup
+our SQL LSH finds."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkwrangle.jobs.ingest import read_ticker_workbook, wrangle_listings
+
+
+def test_wrangle_listings(spark):
+    rows = [
+        # Company, NMS, NYQ, GER, FRA, LSE (LSE must be ignored entirely)
+        ("Acme", "ACM", None, "ACM.DE", None, "ACM.L"),
+        ("Beta", None, "BET", None, "BET.F", None),
+        ("Fujitsu", "FJT", None, "FJT.DE", None, None),  # dropped by name
+        ("OnlyUS", "OUS", None, None, None, None),  # no EU → ineligible
+        ("Solo", None, None, "SOL.DE", None, None),  # 1 ticker → ineligible
+    ]
+    wide = spark.createDataFrame(
+        rows, "Company string, NMS string, NYQ string, GER string, FRA string, LSE string"
+    )
+    out = wrangle_listings(wide).orderBy("company", "ticker_idx").collect()
+    by_company = {}
+    for r in out:
+        by_company.setdefault(r.company, []).append((r.ticker_idx, r.ticker, r.exchange))
+    assert set(by_company) == {"Acme", "Beta"}
+    # base (idx 0) is the first US listing; LSE column never appears
+    assert by_company["Acme"] == [(0, "ACM", "NMS"), (1, "ACM.DE", "GER")]
+    assert by_company["Beta"] == [(0, "BET", "NYQ"), (1, "BET.F", "FRA")]
+
+
+def test_xlsx_ingest_is_gated(spark):
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        read_ticker_workbook(spark, "/nonexistent/Stocks.xlsx")
+
+
+def test_mllib_minhash_lsh_agrees_on_planted_neardup(spark):
+    """Interop: pyspark.ml's MinHashLSH over shingle count-vectors finds
+    the same near-duplicate pair as the engine's SQL LSH."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from sparkwrangle.ext.dedup import shingles
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the old river bank now"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (2, near),
+            (3, "completely different words about spark catalyst plans and shuffles here"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, "doc_id", "text", 3)
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(sets)
+    vecs = cv.transform(sets)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
+    found = {
+        (r.datasetA.doc_id, r.datasetB.doc_id)
+        for r in pairs.collect()
+        if r.datasetA.doc_id < r.datasetB.doc_id
+    }
+    assert (0, 2) in found
+    assert (0, 3) not in found and (2, 3) not in found
