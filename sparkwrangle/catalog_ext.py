@@ -557,3 +557,105 @@ def x_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "x_ivf_centroids",
+    """
+    WITH dims AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE))) AS x
+        FROM embeddings
+    )
+    SELECT label, pos, round(avg(x), 6) AS c
+    FROM dims GROUP BY label, pos
+    """,
+    doc="IVF training step: per-cell centroids as per-dimension means over "
+    "the cell's vectors — one posexplode + one combinable groupBy; long "
+    "(label, pos, c) output keeps the oracle exact.",
+)
+def x_ivf_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    return dims.groupBy("label", "pos").agg(r6(F.avg("x")).alias("c"))
+
+
+@register(
+    "x_ivf_assign",
+    """
+    WITH dims AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE))) AS x
+        FROM embeddings
+    ), cents AS (
+        SELECT label, list(avg_x ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, avg(x) AS avg_x FROM dims GROUP BY label, pos)
+        GROUP BY label
+    ), scored AS (
+        SELECT e.vec_id, c.label AS cand,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < 100
+    )
+    SELECT vec_id, cand AS assigned_cell, round(cos, 6) AS cos
+    FROM (
+        SELECT vec_id, cand, cos,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand) AS rk
+        FROM scored
+    ) WHERE rk = 1
+    """,
+    doc="IVF assignment step: route each vector to its nearest centroid by "
+    "cosine (broadcast the tiny centroid table; argmax per vector with a "
+    "deterministic tiebreak) — together with x_ivf_centroids this is the "
+    "full coarse quantizer behind x_knn_ivf_label.",
+)
+def x_ivf_assign(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    per_dim = dims.groupBy("label", "pos").agg(F.avg("x").alias("avg_x"))
+    cents = per_dim.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "avg_x"))), lambda s: s.avg_x
+        ).alias("centroid")
+    )
+    q = emb.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.col("embedding").alias("vec"),
+        _norm(F.col("embedding")).alias("vnorm"),
+    )
+    scored = q.crossJoin(
+        F.broadcast(
+            cents.select(
+                F.col("label").alias("cand"),
+                "centroid",
+                _norm(F.col("centroid")).alias("cnorm"),
+            )
+        )
+    ).select(
+        "vec_id",
+        "cand",
+        (_dot(F.col("vec"), F.col("centroid")) / (F.col("vnorm") * F.col("cnorm"))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cand"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cand").alias("assigned_cell"), r6("cos").alias("cos"))
+    )
