@@ -103,3 +103,87 @@ def block_range_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)),
         "inner",
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None,
+    value_col: str,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Full pandas ``merge_asof`` semantics on the union+fill idiom (C3).
+
+    backward: latest right value at or before the left timestamp
+    forward : earliest right value at or after the left timestamp
+    nearest : whichever of the two is closer (ties → backward, pandas rule)
+    tolerance_seconds: matches farther than this become NULL.
+
+    Same cost shape as the backward idiom: one shuffle on (by, on); the
+    direction only flips the window frame. Golden-tested against
+    pandas.merge_asof in tests/test_asof.py.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(direction)
+    out_col = out_col or value_col
+    by = by or []
+    lcols = left.columns
+    lhs = (
+        left.withColumn("__src", F.lit(1))
+        .withColumn("__rv", F.lit(None).cast("double"))
+        .withColumn("__rts", F.lit(None).cast("timestamp"))
+    )
+    rhs = right.select(
+        *[F.col(c) for c in by],
+        F.col(on),
+        F.lit(0).alias("__src"),
+        F.col(value_col).alias("__rv"),
+        F.col(on).alias("__rts"),
+    )
+    for c in lcols:
+        if c not in set(by) | {on}:
+            rhs = rhs.withColumn(c, F.lit(None))
+    u = lhs.unionByName(rhs.select(lhs.columns))
+
+    # backward frame: right rows sort before left at equal ts (inclusive)
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(on, "__src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward frame: right rows sort after left at equal ts... but pandas
+    # forward INCLUDES exact matches, so order right-first and span from
+    # the current row forward — the same-ts right row precedes the left
+    # row, so give the frame one extra preceding slot via a first() over
+    # an ordering where left sorts first.
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(on, (F.col("__src") == 0).cast("int"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    u = u.withColumn("__bv", F.last(F.when(F.col("__src") == 0, F.col("__rv")), ignorenulls=True).over(wb))
+    u = u.withColumn("__bts", F.last(F.when(F.col("__src") == 0, F.col("__rts")), ignorenulls=True).over(wb))
+    u = u.withColumn("__fv", F.first(F.when(F.col("__src") == 0, F.col("__rv")), ignorenulls=True).over(wf))
+    u = u.withColumn("__fts", F.first(F.when(F.col("__src") == 0, F.col("__rts")), ignorenulls=True).over(wf))
+    u = u.filter(F.col("__src") == 1)
+
+    bgap = F.col(on).cast("double") - F.col("__bts").cast("double")
+    fgap = F.col("__fts").cast("double") - F.col(on).cast("double")
+    if tolerance_seconds is not None:
+        u = u.withColumn("__bv", F.when(bgap <= tolerance_seconds, F.col("__bv")))
+        u = u.withColumn("__fv", F.when(fgap <= tolerance_seconds, F.col("__fv")))
+    if direction == "backward":
+        val = F.col("__bv")
+    elif direction == "forward":
+        val = F.col("__fv")
+    else:  # nearest: closer side wins; ties and one-sided cases → backward
+        val = (
+            F.when(F.col("__bts").isNull(), F.col("__fv"))
+            .when(F.col("__fts").isNull(), F.col("__bv"))
+            .when(fgap < bgap, F.col("__fv"))
+            .otherwise(F.col("__bv"))
+        )
+    return u.withColumn(out_col, val).select(*lcols, out_col)

@@ -1,0 +1,72 @@
+"""asof_join golden tests: every direction × tolerance must match
+pandas.merge_asof on randomized series."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkwrangle.ops.joins import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "k": ["a"] * 40 + ["b"] * 40,
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in
+                   np.sort(rng.integers(0, 10_000, 40)).tolist() * 2],
+            "lv": rng.normal(size=80),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["a"] * 25 + ["b"] * 25,
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in
+                   np.sort(rng.integers(0, 10_000, 25)).tolist() * 2],
+            "rate": rng.normal(size=50),
+        }
+    )
+    # force exact-timestamp collisions (the tie rules differ per direction)
+    right.loc[3, "ts"] = left.loc[5, "ts"]
+    right.loc[30, "ts"] = left.loc[45, "ts"]
+    return left.drop_duplicates(["k", "ts"]), right.drop_duplicates(["k", "ts"])
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tol", [None, 300.0])
+def test_asof_matches_pandas(spark, frames, direction, tol):
+    left, right = frames
+    expected = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by=["k"],
+            value_col="rate",
+            direction=direction,
+            tolerance_seconds=tol,
+        )
+        .toPandas()
+        .sort_values(["k", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = expected.sort_values(["k", "ts"], kind="mergesort").reset_index(drop=True)
+    assert len(got) == len(exp)
+    for i in range(len(exp)):
+        e, g = exp.rate[i], got.rate[i]
+        if pd.isna(e):
+            assert g is None or pd.isna(g), f"row {i} ({direction}, tol={tol})"
+        else:
+            assert abs(g - e) < 1e-12, f"row {i} ({direction}, tol={tol})"

@@ -62,3 +62,23 @@ def test_csv_json_roundtrip(spark, tmp_path):
         a = {r.event_id: (r.user_id, r.event_type, r.value) for r in back.collect()}
         b = {r.event_id: (r.user_id, r.event_type, r.value) for r in ev.collect()}
         assert a == b, fmt
+
+
+def test_pandas_udf_equals_builtin_zscore(spark):
+    from sparkwrangle.functions import zscore_builtin, zscore_udf_path
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = {
+        r.event_id: r.zscore
+        for r in zscore_builtin(ev, "value", ["user_id"]).collect()
+    }
+    b = {
+        r.event_id: r.zscore
+        for r in zscore_udf_path(ev, "value", ["user_id"]).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        if a[k] is None:
+            assert b[k] is None
+        else:
+            assert abs(a[k] - b[k]) < 1e-12
