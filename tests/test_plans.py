@@ -61,3 +61,28 @@ def test_stateful_operator_prunes_before_udf(spark):
     assert "FlatMapGroupsInPandas" in plan
     # props/event_type never reach the UDF: projection happens below it
     assert "props" not in plan
+
+
+# names whose plans legitimately run Python on executors
+_PYTHON_OK = {
+    "s1_daily_pairs_backtest",
+    "s1_compounded_return",
+    "s2_intraday_trader",
+    "ep2_full_pipeline",
+    "x_multimodal_features",
+}
+
+
+def test_plan_linter_all_queries(spark):
+    """Sweep every catalog query's physical plan for red flags: row-wise
+    Python eval in relational paths and accidental cartesian products."""
+    problems = []
+    for name in sorted(CATALOG):
+        plan = _plan(spark, name)
+        if name not in _PYTHON_OK:
+            for marker in ("BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+                if marker in plan:
+                    problems.append(f"{name}: {marker}")
+        if "CartesianProduct" in plan and "broadcast" not in plan.lower():
+            problems.append(f"{name}: un-broadcast CartesianProduct")
+    assert not problems, problems

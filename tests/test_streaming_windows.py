@@ -100,3 +100,28 @@ def test_windowed_counts_batch_equivalence(spark):
     out = {r.window_start.strftime("%H:%M"): (r.n, r.sum_value)
            for r in windowed_counts(df).collect()}
     assert out == {"10:00": (2, 3.0), "11:00": (1, 4.0)}
+
+
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    from sparkwrangle.streaming.windows import dedup_stream
+
+    d = str(tmp_path / "dedup")
+    os.makedirs(d)
+    rows1 = [("2024-01-01 10:00:00", 1.0), ("2024-01-01 10:01:00", 2.0)]
+    rows2 = [("2024-01-01 10:00:00", 1.0),  # exact repeat → dropped
+             ("2024-01-01 10:02:00", 3.0)]
+    _write(spark, rows1, os.path.join(d, "b1"))
+    _write(spark, rows2, os.path.join(d, "b2"))
+    stream = spark.readStream.schema(_SCHEMA).parquet(os.path.join(d, "*"))
+    out = dedup_stream(stream, ["ts", "value"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM dedup_sink").collect()
+    assert len(got) == 3  # 4 input rows, one dropped as duplicate
+    assert sorted(r.value for r in got) == [1.0, 2.0, 3.0]
