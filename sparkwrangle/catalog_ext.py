@@ -659,3 +659,25 @@ def x_ivf_assign(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("cand").alias("assigned_cell"), r6("cos").alias("cos"))
     )
+
+
+@register(
+    "x_text_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+               lower(translate(text,
+                   'àáâäãåèéêëìíîïòóôöõùúûüýñçÀÁÂÄÃÅÈÉÊËÌÍÎÏÒÓÔÖÕÙÚÛÜÝÑÇ',
+                   'aaaaaaeeeeiiiiooooouuuuyncAAAAAAEEEEIIIIOOOOOUUUUYNC')),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="North-star text normalization for cross-source dedup: accent "
+    "folding + case/punct/whitespace canonicalization, map-side only "
+    "(identical translate maps keep both engines exact).",
+)
+def x_text_normalize(spark, sf_dir):
+    from sparkwrangle.ext.text import normalize_for_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select("doc_id", normalize_for_dedup("text").alias("text_norm"))

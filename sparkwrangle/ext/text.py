@@ -99,3 +99,18 @@ def fingerprint(col: Column | str) -> Column:
     1-perm MinHash, stable under token reordering-free edits."""
     tokens = tokenize(col)
     return F.array_min(F.transform(tokens, lambda tok: h60(tok)))
+
+
+# accent-folding map shared with the DuckDB oracle (identical translate
+# arguments on both sides keep the hash gate exact)
+ACCENT_SRC = "àáâäãåèéêëìíîïòóôöõùúûüýñçÀÁÂÄÃÅÈÉÊËÌÍÎÏÒÓÔÖÕÙÚÛÜÝÑÇ"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
+
+
+def normalize_for_dedup(col: Column | str) -> Column:
+    """Canonical text form for cross-source dedup: accent folding →
+    lowercase → strip punctuation → collapse whitespace. Pure built-ins
+    (translate + regexp), so it runs map-side at corpus scale."""
+    folded = F.translate(F.col(col) if isinstance(col, str) else col, ACCENT_SRC, ACCENT_DST)
+    cleaned = F.regexp_replace(F.regexp_replace(F.lower(folded), "[^a-z0-9 ]", " "), " +", " ")
+    return F.trim(cleaned)
