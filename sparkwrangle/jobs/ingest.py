@@ -18,21 +18,23 @@ EU_EXCHANGES = ["GER", "FRA", "BER", "DUS", "ISE", "MIL", "VIE", "VIE2"]
 
 
 def read_ticker_workbook(spark: SparkSession, xlsx_path: str) -> DataFrame:
-    """A1: one-time xlsx → DataFrame. Spark has no native xlsx reader; the
-    standard path is pandas.read_excel → createDataFrame. The xlsx engine
-    (openpyxl) is not installed in this container, so this entry is gated —
-    the downstream wrangle (`wrangle_listings`) takes any wide DataFrame
-    and is fully tested on synthetic frames of the same shape."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "xlsx ingest needs openpyxl; run the one-time conversion where "
-            "it is available, then point the engine at the parquet output"
-        ) from exc
-    import pandas as pd  # pragma: no cover
+    """A1: one-time xlsx → DataFrame. Spark has no native xlsx reader and
+    openpyxl is absent here, so this uses the stdlib zip+XML reader
+    (jobs.xlsx_lite) — sufficient for the sparse string matrix the
+    reference ships. Unnamed/empty header columns are dropped (the
+    workbook has one blank spacer column after 'Company')."""
+    from sparkwrangle.jobs.xlsx_lite import read_sheet
 
-    return spark.createDataFrame(pd.read_excel(xlsx_path))  # pragma: no cover
+    rows = read_sheet(xlsx_path)
+    header = rows[0]
+    keep = [i for i, h in enumerate(header) if h]
+    names = [str(header[i]) for i in keep]
+    data = [
+        tuple(None if r[i] is None else str(r[i]) for i in keep)
+        for r in rows[1:]
+    ]
+    schema = ", ".join(f"`{n}` string" for n in names)
+    return spark.createDataFrame(data, schema)
 
 
 def wrangle_listings(

@@ -34,9 +34,26 @@ def test_wrangle_listings(spark):
     assert by_company["Beta"] == [(0, "BET", "NYQ"), (1, "BET.F", "FRA")]
 
 
-def test_xlsx_ingest_is_gated(spark):
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_ticker_workbook(spark, "/nonexistent/Stocks.xlsx")
+def test_real_workbook_reproduces_reference_universe(spark):
+    """Ground truth from the reference's own committed outputs: the
+    wrangled eligible universe is exactly 41 companies (the cell-32
+    balance matrix has 41 company columns + TOTAL), Fujitsu excluded
+    (cell 14), base tickers drawn from the US columns."""
+    wide = read_ticker_workbook(spark, "/root/reference/Stocks.xlsx")
+    assert "Company" in wide.columns and "NMS" in wide.columns
+    out = wrangle_listings(wide)
+    companies = {r.company for r in out.select("company").distinct().collect()}
+    assert len(companies) == 41
+    assert "Fujitsu" not in companies
+    # base = FIRST listing in sheet-column order (tickers[0] semantics,
+    # IntradayRegionArbitrage.py:47): US when the company has one, else
+    # its first EU listing — both occur in the real workbook
+    bases = out.filter(F.col("ticker_idx") == 0).collect()
+    assert len(bases) == 41
+    us_based = [r for r in bases if r.exchange in ("NMS", "NMS2", "NYQ")]
+    assert len(us_based) >= 35  # most of the universe is US-based
+    for r in us_based:
+        assert "." not in r.ticker
 
 
 def test_mllib_minhash_lsh_agrees_on_planted_neardup(spark):
