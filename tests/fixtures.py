@@ -102,3 +102,54 @@ TRADER_PARAMS = dict(
     trade_size=0.1,
     trade_size_percent=True,
 )
+
+
+def bars_for_listings(listings: dict[str, list[str]], seed: int = 11):
+    """Synthetic 5-min bars for arbitrary (company → ordered tickers)
+    structures — used to drive EP2 over the REAL workbook's ticker shapes
+    (6-deep Ryanair, EU-based Casio) beyond the 3-company fixture."""
+    rng = np.random.default_rng(seed)
+    start = pd.Timestamp("2023-01-02", tz="UTC")
+    days = pd.bdate_range(start, start + pd.Timedelta(days=6), tz="UTC")
+    grid = pd.DatetimeIndex(
+        np.concatenate(
+            [
+                pd.date_range(
+                    d + pd.Timedelta(hours=14),
+                    d + pd.Timedelta(hours=17),
+                    freq="5min",
+                    tz="UTC",
+                ).values
+                for d in days
+            ]
+        )
+    ).tz_localize("UTC")
+    blocks = pd.DataFrame(
+        [(0, start, start + pd.Timedelta(days=7))],
+        columns=["block_id", "start_ts", "end_ts"],
+    )
+    fx_mask = rng.random(len(grid)) < 0.5
+    fx = pd.DataFrame(
+        {"ts": grid[fx_mask], "rate": 1.08 + np.cumsum(rng.normal(0, 0.0004, fx_mask.sum()))}
+    )
+    rows, listing_rows = [], []
+    for company, tickers in listings.items():
+        base = 80.0 * np.exp(np.cumsum(rng.normal(0, 0.0025, len(grid))))
+        for k, tkr in enumerate(tickers):
+            listing_rows.append((company, tkr, k))
+            dev = np.zeros(len(grid))
+            for i in range(1, len(grid)):
+                dev[i] = 0.96 * dev[i - 1] + rng.normal(0, 0.015)
+            px = base * (1.0 + (0.0 if k == 0 else dev))
+            if "." in tkr:
+                px = px / 1.08
+            present = rng.random(len(grid)) > 0.05
+            for t, p, keep in zip(grid, px, present):
+                if keep:
+                    rows.append((company, tkr, t, float(p)))
+    return (
+        pd.DataFrame(rows, columns=["company", "ticker", "ts", "close"]),
+        fx,
+        blocks,
+        pd.DataFrame(listing_rows, columns=["company", "ticker", "ticker_idx"]),
+    )

@@ -24,9 +24,9 @@ from pandas_oracle import ep1_prepare, ep1_scan, ep2_run_company
 # ---------------------------------------------------------------------------
 
 
-@pytest.fixture(scope="module")
-def daily_bars_pdf():
-    return bars_daily()
+@pytest.fixture(scope="module", params=[42, 7])
+def daily_bars_pdf(request):
+    return bars_daily(seed=request.param)
 
 
 def _spark_bars(spark, pdf):
@@ -265,3 +265,52 @@ def test_ep2_report_layer_golden(spark, intraday_pdf):
     assert abs(got_t.avg_loss - np.mean([r for _, r in losses])) < 1e-9
     mc = [r for t, r in losses if t == "mc"]
     assert abs(got_t.mc_loss_share - len(mc) / len(losses)) < 1e-12
+
+
+def test_ep2_golden_on_real_ticker_structures(spark):
+    """EP2 golden replication over the REAL workbook's hardest ticker
+    shapes: 6-listing Ryanair, 4-listing Berkshire, EU-based Casio
+    (tickers[0] contains '.'), on synthetic bars."""
+    from fixtures import bars_for_listings
+
+    real = {
+        "Ryanair": ["RYAAY", "RY4C.DE", "RY4C.F", "RY4D.BE", "RY4D.DU", "RYA.IR"],
+        "Berkshire Hathaway": ["BRK-B", "BRK-A", "BRKB.VI", "BRKA.VI"],
+        "Casio": ["CA5.F", "CA5.BE"],  # EU-only: base ticker contains '.'
+    }
+    bars, fx, blocks, listings = bars_for_listings(real)
+
+    def naive(df, cols):
+        out = df.copy()
+        for c in cols:
+            out[c] = out[c].dt.tz_localize(None)
+        return out
+
+    feed = build_intraday_feed(
+        spark.createDataFrame(naive(bars, ["ts"])),
+        spark.createDataFrame(naive(fx, ["ts"])),
+        spark.createDataFrame(naive(blocks, ["start_ts", "end_ts"])),
+        spark.createDataFrame(listings),
+    )
+    trades_df, balances_df = intraday_backtest(feed, TRADER_PARAMS)
+    got = trades_df.orderBy("company", "trade_seq").toPandas()
+    got_bal = balances_df.toPandas()
+    total = 0
+    for company, tickers in real.items():
+        exp_trades, exp_hist = ep2_run_company(
+            bars[bars.company == company], fx, blocks, tickers, TRADER_PARAMS
+        )
+        total += len(exp_trades)
+        g = got[got.company == company]
+        assert len(g) == len(exp_trades), f"{company} trade count"
+        for (typ, roi), (_, row) in zip(exp_trades, g.iterrows()):
+            assert row.close_type == typ and abs(row.roi - roi) < 1e-9
+        gb = got_bal[got_bal.company == company].sort_values("ts")
+        eh = (
+            pd.DataFrame(exp_hist, columns=["ts", "balance"])
+            .assign(ts=lambda d: d.ts.dt.tz_localize(None))
+            .sort_values("ts")
+        )
+        assert len(gb) == len(eh)
+        assert max(abs(gb.balance.to_numpy() - eh.balance.to_numpy())) < 1e-9
+    assert total > 0, "structures must produce trades"
