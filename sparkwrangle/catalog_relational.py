@@ -743,3 +743,36 @@ def c_positional_join(spark, sf_dir):
             r6(F.col("v_a") - F.col("v_b")).alias("spread"),
         )
     )
+
+
+@register(
+    "h_datetime_suite",
+    """
+    SELECT event_id,
+           year(ts) AS y, quarter(ts) AS q, month(ts) AS m,
+           weekofyear(ts) AS wk, dayofweek(ts) + 1 AS dow,
+           CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_sec,
+           CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE AS ts_plus_90m
+    FROM events WHERE user_id < 10
+    """,
+    doc="Datetime surface: field extraction (year/quarter/month/iso-week/"
+    "dow), month/week truncation, epoch seconds, interval arithmetic. "
+    "DuckDB dayofweek is 0-based Sunday; Spark is 1-based — aligned "
+    "explicitly. weekofyear is ISO in both.",
+)
+def h_datetime_suite(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        F.month("ts").alias("m"),
+        F.weekofyear("ts").alias("wk"),
+        F.dayofweek("ts").alias("dow"),
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month_start"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        F.unix_timestamp("ts").alias("epoch_sec"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+    )

@@ -6,6 +6,11 @@ order-insensitive values. Stricter than the driver (exact string compare
 after 1e-9 float rounding) so anything passing here should hash-match.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --hostile [sf_dir] [query ...]
+
+--hostile builds the session the way an external driver might (ANSI on,
+non-UTC timezone, 200 shuffle partitions, no Arrow) instead of the
+engine's own get_spark — the full gate must pass either way.
 """
 
 from __future__ import annotations
@@ -40,9 +45,27 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("check_oracle")
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    if hostile:
+        args.remove("--hostile")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if hostile:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_hostile")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.shuffle.partitions", "200")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "false")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
