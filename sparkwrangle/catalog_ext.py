@@ -681,3 +681,47 @@ def x_text_normalize(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return docs.select("doc_id", normalize_for_dedup("text").alias("text_norm"))
+
+
+@register(
+    "x_embedding_normalize",
+    """
+    SELECT vec_id,
+           list_transform(range(1, len(embedding) + 1),
+               i -> round(CAST(embedding[i] AS DOUBLE)
+                    / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))), 6)) AS unit_vec
+    FROM embeddings WHERE vec_id < 50
+    """,
+    doc="Embedding unit-normalization (the preprocessing step that turns "
+    "cosine search into dot-product search): per-element divide by the "
+    "L2 norm, pure array expressions.",
+)
+def x_embedding_normalize(spark, sf_dir):
+    from sparkwrangle.ext.similarity import _norm
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    n = _norm(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") / n, 6)
+        ).alias("unit_vec"),
+    )
+
+
+@register(
+    "x_frame_sampling",
+    None,
+    doc="North-star multimodal frame sampling: mapInPandas 1→n row "
+    "expansion slicing payload bytes into evenly-spaced frames (STUB "
+    "slicer, production Arrow-batch plumbing; video decoders absent "
+    "in this container).",
+)
+def x_frame_sampling(spark, sf_dir):
+    from sparkwrangle.ext.multimodal import attach_payload, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs), n_frames=4).select(
+        "doc_id", "frame_idx", "n_bytes"
+    )

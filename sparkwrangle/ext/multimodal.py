@@ -89,3 +89,62 @@ def decode_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: one payload row → n evenly-spaced 'frame' rows.
+
+    STUB decoder (no video libs here): frames are evenly-spaced byte
+    slices of the payload — but the Spark-side shape is the production
+    one: a mapInPandas row EXPANSION (1 → n) streaming through Arrow
+    batches, never materializing a document's frames in driver memory.
+    Swap the slicer for cv2/ffmpeg keyframe extraction.
+    """
+
+    def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                if payload is None or len(payload) == 0:
+                    continue
+                step = max(len(payload) // n_frames, 1)
+                for k in range(n_frames):
+                    chunk = bytes(payload[k * step : (k + 1) * step])
+                    if not chunk:
+                        break
+                    out.append(
+                        {
+                            "doc_id": row["doc_id"],
+                            "frame_idx": k,
+                            "frame_bytes": chunk,
+                            "n_bytes": len(chunk),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_bytes", "n_bytes"]
+            )
+
+    return media.mapInPandas(_expand, FRAME_SCHEMA)
+
+
+def pointer_table(docs: DataFrame, base_uri: str = "s3://corpus/raw") -> DataFrame:
+    """The 100 TB layout: metadata + URI pointer, NO inline payload — the
+    scan stays tiny and byte fetches happen only inside the decode stage
+    for rows that survive metadata predicates."""
+    return docs.select(
+        F.col("doc_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.concat(F.lit(base_uri + "/"), F.col("doc_id")).alias("uri"),
+        F.col("n_chars").cast("long").alias("n_bytes_hint"),
+    )

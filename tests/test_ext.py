@@ -110,3 +110,35 @@ def test_multimodal_decode_stub_schema_and_values(spark):
     assert r.n_bytes == len(payload)
     assert abs(r.byte_mean - sum(payload) / len(payload)) < 1e-9
     assert r.feature_dim == 1
+
+
+def test_frame_sampling_expansion(spark):
+    from sparkwrangle.ext.multimodal import attach_payload, sample_frames
+
+    media = attach_payload(_docs(spark))
+    frames = sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc expands to up to 4 ordered frames covering distinct slices
+    assert set(by_doc) == {0, 1, 2, 3, 4}
+    for doc_id, fr in by_doc.items():
+        idxs = sorted(r.frame_idx for r in fr)
+        assert idxs == list(range(len(fr)))
+        assert all(r.n_bytes > 0 for r in fr)
+    # frames reassemble a prefix of the original payload in order
+    doc0 = sorted(by_doc[0], key=lambda r: r.frame_idx)
+    joined = b"".join(bytes(r.frame_bytes) for r in doc0)
+    original = dict((r.doc_id, r.payload) for r in media.collect())[0]
+    assert bytes(original).startswith(joined[: len(joined) // 2])
+
+
+def test_pointer_table_has_no_payload(spark):
+    from sparkwrangle.ext.multimodal import pointer_table
+
+    docs = _docs(spark).withColumn("n_chars", F.length("text"))
+    pt = pointer_table(docs)
+    assert "payload" not in pt.columns
+    r = pt.filter(F.col("doc_id") == 3).collect()[0]
+    assert r.uri.endswith("/3") and r.n_bytes_hint > 0
