@@ -70,6 +70,7 @@ _PYTHON_OK = {
     "s2_intraday_trader",
     "ep2_full_pipeline",
     "x_multimodal_features",
+    "x_frame_sampling",
 }
 
 
