@@ -725,3 +725,37 @@ def x_frame_sampling(spark, sf_dir):
     return sample_frames(attach_payload(docs), n_frames=4).select(
         "doc_id", "frame_idx", "n_bytes"
     )
+
+
+@register(
+    "x_corpus_stats",
+    f"""
+    WITH toks AS (SELECT source, lang, n_chars, len({_TOKS_SQL}) AS n_tok
+                  FROM documents)
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(25,8))) AS DOUBLE) AS total_chars,
+           CAST(SUM(CAST(n_tok AS DECIMAL(25,8))) AS DOUBLE) AS total_tokens,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 6) AS p95_chars
+    FROM toks
+    GROUP BY source, lang
+    """,
+    doc="Corpus analytics: per-(source, lang) document counts, exact char/"
+    "token totals, and length percentiles — the dataset-card numbers a "
+    "training-data pipeline reports per shard.",
+)
+def x_corpus_stats(spark, sf_dir):
+    from sparkwrangle.catalog import dsum
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(tokenize("text"))
+    )
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        dsum(F.col("n_chars")).alias("total_chars"),
+        dsum(F.col("n_tok")).alias("total_tokens"),
+        r6(F.percentile(F.col("n_chars").cast("double"), 0.5)).alias("p50_chars"),
+        r6(F.percentile(F.col("n_chars").cast("double"), 0.95)).alias("p95_chars"),
+    )

@@ -10,9 +10,11 @@ import numpy as np
 import pandas as pd
 
 
-def bars_daily(n_days: int = 1000, seed: int = 42) -> pd.DataFrame:
+def bars_daily(n_days: int = 1000, seed: int = 42, zero_close: bool = True) -> pd.DataFrame:
     """A1: two tickers of daily closes; second ≈ first/1500 + mean-reverting
-    noise so |delta| crosses 0.005; ~1% NaN and one zero close (K.4)."""
+    noise so |delta| crosses 0.005; ~1% NaN and one zero close (K.4,
+    disable with zero_close=False for comparisons against engines that
+    lack pandas' x/0 → inf semantics)."""
     rng = np.random.default_rng(seed)
     idx = pd.bdate_range("2006-01-02", periods=n_days, tz="UTC")
     steps = rng.normal(0.0003, 0.012, n_days)
@@ -25,7 +27,8 @@ def bars_daily(n_days: int = 1000, seed: int = 42) -> pd.DataFrame:
     b_nan = rng.random(n_days) < 0.01
     a = np.where(a_nan, np.nan, a)
     b = np.where(b_nan, np.nan, b)
-    b[n_days // 2] = 0.0  # one zero close → /0 → inf → 0.0 path
+    if zero_close:
+        b[n_days // 2] = 0.0  # one zero close → /0 → inf → 0.0 path
     rows = []
     for tkr, closes in (("AAA", a), ("BBB", b)):
         for t, c in zip(idx, closes):
