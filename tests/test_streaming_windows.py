@@ -125,3 +125,25 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     got = spark.sql("SELECT * FROM dedup_sink").collect()
     assert len(got) == 3  # 4 input rows, one dropped as duplicate
     assert sorted(r.value for r in got) == [1.0, 2.0, 3.0]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: enrich streaming facts with a broadcast static
+    dimension — the streaming form of the engine's dimension joins."""
+    d = str(tmp_path / "enrich")
+    os.makedirs(d)
+    _write(spark, [("2024-01-01 10:00:00", 1.0), ("2024-01-01 10:01:00", 2.0)],
+           os.path.join(d, "b1"))
+    dim = spark.createDataFrame([(1.0, "low"), (2.0, "high")], "value double, tier string")
+    stream = spark.readStream.schema(_SCHEMA).parquet(os.path.join(d, "*"))
+    out = stream.join(F.broadcast(dim), "value", "left")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r.value: r.tier for r in spark.sql("SELECT * FROM enrich_sink").collect()}
+    assert rows == {1.0: "low", 2.0: "high"}
