@@ -776,3 +776,34 @@ def h_datetime_suite(spark, sf_dir):
         F.unix_timestamp("ts").alias("epoch_sec"),
         (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
     )
+
+
+@register(
+    "w_range_frame",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY value
+                          RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING) AS n_within_5,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) OVER (
+                PARTITION BY user_id ORDER BY value
+                RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_below_5
+    FROM events WHERE user_id < 30
+    """,
+    doc="RANGE window frames (value-distance bounds, not row counts): "
+    "peers within ±5.0 of each row's value — the frame family rows-based "
+    "windows can't express; decimal accumulator keeps the sum exact "
+    "across engines.",
+)
+def w_range_frame(spark, sf_dir):
+    # fractional RANGE bounds need the SQL expression form — the PySpark
+    # Window.rangeBetween API only accepts integral offsets
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return ev.selectExpr(
+        "event_id",
+        "user_id",
+        "count(*) OVER (PARTITION BY user_id ORDER BY value "
+        "RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING) AS n_within_5",
+        "CAST(SUM(CAST(value AS DECIMAL(25,8))) OVER (PARTITION BY user_id "
+        "ORDER BY value RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW) "
+        "AS DOUBLE) AS sum_below_5",
+    )
