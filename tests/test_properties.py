@@ -118,3 +118,35 @@ def test_minmax_normalization_bounds(xs):
     for x in xs:
         n = (x - lo) / (hi - lo)
         assert -1e-12 <= n <= 1 + 1e-12
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-0.05, max_value=0.05, allow_nan=False),  # delta
+            st.floats(min_value=-0.02, max_value=0.02, allow_nan=False),  # ret1
+            st.floats(min_value=-0.02, max_value=0.02, allow_nan=False),  # ret2
+        ),
+        min_size=2,
+        max_size=120,
+    )
+)
+def test_s1_scan_matches_independent_oracle(rows):
+    """The engine's numpy scan core and the vendored iterrows-style oracle
+    are INDEPENDENT implementations of cell 6 — hypothesis feeds both the
+    same random prepared frames and they must emit identical trades."""
+    import pandas as pd
+
+    from pandas_oracle import ep1_scan
+    from sparkwrangle.stateful.pairs_scan import scan_pair_pdf
+
+    idx = pd.date_range("2020-01-01", periods=len(rows), freq="B")
+    frame = pd.DataFrame(rows, columns=["delta", "ret1", "ret2"], index=idx)
+    frame["ts"] = idx
+    expected = ep1_scan(frame, buy_at=0.01, fees=0.0)
+    got = scan_pair_pdf(frame.reset_index(drop=True), buy_at=0.01, fees=0.0)
+    assert len(got) == len(expected)
+    for (o, e, r), (_, row) in zip(got, expected.iterrows()):
+        assert o == row.open_date and e == row.end_date
+        assert math.isclose(r, row["return"], rel_tol=0, abs_tol=1e-12)
