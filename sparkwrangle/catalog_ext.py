@@ -759,3 +759,36 @@ def x_corpus_stats(spark, sf_dir):
         r6(F.percentile(F.col("n_chars").cast("double"), 0.5)).alias("p50_chars"),
         r6(F.percentile(F.col("n_chars").cast("double"), 0.95)).alias("p95_chars"),
     )
+
+
+@register(
+    "x_dedup_exact_keep_first",
+    f"""
+    WITH normed AS (
+        SELECT doc_id, text,
+               {h60_sql("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS text_hash
+        FROM documents
+    )
+    SELECT doc_id, text_hash FROM (
+        SELECT doc_id, text_hash,
+               row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        FROM normed
+    ) WHERE rn = 1
+    """,
+    doc="North-star exact dedup, materialized: keep the lowest doc_id per "
+    "normalized-text group (keep='first') — the actual dedup OUTPUT, not "
+    "just group counts.",
+)
+def x_dedup_exact_keep_first(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.dedup import exact_dup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = exact_dup_groups(docs).select("doc_id", "text_hash")
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_hash")
+    )

@@ -142,3 +142,15 @@ def test_pointer_table_has_no_payload(spark):
     assert "payload" not in pt.columns
     r = pt.filter(F.col("doc_id") == 3).collect()[0]
     assert r.uri.endswith("/3") and r.n_bytes_hint > 0
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """Sketch surface: HLL approx distinct stays within 5% of exact on the
+    driver's events table (not oracle-checkable — DuckDB's sketch differs)."""
+    from sparkwrangle.io import load_table
+    from conftest import SF_ORACLE
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
