@@ -175,3 +175,42 @@ def streaming_backtest_trades(
     return src.groupBy("company").applyInPandasWithState(
         fn, _OUT_SCHEMA, _STATE_SCHEMA, "append", timeout
     )
+
+
+_BAL_SCHEMA = "company string, ts timestamp, balance double"
+
+
+def streaming_backtest_balances(feed_stream: DataFrame, params: dict) -> DataFrame:
+    """Streaming twin of backtest_balances: one (company, ts, balance) row
+    per tick as batches arrive — the live equity curve. Same state
+    encoding as the trades operator, so the two can't drift."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        company = key[0]
+        st, seen, last_prices, deadline = _restore(state, params)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            _persist(state, st, seen, last_prices, deadline)
+            return
+        pdf = pdf.sort_values(["feed_seq", "ticker_idx"], kind="mergesort")
+        n_idx = int(pdf["ticker_idx"].max()) + 1
+        history = []
+        for _, tick in pdf.groupby("feed_seq", sort=True):
+            by_idx = tick.set_index("ticker_idx")
+            prices = [
+                float(by_idx["price"].get(i, float("nan"))) for i in range(n_idx)
+            ]
+            rets = [float(by_idx["ret"].get(i, float("nan"))) for i in range(1, n_idx)]
+            ts = tick["ts"].iloc[0]
+            sod = ts.hour * 3600 + ts.minute * 60 + ts.second
+            st.data_feed(sod, rets, prices)
+            last_prices = prices
+            history.append({"company": company, "ts": ts, "balance": st.balance})
+        _persist(state, st, seen + 0, last_prices, deadline)
+        yield pd.DataFrame(history, columns=["company", "ts", "balance"])
+
+    return feed_stream.groupBy("company").applyInPandasWithState(
+        fn, _BAL_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )

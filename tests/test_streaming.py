@@ -230,3 +230,32 @@ def test_checkpoint_recovery_preserves_state(spark, feed_df, tmp_path):
     got = spark.read.parquet(sink).toPandas()
     assert len(got) >= n_after_first
     _assert_same_trades(batch, got)
+
+
+def test_streaming_balances_parity(spark, feed_df, tmp_path):
+    from sparkwrangle.stateful.trader import backtest_balances
+    from sparkwrangle.streaming.trader_stream import streaming_backtest_balances
+
+    batch = backtest_balances(feed_df, TRADER_PARAMS).toPandas()
+    d = str(tmp_path / "balfeed")
+    feed_df.coalesce(1).write.parquet(d)
+    schema = (
+        "company string, feed_seq int, ts timestamp, ticker_idx bigint, "
+        "price double, ret double"
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = streaming_backtest_balances(stream, TRADER_PARAMS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bal_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM bal_sink").toPandas()
+    assert len(got) == len(batch)
+    b = batch.sort_values(["company", "ts"]).reset_index(drop=True)
+    g = got.sort_values(["company", "ts"]).reset_index(drop=True)
+    assert (b.company == g.company).all()
+    assert max(abs(b.balance.to_numpy() - g.balance.to_numpy())) < 1e-12
