@@ -1,0 +1,48 @@
+"""Cluster-equivalence check: results must be BITWISE identical under
+different shuffle-partition counts — the property that lets the same
+queries hash-match on a laptop and a 1000-executor cluster (SCALE.md's
+determinism rules: decimal accumulators, floor rounding, unique window
+tiebreaks)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sparkwrangle.catalog import CATALOG
+
+from conftest import SF_SMOKE
+
+QUERIES = [
+    "tpch_q1_pricing_summary",  # decimal-accumulated wide aggregation
+    "d_compounded_return",      # exp over decimal-summed logs
+    "g_pivot_wide",             # pivot with decimal cell sums
+    "w_pct_change_log_returns", # floor-formula rounded windows
+    "x_dedup_minhash_sigs",     # min-aggregated portable hashes
+    "r_balance_report",         # closed-form report aggregates
+]
+
+
+def _rows(df):
+    def cell(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)  # full bit precision
+        return str(v)
+
+    cols = sorted(df.columns)
+    order = [df.columns.index(c) for c in cols]
+    return sorted("|".join(cell(r[i]) for i in order) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_results_invariant_to_partitioning(spark, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _rows(CATALOG[name].fn(spark, SF_SMOKE))
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        b = _rows(CATALOG[name].fn(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b, f"{name}: results depend on partitioning"
