@@ -147,3 +147,32 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     q.awaitTermination(60)
     rows = {r.value: r.tier for r in spark.sql("SELECT * FROM enrich_sink").collect()}
     assert rows == {1.0: "low", 2.0: "high"}
+
+
+def test_rate_source_drives_windowed_counts(spark):
+    """The built-in rate source (the Kafka stand-in in this container)
+    flows through the windowed-aggregation surface."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+        .withColumnRenamed("timestamp", "ts")
+        .withColumn("value", F.col("value").cast("double"))
+    )
+    out = windowed_counts(stream, window="1 second", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_sink")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) FROM rate_sink").collect()[0][0]
+            if n >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n >= 2, "rate source should finalize at least two 1s windows"
