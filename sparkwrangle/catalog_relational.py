@@ -807,3 +807,89 @@ def w_range_frame(spark, sf_dir):
         "ORDER BY value RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW) "
         "AS DOUBLE) AS sum_below_5",
     )
+
+
+_ASOF_UNION_SQL = """
+    WITH unioned AS (
+        SELECT user_id, ts, event_id, value, 1 AS src, NULL::DOUBLE AS rate
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, NULL AS event_id, NULL AS value, 0 AS src, value AS rate
+        FROM events WHERE event_type = 'purchase'
+    ), framed AS (
+        SELECT *,
+            last_value(CASE WHEN src = 0 THEN rate END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, src
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bv,
+            last_value(CASE WHEN src = 0 THEN ts END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, src
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+            first_value(CASE WHEN src = 0 THEN rate END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, (CASE WHEN src = 0 THEN 1 ELSE 0 END)
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv,
+            first_value(CASE WHEN src = 0 THEN ts END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, (CASE WHEN src = 0 THEN 1 ELSE 0 END)
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts
+        FROM unioned
+    )
+"""
+
+
+@register(
+    "c_asof_forward",
+    _ASOF_UNION_SQL
+    + """
+    SELECT event_id, user_id, round(fv, 6) AS next_rate
+    FROM framed WHERE src = 1
+    """,
+    doc="As-of join, FORWARD direction (pandas merge_asof forward): each "
+    "click snaps to the EARLIEST purchase value at or after it — the "
+    "union idiom with the window frame flipped to current-row→following.",
+)
+def c_asof_forward(spark, sf_dir):
+    from sparkwrangle.ops.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("rate")
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], value_col="rate",
+        direction="forward", out_col="next_rate",
+    )
+    return out.select("event_id", "user_id", r6("next_rate").alias("next_rate"))
+
+
+@register(
+    "c_asof_nearest",
+    _ASOF_UNION_SQL
+    + """
+    SELECT event_id, user_id,
+           round(CASE WHEN bts IS NULL THEN fv
+                      WHEN fts IS NULL THEN bv
+                      WHEN (epoch(CAST(fts AS TIMESTAMP)) - epoch(CAST(ts AS TIMESTAMP)))
+                         < (epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(bts AS TIMESTAMP)))
+                      THEN fv ELSE bv END, 6) AS nearest_rate
+    FROM framed WHERE src = 1
+    """,
+    doc="As-of join, NEAREST direction (pandas merge_asof nearest, ties → "
+    "backward): the closer of the backward/forward matches per row.",
+)
+def c_asof_nearest(spark, sf_dir):
+    from sparkwrangle.ops.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("rate")
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], value_col="rate",
+        direction="nearest", out_col="nearest_rate",
+    )
+    return out.select("event_id", "user_id", r6("nearest_rate").alias("nearest_rate"))
