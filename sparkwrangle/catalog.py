@@ -974,13 +974,16 @@ def s2_intraday_trader(spark, sf_dir):
     ), dropped AS (
         SELECT * FROM filled WHERE ts > (SELECT min(ts) FROM events)
     ), totals AS (
-        SELECT ts, sum(bal_ff) AS total FROM dropped GROUP BY ts
+        SELECT ts, CAST(sum(CAST(bal_ff AS DECIMAL(25,8))) AS DOUBLE) AS total
+        FROM dropped GROUP BY ts
     )
     SELECT round(arg_max(total, ts) / arg_min(total, ts) - 1, 6) AS roi,
            date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days,
-           round(pow(arg_max(total, ts) / arg_min(total, ts),
-                 365.0 / date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))) - 1,
-                 6) AS annualized_roi
+           CASE WHEN arg_max(total, ts) / arg_min(total, ts) > 0 THEN
+               floor(ln(arg_max(total, ts) / arg_min(total, ts))
+                     * (365.0 / date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)))
+                     * 1000000.0 + 0.5) / 1000000.0
+           END AS log_annualized_roi
     FROM totals
     """,
     doc="EP2 report layer (cells 29-31): per-company balance series → "
@@ -998,7 +1001,10 @@ def r_balance_report(spark, sf_dir):
     return out.select(
         r6("roi").alias("roi"),
         "span_days",
-        r6("annualized_roi").alias("annualized_roi"),
+        # pow-form annualized_roi reaches 1e32 at driver SFs, where 6-digit
+        # rounding is a no-op and one libm ulp flips the hash (the r01 red
+        # row); report the bounded log form instead and round it stably.
+        rf(F.col("log_annualized_roi")).alias("log_annualized_roi"),
     )
 
 

@@ -163,8 +163,15 @@ def balance_report(balances: DataFrame) -> DataFrame:
         F.max(F.to_date("t2")).alias("t2_d"),
     )
     agg = per_company.agg(
-        F.sum("bal_at_t2").alias("first_total"),
-        F.sum("final_bal").alias("last_total"),
+        # Exact decimal accumulators: plain double SUM is partial-aggregation
+        # order-dependent, which breaks cross-engine value hashes (and makes
+        # the report itself nondeterministic across partition counts).
+        F.sum(F.col("bal_at_t2").cast("decimal(25,8)")).cast("double").alias(
+            "first_total"
+        ),
+        F.sum(F.col("final_bal").cast("decimal(25,8)")).cast("double").alias(
+            "last_total"
+        ),
         F.datediff(F.max("max_d"), F.max("t2_d")).alias("span_days"),
     )
     ratio = F.col("last_total") / F.col("first_total")
@@ -172,6 +179,13 @@ def balance_report(balances: DataFrame) -> DataFrame:
         (ratio - 1).alias("roi"),
         "span_days",
         (F.pow(ratio, 365.0 / F.col("span_days")) - 1).alias("annualized_roi"),
+        # Bounded-magnitude twin of annualized_roi: ln(1+a) = ln(ratio)·365/span.
+        # pow at extreme magnitudes (1e32 at driver SFs) makes fixed-digit
+        # rounding a no-op, so one ulp of libm divergence flips a value hash;
+        # the log form stays O(100) and rounds stably.
+        F.when(ratio > 0, F.log(ratio) * (365.0 / F.col("span_days"))).alias(
+            "log_annualized_roi"
+        ),
     )
 
 
