@@ -1,11 +1,19 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs the full query catalog at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line as the FINAL stdout line:
 
-Each query is timed end-to-end (plan + execute + drain). A warmup query
-absorbs JVM/codegen startup so the numbers measure the plans, not session
-boot.
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {<5 slowest>: sec}, "n_queries": N, "sf": ...}
+
+The full per-query timing dict is written to BENCH_DETAIL.json next to
+this file (the all-85-key dict made the final line too long for the
+driver's capture in round 1 — BENCH_r01.json came back ``parsed: null``).
+
+Each query is timed end-to-end (plan + execute + drain into a noop sink).
+A warmup query absorbs JVM/codegen startup so the numbers measure the
+plans, not session boot; table loads are memoized per-session in
+sparkwrangle.io so per-query parquet listing/footer reads don't mask
+plan regressions.
 """
 
 from __future__ import annotations
@@ -41,7 +49,8 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(
         json.dumps(
             {
                 "metric": "sparkwrangle catalog wall-clock",
@@ -49,6 +58,23 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+            },
+            indent=2,
+        )
+    )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "sparkwrangle catalog wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "n_queries": len(timings),
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -10,6 +10,7 @@ The engine's data model is long/narrow DataFrames with declared schemas
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +35,16 @@ DIMENSION_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Per-session memo of loaded tables: DataFrames are immutable, so handing
+# back the same (lazy) plan skips the per-call parquet file listing and
+# footer/schema read — ~0.1-0.2 s each, which dominates sub-second queries.
+# Keyed weakly by session so a stopped session's plans can never leak into
+# a new one.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet → full pushdown/pruning support.
 
@@ -44,10 +55,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle comparisons stay exact. Sub-microsecond ordering ties are
     impossible in this data (events are seconds apart).
     """
+    try:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session stub (tests/mocks)
+        per_session = {}
+    key = (os.path.abspath(sf_dir), name)
+    if key in per_session:
+        return per_session[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    per_session[key] = df
     return df
 
 
