@@ -212,10 +212,16 @@ _SHINGLES_SQL = f"""
     "x_dedup_ngram_jaccard",
     _SHINGLES_SQL
     + """
-    , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    , shf AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+            FROM sh
+        ) WHERE df <= 20
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT id_a, id_b, inter,
@@ -226,14 +232,15 @@ _SHINGLES_SQL = f"""
     WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.05
     """,
     doc="North-star near-dedup: exact word-3-gram Jaccard via shingle "
-    "self-join — the verifier for LSH candidates.",
+    "self-join with a df<=20 shingle cap bounding join fan-out "
+    "(corpus-wide form; the unfiltered measure is the LSH verifier).",
 )
 def x_dedup_ngram_jaccard(spark, sf_dir):
     from sparkwrangle.ext.dedup import ngram_jaccard_pairs, shingles
 
     docs = _t(spark, sf_dir, "documents")
     sh = shingles(docs, "doc_id", "text", 3)
-    out = ngram_jaccard_pairs(sh, "doc_id", threshold=0.05)
+    out = ngram_jaccard_pairs(sh, "doc_id", threshold=0.05, max_df=20)
     return out.select("id_a", "id_b", "inter", r6("jaccard").alias("jaccard"))
 
 

@@ -110,10 +110,32 @@ def lsh_candidate_pairs(
 
 
 def ngram_jaccard_pairs(
-    sh: DataFrame, id_col: str, threshold: float = 0.0
+    sh: DataFrame,
+    id_col: str,
+    threshold: float = 0.0,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over a shingle self-join:
-    |A∩B| / (|A| + |B| − |A∩B|), pairs with id_a < id_b above threshold."""
+    |A∩B| / (|A| + |B| − |A∩B|), pairs with id_a < id_b above threshold.
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    BEFORE the self-join (sizes count the filtered universe too). The
+    self-join fans out as Σ df(shingle)², so one boilerplate shingle with
+    df=10⁶ alone generates 10¹² pairs at corpus scale; capping df bounds
+    per-shingle fan-out at max_df² while barely moving Jaccard (hot
+    shingles carry no discriminative signal — the standard df-cap trick).
+    Corpus-wide use MUST set it; LSH-candidate verification (bounded input)
+    may pass None for the unfiltered exact measure.
+    """
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        dfw = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(dfw))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
