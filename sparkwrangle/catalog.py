@@ -170,7 +170,8 @@ def b_time_range_projection(spark, sf_dir):
     """
     SELECT event_id, user_id, value
     FROM events
-    WHERE (hour(ts) * 60 + minute(ts)) BETWEEN (14*60+30) AND (16*60+30)
+    WHERE ((hour(ts) * 60 + minute(ts)) * 60 + CAST(second(ts) AS INT))
+          BETWEEN (14*60+30)*60 AND (16*60+30)*60
     """,
     doc="B9/W7: pandas between_time('14:30','16:30') inclusive band "
     "(intra_day_arbitrage.ipynb:92; IntradayRegionArbitrage.py:159).",

@@ -33,9 +33,14 @@ def trade_stats(df: DataFrame, roi_col: str = "roi", type_col: str = "close_type
     (intra_day_arbitrage.ipynb:11686-11714): win share, avg profit/loss,
     market-close loss share."""
     roi, typ = F.col(roi_col), F.col(type_col)
+    n_wins = F.count(F.when(roi > 0, 1))
+    n_losses = F.count(F.when(roi < 0, 1))
     return df.agg(
         F.count("*").alias("n_trades"),
-        F.avg((roi > 0).cast("int")).alias("win_share"),
+        # wins/(wins+losses), zero-roi trades excluded — matching reference
+        # cell 33 (a zero-roi close, e.g. mc at unchanged prices, counts in
+        # neither bucket) and pipelines.intraday.trade_report.
+        (n_wins / (n_wins + n_losses)).alias("win_share"),
         F.avg(F.when(roi > 0, roi)).alias("avg_profit"),
         F.avg(F.when(roi < 0, roi)).alias("avg_loss"),
         (

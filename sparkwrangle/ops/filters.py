@@ -40,11 +40,17 @@ def time_of_day_band(
     df: DataFrame, ts_col: str, start_hm: tuple[int, int], end_hm: tuple[int, int]
 ) -> DataFrame:
     """Inclusive time-of-day band, pandas ``between_time`` semantics
-    (intra_day_arbitrage.ipynb:92, cell 6 — the 14:30–16:30 UTC session)."""
-    lo = start_hm[0] * 60 + start_hm[1]
-    hi = end_hm[0] * 60 + end_hm[1]
-    m = minute_of_day(F.col(ts_col))
-    return df.filter(m.between(lo, hi))
+    (intra_day_arbitrage.ipynb:92, cell 6 — the 14:30–16:30 UTC session).
+
+    Compared at second-of-day resolution: pandas compares full times, so a
+    16:30:45 row is OUTSIDE a band ending 16:30 — a whole-minute compare
+    would wrongly include it (the reference's 5-minute bars never hit this,
+    but the op is documented as general between_time)."""
+    ts = F.col(ts_col)
+    lo = (start_hm[0] * 60 + start_hm[1]) * 60
+    hi = (end_hm[0] * 60 + end_hm[1]) * 60
+    s = minute_of_day(ts) * 60 + F.second(ts)
+    return df.filter(s.between(lo, hi))
 
 
 def safe_div_pandas(num: Column, den: Column) -> Column:

@@ -80,6 +80,17 @@ def test_time_of_day_band_inclusive(spark):
     assert out.count() == 3  # 10:05 A, 10:10 A, 10:05 B — inclusive both ends
 
 
+def test_time_of_day_band_second_resolution(spark):
+    # pandas between_time compares full times: 16:30:45 is OUTSIDE a band
+    # ending 16:30, while 16:30:00 is inside (inclusive end).
+    df = spark.createDataFrame(
+        [("2023-01-02 16:30:00",), ("2023-01-02 16:30:45",), ("2023-01-02 14:29:59",)],
+        "ts_s string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r.ts.strftime("%H:%M:%S") for r in time_of_day_band(df, "ts", (14, 30), (16, 30)).collect()}
+    assert got == {"16:30:00"}
+
+
 def test_next_bar_lead(spark):
     df = _bars(spark).filter(F.col("close").isNotNull())
     out = next_bar(df, ["close"], ["ticker"], ["ts"]).orderBy("ticker", "ts").collect()
