@@ -112,27 +112,48 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """
 
     def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "frame_idx": pd.Series(dtype="int64"),
+                "frame_bytes": pd.Series(dtype="object"),
+                "n_bytes": pd.Series(dtype="int64"),
+            }
+        )
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
-                if payload is None or len(payload) == 0:
-                    continue
-                step = max(len(payload) // n_frames, 1)
-                for k in range(n_frames):
-                    chunk = bytes(payload[k * step : (k + 1) * step])
-                    if not chunk:
-                        break
-                    out.append(
-                        {
-                            "doc_id": row["doc_id"],
-                            "frame_idx": k,
-                            "frame_bytes": chunk,
-                            "n_bytes": len(chunk),
-                        }
-                    )
+            payloads = pdf["payload"].to_numpy()
+            lens = np.fromiter(
+                (0 if p is None else len(p) for p in payloads),
+                dtype=np.int64,
+                count=len(payloads),
+            )
+            keep = lens > 0
+            if not keep.any():
+                yield empty
+                continue
+            payloads, lens = payloads[keep], lens[keep]
+            doc_ids = pdf["doc_id"].to_numpy()[keep]
+            # Frame offsets computed vectorized (a real decoder swap keeps
+            # this loop shape: only the per-row byte slice stays Python).
+            steps = np.maximum(lens // n_frames, 1)
+            n_chunks = np.minimum(n_frames, lens)  # step=1 when len<n_frames
+            frame_idx = np.concatenate([np.arange(c) for c in n_chunks])
+            rep_steps = np.repeat(steps, n_chunks)
+            starts = frame_idx * rep_steps
+            ends = np.minimum(starts + rep_steps, np.repeat(lens, n_chunks))
+            rep_payloads = np.repeat(payloads, n_chunks)
             yield pd.DataFrame(
-                out, columns=["doc_id", "frame_idx", "frame_bytes", "n_bytes"]
+                {
+                    "doc_id": np.repeat(doc_ids, n_chunks),
+                    "frame_idx": frame_idx,
+                    "frame_bytes": [
+                        bytes(p[s:e])
+                        for p, s, e in zip(rep_payloads, starts, ends)
+                    ],
+                    "n_bytes": ends - starts,
+                }
             )
 
     return media.mapInPandas(_expand, FRAME_SCHEMA)
