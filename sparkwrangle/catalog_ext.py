@@ -719,18 +719,36 @@ def x_embedding_normalize(spark, sf_dir):
 
 @register(
     "x_frame_sampling",
-    None,
+    """
+    WITH par AS (
+        SELECT doc_id, text, length(text) AS len,
+               greatest(length(text) // 4, 1) AS step,
+               least(4, length(text)) AS nc
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT d.doc_id, r.range AS frame_idx,
+           substring(d.text, CAST(r.range * d.step + 1 AS BIGINT),
+                     CAST(d.step AS BIGINT)) AS frame_str,
+           octet_length(encode(substring(d.text, CAST(r.range * d.step + 1 AS BIGINT),
+                                         CAST(d.step AS BIGINT)))) AS n_bytes
+    FROM par d, range(0, 4) r
+    WHERE r.range < d.nc
+    """,
     doc="North-star multimodal frame sampling: mapInPandas 1→n row "
     "expansion slicing payload bytes into evenly-spaced frames (STUB "
-    "slicer, production Arrow-batch plumbing; video decoders absent "
-    "in this container).",
+    "slicer, production Arrow-batch plumbing; video decoders absent in "
+    "this container). Oracle exploits the corpus being ASCII, where byte "
+    "slices equal char slices, so the expansion logic is hash-checked.",
 )
 def x_frame_sampling(spark, sf_dir):
     from sparkwrangle.ext.multimodal import attach_payload, sample_frames
 
     docs = _t(spark, sf_dir, "documents")
     return sample_frames(attach_payload(docs), n_frames=4).select(
-        "doc_id", "frame_idx", "n_bytes"
+        "doc_id",
+        "frame_idx",
+        F.decode(F.col("frame_bytes"), "UTF-8").alias("frame_str"),
+        "n_bytes",
     )
 
 
