@@ -881,39 +881,136 @@ def _events_as_pair_bars(spark, sf_dir):
     return a.unionByName(b)
 
 
+# Gaps-and-islands SQL twin of the S1 scan (SURVEY §2.S1's sketch made
+# concrete): the sequential dependency "next open only after prior close"
+# becomes a recursive CTE walking precomputed pointers — next_sig (first
+# signal row at/after rn), next_nonpos/next_nonneg (first zero-cross after
+# rn per sign) — so each trade is one pointer lookup, no correlated
+# subqueries. Interval returns are prefix-sum differences over rows
+# (sig_rn+1 .. close_rn], matching the scan's inclusive [open, close]
+# label slice with entry at next bar (quirks K.9).
+_S1_SCAN_SQL = """
+    WITH RECURSIVE lagged AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               value AS c1, (value * 0.5 + 25.0) AS c2,
+               lag(value) OVER w AS l1,
+               lag(value * 0.5 + 25.0) OVER w AS l2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), rets AS (
+        SELECT user_id, ts, c1, c2,
+               CASE WHEN l1 IS NULL THEN NULL
+                    WHEN l1 = 0 AND c1 = 0 THEN NULL
+                    WHEN l1 = 0 THEN 0.0
+                    WHEN 1 + (c1 / l1 - 1) > 0 THEN ln(1 + (c1 / l1 - 1))
+                    WHEN 1 + (c1 / l1 - 1) = 0 THEN 0.0
+                    ELSE NULL END AS ret1_raw,
+               ln(1 + (c2 / l2 - 1)) AS ret2
+        FROM lagged
+    ), prep AS (
+        SELECT user_id, ts, (c2 - c1) / c2 AS delta,
+               CASE WHEN ret1_raw = 'infinity'::DOUBLE
+                      OR ret1_raw = '-infinity'::DOUBLE THEN 0.0
+                    ELSE ret1_raw END AS ret1,
+               ret2
+        FROM rets
+        WHERE ret1_raw IS NOT NULL AND ret2 IS NOT NULL
+    ), base AS (
+        SELECT user_id, ts, delta,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+               count(*)    OVER (PARTITION BY user_id) AS n,
+               sum(ret1)   OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+               sum(ret2)   OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        FROM prep
+    ), aug AS (
+        SELECT *,
+               min(CASE WHEN abs(delta) >= 0.005 AND rn < n THEN rn END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_sig,
+               min(CASE WHEN delta <= 0 THEN rn END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_nonpos,
+               min(CASE WHEN delta >= 0 THEN rn END)
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_nonneg,
+               min(CASE WHEN abs(delta) >= 0.005 AND rn < n THEN rn END)
+                   OVER (PARTITION BY user_id) AS first_sig
+        FROM base
+    ), trades AS (
+        SELECT user_id, rn AS sig_rn,
+               CASE WHEN delta > 0 THEN next_nonpos ELSE next_nonneg END
+                   AS close_rn
+        FROM aug WHERE rn = first_sig
+        UNION ALL
+        SELECT s.user_id, s.rn,
+               CASE WHEN s.delta > 0 THEN s.next_nonpos
+                    ELSE s.next_nonneg END
+        FROM trades t
+        JOIN aug c ON c.user_id = t.user_id AND c.rn = t.close_rn + 1
+        JOIN aug s ON s.user_id = c.user_id AND s.rn = c.next_sig
+        WHERE t.close_rn IS NOT NULL
+    )
+    SELECT t.user_id, o.ts AS open_date, cl.ts AS end_date,
+           floor((CASE WHEN sig.delta > 0 THEN -1.0 ELSE 1.0 END
+                    * (cl.cum2 - sig.cum2)
+                  + CASE WHEN sig.delta > 0 THEN 1.0 ELSE -1.0 END
+                    * (cl.cum1 - sig.cum1)) * 1000000.0 + 0.5) / 1000000.0
+               AS "return"
+    FROM trades t
+    JOIN aug sig ON sig.user_id = t.user_id AND sig.rn = t.sig_rn
+    JOIN aug o   ON o.user_id   = t.user_id AND o.rn   = t.sig_rn + 1
+    JOIN aug cl  ON cl.user_id  = t.user_id AND cl.rn  = t.close_rn
+    WHERE t.close_rn IS NOT NULL
+"""
+
+
 @register(
     "s1_daily_pairs_backtest",
-    None,
+    _S1_SCAN_SQL,
     doc="S1: sequential pairs-trade scan (stock_arbitrage.ipynb:399-414) via "
     "applyInPandas per (user) pair — entry at next bar, zero-crossing exit, "
-    "inclusive interval log-return sums. Golden-tested vs pandas oracle.",
+    "inclusive interval log-return sums. Golden-tested vs pandas oracle AND "
+    "cross-checked by a recursive-CTE gaps-and-islands SQL oracle.",
 )
 def s1_daily_pairs_backtest(spark, sf_dir):
     from sparkwrangle.pipelines.daily_pairs import daily_pairs_backtest
 
     bars = _events_as_pair_bars(spark, sf_dir)
-    return daily_pairs_backtest(
+    out = daily_pairs_backtest(
         bars, "A", "B", ratio=1.0, buy_at=0.005, from_ts=None, extra_keys=["user_id"]
+    )
+    return out.select(
+        "user_id", "open_date", "end_date", rf(F.col("return")).alias("return")
     )
 
 
 @register(
     "s1_compounded_return",
-    None,
+    "SELECT "
+    + rf_sql('CAST(sum(CAST("return" AS DECIMAL(25,8))) AS DOUBLE)')
+    + f' AS log_compounded FROM ({_S1_SCAN_SQL})',
     doc="EP1 terminal metric: np.exp(returns).product() over the S1 trade "
-    "log (stock_arbitrage.ipynb:468).",
+    "log (stock_arbitrage.ipynb:468), reported in log space — the product "
+    "form overflows double at driver data scale (Σreturn ≈ 10⁴), where "
+    "inf breaks fixed-digit rounding. Hash-checked over the recursive-CTE "
+    "S1 oracle's rf-rounded per-trade returns (identical addends both "
+    "engines) through a decimal accumulator.",
 )
 def s1_compounded_return(spark, sf_dir):
-    from sparkwrangle.pipelines.daily_pairs import (
-        compounded_return_pct,
-        daily_pairs_backtest,
-    )
+    from sparkwrangle.pipelines.daily_pairs import daily_pairs_backtest
 
     bars = _events_as_pair_bars(spark, sf_dir)
     trades = daily_pairs_backtest(
         bars, "A", "B", ratio=1.0, buy_at=0.005, from_ts=None, extra_keys=["user_id"]
     )
-    return compounded_return_pct(trades)
+    # Sum the same rf-rounded returns the trades query exposes, so the
+    # decimal-cast addends are bitwise identical to the oracle's.
+    return trades.agg(rf(dsum(rf(F.col("return")))).alias("log_compounded"))
 
 
 @register(
