@@ -29,22 +29,41 @@ from sparkwrangle.stateful.trader import TraderState
 _OUT_SCHEMA = "company string, trade_seq int, close_type string, roi double"
 _STATE_SCHEMA = (
     "balance double, cpt string, shares string, base_shares string, n_trades int, "
-    "last_prices string, deadline_ms bigint"
+    "last_prices string, deadline_ms bigint, n_idx int, pending string"
 )
 
 _MARKET_CLOSE_SEC = 16 * 3600 + 29 * 60 + 1  # first second past 16:29:00
 
 
-def _restore(state: GroupState, params: dict) -> tuple[TraderState, int, list, int]:
+def _restore(
+    state: GroupState, params: dict
+) -> tuple[TraderState, int, list, int, int, "pd.DataFrame | None"]:
     st = TraderState(**params)
     if state.exists:
-        balance, cpt_s, shares_s, base_s, n_trades, prices_s, deadline = state.get
+        (
+            balance,
+            cpt_s,
+            shares_s,
+            base_s,
+            n_trades,
+            prices_s,
+            deadline,
+            n_idx,
+            pending_s,
+        ) = state.get
         st.balance = balance
         st.cpt = json.loads(cpt_s)
         st.shares = {int(k): v for k, v in json.loads(shares_s).items()}
         st.base_shares = {int(k): v for k, v in json.loads(base_s).items()}
-        return st, n_trades, json.loads(prices_s), deadline or 0
-    return st, 0, [], 0
+        return (
+            st,
+            n_trades,
+            json.loads(prices_s),
+            deadline or 0,
+            n_idx or 0,
+            _pending_from_json(pending_s),
+        )
+    return st, 0, [], 0, 0, None
 
 
 def _persist(
@@ -53,6 +72,8 @@ def _persist(
     n_trades: int,
     last_prices: list,
     deadline_ms: int = 0,
+    n_idx: int = 0,
+    pending: "pd.DataFrame | None" = None,
 ) -> None:
     state.update(
         (
@@ -63,8 +84,65 @@ def _persist(
             n_trades,
             json.dumps(last_prices),
             deadline_ms,
+            n_idx,
+            _pending_to_json(pending),
         )
     )
+
+
+def _pending_to_json(pending: "pd.DataFrame | None") -> str:
+    if pending is None or len(pending) == 0:
+        return "[]"
+    rows = [
+        {
+            "company": str(r.company),
+            "feed_seq": int(r.feed_seq),
+            "ts": int(pd.Timestamp(r.ts).value),  # exact ns epoch
+            "ticker_idx": int(r.ticker_idx),
+            "price": float("nan") if pd.isna(r.price) else float(r.price),
+            "ret": float("nan") if pd.isna(r.ret) else float(r.ret),
+        }
+        for r in pending.itertuples()
+    ]
+    return json.dumps(rows)  # json emits NaN literals; json.loads accepts them
+
+
+def _pending_from_json(s: str) -> "pd.DataFrame | None":
+    rows = json.loads(s or "[]")
+    if not rows:
+        return None
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"].astype("int64"))
+    return pdf
+
+
+def _split_ticks(
+    pdf: pd.DataFrame, n_idx_state: int, pending: "pd.DataFrame | None"
+) -> tuple[list, int, "pd.DataFrame | None"]:
+    """Order this batch's rows (prepending any buffered partial tick), grow
+    the persisted universe size, and hold back a trailing incomplete tick.
+
+    A feed_seq whose rows straddle a micro-batch boundary must not be
+    played half-delivered: missing ticker indices would feed NaN prices
+    into persisted state, and a batch-local ``max(ticker_idx)`` could
+    shrink the universe below an open position's index (IndexError in
+    price_check/close_trade). The universe size is therefore monotone
+    state, every tick is padded to it, and the LAST tick of a batch is
+    buffered until all its ticker_idx rows have arrived (earlier ticks
+    play as-is — feed order means their missing rows can never come).
+    """
+    if pending is not None:
+        pdf = pd.concat([pending, pdf], ignore_index=True)
+    pdf = pdf.sort_values(["feed_seq", "ticker_idx"], kind="mergesort")
+    n_idx = max(n_idx_state, int(pdf["ticker_idx"].max()) + 1)
+    groups = list(pdf.groupby("feed_seq", sort=True))
+    new_pending = None
+    if groups:
+        _, last_tick = groups[-1]
+        if {int(x) for x in last_tick["ticker_idx"]} != set(range(n_idx)):
+            new_pending = last_tick
+            groups = groups[:-1]
+    return groups, n_idx, new_pending
 
 
 def streaming_backtest_trades(
@@ -105,25 +183,24 @@ def streaming_backtest_trades(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         company = key[0]
-        st, seen, last_prices, deadline = _restore(state, params)
+        st, seen, last_prices, deadline, n_idx, pending = _restore(state, params)
 
         if market_close_flush and state.hasTimedOut:
             before = len(st.trades)
             _flush(st, last_prices)
             new_trades = st.trades[before:]
-            _persist(state, st, seen + len(new_trades), last_prices, 0)
+            _persist(state, st, seen + len(new_trades), last_prices, 0, n_idx, pending)
             yield _emit(company, st, seen, new_trades)
             return
 
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        if len(pdf) == 0:
-            _persist(state, st, seen, last_prices, deadline)
+        if len(pdf) == 0 and pending is None:
+            _persist(state, st, seen, last_prices, deadline, n_idx, pending)
             return
-        pdf = pdf.sort_values(["feed_seq", "ticker_idx"], kind="mergesort")
-        n_idx = int(pdf["ticker_idx"].max()) + 1
+        groups, n_idx, pending = _split_ticks(pdf, n_idx, pending)
         before = len(st.trades)
         last_ts = None
-        for _, tick in pdf.groupby("feed_seq", sort=True):
+        for _, tick in groups:
             by_idx = tick.set_index("ticker_idx")
             prices = [
                 float(by_idx["price"].get(i, float("nan"))) for i in range(n_idx)
@@ -159,7 +236,9 @@ def streaming_backtest_trades(
                     # timers are cleared on every invocation — re-register
                     state.setTimeoutTimestamp(deadline)
         new_trades = st.trades[before:]
-        _persist(state, st, seen + len(new_trades), last_prices, deadline)
+        _persist(
+            state, st, seen + len(new_trades), last_prices, deadline, n_idx, pending
+        )
         yield _emit(company, st, seen, new_trades)
 
     timeout = (
@@ -189,15 +268,14 @@ def streaming_backtest_balances(feed_stream: DataFrame, params: dict) -> DataFra
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         company = key[0]
-        st, seen, last_prices, deadline = _restore(state, params)
+        st, seen, last_prices, deadline, n_idx, pending = _restore(state, params)
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        if len(pdf) == 0:
-            _persist(state, st, seen, last_prices, deadline)
+        if len(pdf) == 0 and pending is None:
+            _persist(state, st, seen, last_prices, deadline, n_idx, pending)
             return
-        pdf = pdf.sort_values(["feed_seq", "ticker_idx"], kind="mergesort")
-        n_idx = int(pdf["ticker_idx"].max()) + 1
+        groups, n_idx, pending = _split_ticks(pdf, n_idx, pending)
         history = []
-        for _, tick in pdf.groupby("feed_seq", sort=True):
+        for _, tick in groups:
             by_idx = tick.set_index("ticker_idx")
             prices = [
                 float(by_idx["price"].get(i, float("nan"))) for i in range(n_idx)
@@ -208,7 +286,7 @@ def streaming_backtest_balances(feed_stream: DataFrame, params: dict) -> DataFra
             st.data_feed(sod, rets, prices)
             last_prices = prices
             history.append({"company": company, "ts": ts, "balance": st.balance})
-        _persist(state, st, seen + 0, last_prices, deadline)
+        _persist(state, st, seen + 0, last_prices, deadline, n_idx, pending)
         yield pd.DataFrame(history, columns=["company", "ts", "balance"])
 
     return feed_stream.groupBy("company").applyInPandasWithState(

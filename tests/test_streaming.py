@@ -116,6 +116,124 @@ def test_streaming_parity_multi_batch(spark, feed_df, tmp_path):
     _assert_same_trades(batch, got)
 
 
+def test_streaming_parity_split_mid_tick(spark, feed_df, tmp_path):
+    """Micro-batch boundary in the MIDDLE of a feed_seq: the trailing
+    partial tick must be buffered in state until its remaining ticker_idx
+    rows arrive — played half-delivered it would feed NaN prices into the
+    ledger, and a batch-local max(ticker_idx) would shrink the universe
+    below an open position's index (IndexError in price_check)."""
+    batch = backtest_trades(feed_df, TRADER_PARAMS).toPandas()
+    mid = feed_df.agg(F.expr("percentile_approx(feed_seq, 0.5)")).collect()[0][0]
+    d = str(tmp_path / "feed3")
+    os.makedirs(d)
+    f1, f2 = os.path.join(d, "p1"), os.path.join(d, "p2")
+    cut = (F.col("feed_seq") == mid + 1) & (F.col("ticker_idx") == 0)
+    feed_df.filter((F.col("feed_seq") <= mid) | cut).coalesce(1).write.parquet(f1)
+    feed_df.filter(
+        ((F.col("feed_seq") == mid + 1) & (F.col("ticker_idx") > 0))
+        | (F.col("feed_seq") > mid + 1)
+    ).coalesce(1).write.parquet(f2)
+    now = time.time()
+    for sub, mt in ((f1, now - 60), (f2, now)):
+        for fname in os.listdir(sub):
+            os.utime(os.path.join(sub, fname), (mt, mt))
+    schema = (
+        "company string, feed_seq int, ts timestamp, ticker_idx bigint, "
+        "price double, ret double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    out = streaming_backtest_trades(stream, TRADER_PARAMS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_midtick")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM stream_midtick").toPandas()
+    _assert_same_trades(batch, got)
+
+
+def test_split_ticks_buffers_trailing_partial():
+    """Unit: the trailing incomplete tick is held back and the universe
+    size never shrinks below previously seen indices."""
+    import pandas as pd
+
+    from sparkwrangle.streaming.trader_stream import _split_ticks
+
+    full = pd.DataFrame(
+        {
+            "company": ["X"] * 3,
+            "feed_seq": [1, 1, 1],
+            "ts": pd.to_datetime(["2024-01-02 15:00"] * 3),
+            "ticker_idx": [0, 1, 2],
+            "price": [100.0, 50.0, 60.0],
+            "ret": [float("nan"), 0.1, 0.2],
+        }
+    )
+    partial = pd.DataFrame(
+        {
+            "company": ["X"],
+            "feed_seq": [2],
+            "ts": pd.to_datetime(["2024-01-02 15:05"]),
+            "ticker_idx": [0],
+            "price": [101.0],
+            "ret": [float("nan")],
+        }
+    )
+    groups, n_idx, pending = _split_ticks(
+        pd.concat([full, partial], ignore_index=True), 0, None
+    )
+    assert n_idx == 3  # not shrunk to the partial tick's max+1
+    assert len(groups) == 1 and groups[0][0] == 1
+    assert pending is not None and list(pending["ticker_idx"]) == [0]
+
+    # remainder arrives: buffered rows complete the tick
+    rest = pd.DataFrame(
+        {
+            "company": ["X"] * 2,
+            "feed_seq": [2, 2],
+            "ts": pd.to_datetime(["2024-01-02 15:05"] * 2),
+            "ticker_idx": [1, 2],
+            "price": [51.0, 61.0],
+            "ret": [0.0, 0.0],
+        }
+    )
+    groups2, n_idx2, pending2 = _split_ticks(rest, n_idx, pending)
+    assert n_idx2 == 3 and pending2 is None
+    assert len(groups2) == 1 and len(groups2[0][1]) == 3
+
+
+def test_pending_json_roundtrip_preserves_values():
+    import math
+
+    import pandas as pd
+
+    from sparkwrangle.streaming.trader_stream import (
+        _pending_from_json,
+        _pending_to_json,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "company": ["X"],
+            "feed_seq": [7],
+            "ts": pd.to_datetime(["2024-01-02 15:05:00.123456"]),
+            "ticker_idx": [2],
+            "price": [float("nan")],
+            "ret": [0.25],
+        }
+    )
+    back = _pending_from_json(_pending_to_json(pdf))
+    assert back["ts"].iloc[0] == pdf["ts"].iloc[0]  # exact ns epoch
+    assert math.isnan(back["price"].iloc[0]) and back["ret"].iloc[0] == 0.25
+
+
 def test_event_time_timer_flushes_market_close(spark, tmp_path):
     """A feed that halts BEFORE 16:29 leaves positions open in batch mode;
     with market_close_flush the event-time timer fires once the watermark
