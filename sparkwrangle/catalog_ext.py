@@ -403,6 +403,128 @@ def x_knn_ivf_label(spark, sf_dir):
     return out.select("query_id", "neighbor_id", r6("cos_sim").alias("cos_sim"), "rk")
 
 
+_CENT_COS_SQL = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+    " CAST(e.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(c.centroid, c.centroid)))"
+)
+
+_IVF_TRAINED_SQL = f"""
+    WITH dims AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE))) AS x
+        FROM embeddings
+    ), cents AS (
+        SELECT label AS cell, list(avg_x ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, avg(x) AS avg_x FROM dims GROUP BY label, pos)
+        GROUP BY label
+    ), assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_CENT_COS_SQL} DESC, c.cell) AS rk
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rk = 1
+    ), routed AS (
+        SELECT e.vec_id, e.embedding, a.cell
+        FROM embeddings e JOIN assigned a USING (vec_id)
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_COS_SQL}, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+        FROM routed a JOIN routed b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 5
+    ) WHERE rk <= 5
+"""
+
+
+@register(
+    "x_knn_ivf_trained",
+    _IVF_TRAINED_SQL,
+    doc="North-star ANN, full trained lifecycle: train per-cell centroids "
+    "(one Lloyd step), route every vector to its nearest centroid "
+    "(broadcast argmax), probe only the query's assigned cell — the "
+    "train→assign→probe chain end-to-end, hash-checked.",
+)
+def x_knn_ivf_trained(spark, sf_dir):
+    from sparkwrangle.ext.similarity import ivf_trained_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_trained_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select("query_id", "neighbor_id", r6("cos_sim").alias("cos_sim"), "rk")
+
+
+def _lsh_planes():
+    from sparkwrangle.ext.similarity import hyperplane_planes
+
+    return hyperplane_planes(dim=64, n_planes=16, seed=13)
+
+
+def _lsh_sql(planes, bands: int = 4) -> str:
+    per = len(planes) // bands
+    bit = (
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST([{lits}] AS DOUBLE[])) >= 0 THEN 1 ELSE 0 END)"
+    )
+    bits = [
+        bit.format(lits=", ".join(repr(v) for v in plane)) for plane in planes
+    ]
+    band_vals = [
+        " + ".join(f"{bits[b * per + r]} * {2 ** r}" for r in range(per))
+        for b in range(bands)
+    ]
+    bv_cols = ", ".join(f"({v}) AS bv{b}" for b, v in enumerate(band_vals))
+    unnest_band = ", ".join(str(b) for b in range(bands))
+    unnest_vals = ", ".join(f"bv{b}" for b in range(bands))
+    return f"""
+    WITH sigs AS (SELECT vec_id, {bv_cols} FROM embeddings),
+    buckets AS (
+        SELECT vec_id, unnest([{unnest_band}]) AS band,
+               unnest([{unnest_vals}]) AS band_val
+        FROM sigs
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets n
+          ON q.band = n.band AND q.band_val = n.band_val
+        WHERE q.vec_id < 5 AND n.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT c.query_id, c.neighbor_id,
+               round({_COS_SQL}, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY {_COS_SQL} DESC, c.neighbor_id) AS rk
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.query_id
+        JOIN embeddings b ON b.vec_id = c.neighbor_id
+    ) WHERE rk <= 5
+    """
+
+
+@register(
+    "x_knn_lsh_hyperplane",
+    _lsh_sql(_lsh_planes()),
+    doc="North-star ANN, random-hyperplane sign-LSH: 16 fixed hyperplanes "
+    "(seeded, 6dp literals — bit-identical doubles both engines) banded "
+    "4×4 bits; candidates share ≥1 band bucket (linear equi-join, never "
+    "all-pairs), exact cosine re-ranks. The LSH companion to the IVF "
+    "scale path.",
+)
+def x_knn_lsh_hyperplane(spark, sf_dir):
+    from sparkwrangle.ext.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), _lsh_planes(), bands=4, k=5
+    )
+    return out.select("query_id", "neighbor_id", r6("cos_sim").alias("cos_sim"), "rk")
+
+
 @register(
     "x_embedding_neardup",
     f"""

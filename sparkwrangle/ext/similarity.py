@@ -127,6 +127,172 @@ def ivf_cosine_topk(
     )
 
 
+def train_centroids(
+    base: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF training step: per-cell centroid = per-dimension mean of the
+    cell's vectors (one Lloyd step from the given seed partition). One
+    posexplode + one map-side-combinable groupBy; the centroid array is
+    reassembled position-sorted. Output: (cell, centroid array<double>)."""
+    dims = base.select(
+        F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    per_dim = dims.groupBy("cell", "pos").agg(F.avg("x").alias("c"))
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+        ).alias("centroid")
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_best: int = 1,
+) -> DataFrame:
+    """IVF assignment step: route each vector to its ``n_best`` nearest
+    trained centroids by cosine (centroid table broadcast — it is |cells|
+    rows; deterministic ranking tiebreak by cell id). Output: (id, cell,
+    cell_rk). n_best=1 is index routing; n_best=nprobe is query fan-out."""
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("v_vec"), _norm(F.col(vec_col)).alias("v_norm")
+    )
+    c = centroids.select(
+        "cell", F.col("centroid"), _norm(F.col("centroid")).alias("c_norm")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col,
+        "cell",
+        (_dot(F.col("v_vec"), F.col("centroid")) / (F.col("v_norm") * F.col("c_norm"))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell"))
+    return (
+        scored.withColumn("cell_rk", F.row_number().over(w))
+        .filter(F.col("cell_rk") <= n_best)
+        .select(id_col, "cell", "cell_rk")
+    )
+
+
+def ivf_trained_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_cell_col: str = "label",
+    nprobe: int = 1,
+) -> DataFrame:
+    """End-to-end trained IVF ANN: train centroids → assign base vectors to
+    their nearest centroid → probe the query's ``nprobe`` closest cells.
+    Unlike ``ivf_cosine_topk`` the cell is the trained quantizer's output,
+    not a given column — the full index lifecycle. Raising nprobe trades
+    cost for recall (the knob that matters when the corpus lacks cluster
+    structure and true neighbors spread across cells)."""
+    cents = train_centroids(base, seed_cell_col, vec_col)
+    assigned = assign_cells(base, cents, id_col, vec_col, n_best=1)
+    base2 = base.join(assigned.drop("cell_rk"), id_col).withColumnRenamed(
+        "cell", "ivf_cell"
+    )
+    q_cells = assign_cells(queries, cents, id_col, vec_col, n_best=nprobe)
+    q2 = queries.join(q_cells.drop("cell_rk"), id_col).withColumnRenamed(
+        "cell", "ivf_cell"
+    )
+    return ivf_cosine_topk(base2, q2, k=k, id_col=id_col, vec_col=vec_col,
+                           cell_col="ivf_cell")
+
+
+def hyperplane_planes(dim: int, n_planes: int = 16, seed: int = 13) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH, rounded to 6 decimals
+    so both engines parse bit-identical double literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[round(float(v), 6) for v in row] for row in rng.randn(n_planes, dim)]
+
+
+def lsh_band_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH banding: bit_j = (v·h_j >= 0); the signature
+    splits into ``bands`` integer band values. Output long: (id, band,
+    band_val) — the join key for candidate generation, all JVM-side fold
+    expressions."""
+    n = len(planes)
+    per = n // bands
+    bits = [
+        (_dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) >= 0).cast("int")
+        for plane in planes
+    ]
+    band_cols = []
+    for b in range(bands):
+        val = None
+        for r in range(per):
+            term = bits[b * per + r] * F.lit(2**r)
+            val = term if val is None else val + term
+        band_cols.append(F.struct(F.lit(b).alias("band"), val.alias("band_val")))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.band_val")
+
+
+def lsh_cosine_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    bands: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: candidates share at least one signature
+    band with the query; exact cosine re-ranks candidates. Candidate
+    generation is a bucket equi-join on (band, band_val) — linear, never
+    all-pairs; recall/cost tunes via bands × bits-per-band."""
+    qb = lsh_band_buckets(queries, planes, bands, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "band", "band_val"
+    )
+    bb = lsh_band_buckets(base, planes, bands, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "band", "band_val"
+    )
+    cand = (
+        bb.join(F.broadcast(qb), ["band", "band_val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("b_vec"),
+        _norm(F.col(vec_col)).alias("b_norm"),
+    )
+    scored = cand.join(F.broadcast(q), "query_id").join(b, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("q_vec"), F.col("b_vec")) / (F.col("q_norm") * F.col("b_norm"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def embedding_neardup_pairs(
     base: DataFrame,
     threshold: float = 0.98,

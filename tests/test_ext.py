@@ -144,6 +144,73 @@ def test_pointer_table_has_no_payload(spark):
     assert r.uri.endswith("/3") and r.n_bytes_hint > 0
 
 
+def _clustered_embeddings(spark, n_clusters=4, per_cluster=50, dim=16, seed=5):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 3.0
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per_cluster):
+            v = centers[c] + rng.randn(dim) * 0.5
+            rows.append((c * per_cluster + i, [float(x) for x in v], c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_ann_recall_on_clustered_data(spark):
+    """Recall@5 against brute-force ground truth on data WITH cluster
+    structure (the geometry ANN indexes exist for): trained IVF at
+    nprobe=1 must be near-perfect, hyperplane LSH must keep most
+    neighbors. (The driver's embeddings are near-orthogonal noise, where
+    nprobe=1 recall ≈ 1/cells by construction — see
+    test_ivf_nprobe_trades_cost_for_recall.)"""
+    from sparkwrangle.ext.similarity import (
+        cosine_topk,
+        hyperplane_planes,
+        ivf_trained_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = _clustered_embeddings(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    truth = pairs(cosine_topk(emb, queries, k=5))
+    ivf = pairs(ivf_trained_topk(emb, queries, k=5))
+    lsh = pairs(
+        lsh_cosine_topk(emb, queries, hyperplane_planes(16, 16, 13), bands=4, k=5)
+    )
+    ivf_recall = len(ivf & truth) / len(truth)
+    lsh_recall = len(lsh & truth) / len(truth)
+    assert ivf_recall >= 0.9, f"IVF recall {ivf_recall}"
+    assert lsh_recall >= 0.6, f"LSH recall {lsh_recall}"
+
+
+def test_ivf_nprobe_trades_cost_for_recall(spark):
+    """On the driver's unclustered embeddings, nprobe=1 recall sits near
+    the 1/cells floor; raising nprobe must raise recall monotonically —
+    the scale knob works even when the data gives the index nothing."""
+    from conftest import SF_ORACLE
+    from sparkwrangle.ext.similarity import cosine_topk, ivf_trained_topk
+    from sparkwrangle.io import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    truth = pairs(cosine_topk(emb, queries, k=5))
+    r1 = len(pairs(ivf_trained_topk(emb, queries, k=5, nprobe=1)) & truth) / len(truth)
+    r5 = len(pairs(ivf_trained_topk(emb, queries, k=5, nprobe=5)) & truth) / len(truth)
+    assert r5 >= r1
+    assert r5 >= 0.4, f"nprobe=5 recall {r5} (nprobe=1 was {r1})"
+
+
 def test_approx_count_distinct_within_tolerance(spark):
     """Sketch surface: HLL approx distinct stays within 5% of exact on the
     driver's events table (not oracle-checkable — DuckDB's sketch differs)."""
