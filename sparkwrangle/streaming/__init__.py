@@ -7,6 +7,18 @@ standard windowed-aggregation surface (F.window / watermarks) that batch
 queries share.
 """
 
+from sparkwrangle.streaming.replay import (
+    parse_feed_records,
+    read_replay,
+    stage_replay,
+    to_feed_records,
+)
 from sparkwrangle.streaming.trader_stream import streaming_backtest_trades
 
-__all__ = ["streaming_backtest_trades"]
+__all__ = [
+    "parse_feed_records",
+    "read_replay",
+    "stage_replay",
+    "streaming_backtest_trades",
+    "to_feed_records",
+]

@@ -350,6 +350,67 @@ def test_checkpoint_recovery_preserves_state(spark, feed_df, tmp_path):
     _assert_same_trades(batch, got)
 
 
+def test_kafka_shaped_replay_parity_with_checkpoint(spark, feed_df, tmp_path):
+    """The Kafka stand-in end-to-end: encode the feed as (key, value JSON,
+    topic, partition, offset) records, stage as 4 replay batches, consume
+    via the file source, decode with the exact parse stage a real Kafka
+    consumer runs, drive the stateful trader with checkpointing — the
+    trade log must equal the batch operator's."""
+    from sparkwrangle.streaming.replay import (
+        parse_feed_records,
+        read_replay,
+        stage_replay,
+    )
+
+    batch = backtest_trades(feed_df, TRADER_PARAMS).toPandas()
+    d = str(tmp_path / "replay")
+    staged = stage_replay(feed_df, d, n_batches=4)
+    assert len(staged) == 4
+
+    records = read_replay(spark, d)
+    feed = parse_feed_records(records)
+    out = streaming_backtest_trades(feed, TRADER_PARAMS)
+    sink = str(tmp_path / "replay_out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "replay_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(sink).toPandas()
+    _assert_same_trades(batch, got)
+
+
+def test_feed_record_roundtrip_preserves_types(spark, feed_df):
+    """Encode → decode is lossless: schema and values survive the JSON
+    value envelope (the property a Kafka transport swap depends on)."""
+    from sparkwrangle.streaming.replay import parse_feed_records, to_feed_records
+
+    back = parse_feed_records(to_feed_records(feed_df))
+    # from_json output is all-nullable; compare types, not nullability
+    assert (
+        back.schema.simpleString()
+        == feed_df.select(
+            "company", "feed_seq", "ts", "ticker_idx", "price", "ret"
+        ).schema.simpleString()
+    )
+    a = feed_df.orderBy("company", "feed_seq", "ticker_idx").toPandas()
+    b = back.orderBy("company", "feed_seq", "ticker_idx").toPandas()
+    assert len(a) == len(b)
+    assert (a.company.values == b.company.values).all()
+    assert (a.ts.values == b.ts.values).all()
+    import numpy as np
+
+    for c in ("price", "ret"):
+        x, y = a[c].to_numpy(), b[c].to_numpy()
+        mask = ~np.isnan(x)
+        assert (np.isnan(x) == np.isnan(y)).all()
+        assert np.allclose(x[mask], y[mask], rtol=0, atol=1e-12)
+
+
 def test_streaming_balances_parity(spark, feed_df, tmp_path):
     from sparkwrangle.stateful.trader import backtest_balances
     from sparkwrangle.streaming.trader_stream import streaming_backtest_balances
