@@ -569,10 +569,21 @@ def x_multimodal_meta(spark, sf_dir):
 
 @register(
     "x_multimodal_features",
-    None,
+    """
+    SELECT doc_id, 'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN length(text) > 0 THEN
+                CAST(list_sum(list_transform(range(1, length(text) + 1),
+                     i -> ord(substring(text, CAST(i AS BIGINT), 1)))) AS DOUBLE)
+                / length(text) END AS byte_mean,
+           CAST(1 AS BIGINT) AS feature_dim
+    FROM documents
+    """,
     doc="North-star multimodal decode: Arrow-batched mapInPandas feature "
     "extraction over payload bytes (STUB decoder — deterministic byte-mean; "
-    "real schema/partitioning/batch plumbing).",
+    "real schema/partitioning/batch plumbing). Oracle exploits the ASCII "
+    "corpus (char code = byte value), so even the stub decode is "
+    "hash-checked; integer byte sums divide identically in both engines.",
 )
 def x_multimodal_features(spark, sf_dir):
     from sparkwrangle.ext.multimodal import attach_payload, decode_features
