@@ -128,14 +128,17 @@ def ngram_jaccard_pairs(
     may pass None for the unfiltered exact measure.
     """
     if max_df is not None:
-        from pyspark.sql import Window
-
-        dfw = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_df", F.count("*").over(dfw))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
+        # Anti-join against the hot-shingle list rather than a df window:
+        # the list is tiny by construction (≤ |shingle rows|/max_df, few in
+        # any Zipfian corpus), so AQE broadcasts it and the filter costs no
+        # extra shuffle on the big side.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
         )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
