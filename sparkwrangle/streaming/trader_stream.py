@@ -35,35 +35,65 @@ _STATE_SCHEMA = (
 _MARKET_CLOSE_SEC = 16 * 3600 + 29 * 60 + 1  # first second past 16:29:00
 
 
+def _decode_state(
+    tup, params: dict
+) -> tuple[TraderState, int, list, int, int, "pd.DataFrame | None"]:
+    """Shared state codec: tuple (in _STATE_SCHEMA order) → live trader.
+    Used by both the applyInPandasWithState operator and the Spark 4
+    transformWithStateInPandas twin, so the two APIs can never drift."""
+    st = TraderState(**params)
+    (
+        balance,
+        cpt_s,
+        shares_s,
+        base_s,
+        n_trades,
+        prices_s,
+        deadline,
+        n_idx,
+        pending_s,
+    ) = tup
+    st.balance = balance
+    st.cpt = json.loads(cpt_s)
+    st.shares = {int(k): v for k, v in json.loads(shares_s).items()}
+    st.base_shares = {int(k): v for k, v in json.loads(base_s).items()}
+    return (
+        st,
+        n_trades,
+        json.loads(prices_s),
+        deadline or 0,
+        n_idx or 0,
+        _pending_from_json(pending_s),
+    )
+
+
+def _encode_state(
+    st: TraderState,
+    n_trades: int,
+    last_prices: list,
+    deadline_ms: int = 0,
+    n_idx: int = 0,
+    pending: "pd.DataFrame | None" = None,
+) -> tuple:
+    return (
+        st.balance,
+        json.dumps(st.cpt),
+        json.dumps(st.shares),
+        json.dumps(st.base_shares),
+        n_trades,
+        json.dumps(last_prices),
+        deadline_ms,
+        n_idx,
+        _pending_to_json(pending),
+    )
+
+
 def _restore(
     state: GroupState, params: dict
 ) -> tuple[TraderState, int, list, int, int, "pd.DataFrame | None"]:
-    st = TraderState(**params)
     if state.exists:
-        (
-            balance,
-            cpt_s,
-            shares_s,
-            base_s,
-            n_trades,
-            prices_s,
-            deadline,
-            n_idx,
-            pending_s,
-        ) = state.get
-        st.balance = balance
-        st.cpt = json.loads(cpt_s)
-        st.shares = {int(k): v for k, v in json.loads(shares_s).items()}
-        st.base_shares = {int(k): v for k, v in json.loads(base_s).items()}
-        return (
-            st,
-            n_trades,
-            json.loads(prices_s),
-            deadline or 0,
-            n_idx or 0,
-            _pending_from_json(pending_s),
-        )
-    return st, 0, [], 0, 0, None
+        return _decode_state(state.get, params)
+    return TraderState(**params), 0, [], 0, 0, None
 
 
 def _persist(
@@ -76,17 +106,7 @@ def _persist(
     pending: "pd.DataFrame | None" = None,
 ) -> None:
     state.update(
-        (
-            st.balance,
-            json.dumps(st.cpt),
-            json.dumps(st.shares),
-            json.dumps(st.base_shares),
-            n_trades,
-            json.dumps(last_prices),
-            deadline_ms,
-            n_idx,
-            _pending_to_json(pending),
-        )
+        _encode_state(st, n_trades, last_prices, deadline_ms, n_idx, pending)
     )
 
 

@@ -411,6 +411,51 @@ def test_feed_record_roundtrip_preserves_types(spark, feed_df):
         assert np.allclose(x[mask], y[mask], rtol=0, atol=1e-12)
 
 
+def test_transform_with_state_parity(spark, feed_df, tmp_path):
+    """The Spark 4 transformWithStateInPandas twin reproduces the batch
+    trade log through a multi-batch replay (RocksDB state store, state
+    carried across micro-batches via the shared codec).
+
+    transformWithState's python runner speaks protobuf to the JVM; this
+    container ships no protobuf, so the test skips here and runs on any
+    standard Spark 4 deployment."""
+    pytest.importorskip("google.protobuf")
+    from sparkwrangle.streaming.replay import (
+        parse_feed_records,
+        read_replay,
+        stage_replay,
+    )
+    from sparkwrangle.streaming.trader_tws import (
+        ROCKSDB_PROVIDER,
+        tws_backtest_trades,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        batch = backtest_trades(feed_df, TRADER_PARAMS).toPandas()
+        d = str(tmp_path / "tws_replay")
+        stage_replay(feed_df, d, n_batches=3)
+        feed = parse_feed_records(read_replay(spark, d))
+        out = tws_backtest_trades(feed, TRADER_PARAMS)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("SELECT * FROM tws_sink").toPandas()
+        _assert_same_trades(batch, got)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_streaming_balances_parity(spark, feed_df, tmp_path):
     from sparkwrangle.stateful.trader import backtest_balances
     from sparkwrangle.streaming.trader_stream import streaming_backtest_balances
