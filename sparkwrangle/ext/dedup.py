@@ -127,22 +127,30 @@ def ngram_jaccard_pairs(
     Corpus-wide use MUST set it; LSH-candidate verification (bounded input)
     may pass None for the unfiltered exact measure.
     """
+    from pyspark.sql import Window
+
     if max_df is not None:
-        # Anti-join against the hot-shingle list rather than a df window:
-        # the list is tiny by construction (≤ |shingle rows|/max_df, few in
-        # any Zipfian corpus), so AQE broadcasts it and the filter costs no
-        # extra shuffle on the big side.
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("shingle")
+        # df-cap via a count window over shingle: one shuffle on the big
+        # side. (MEASURED DEAD END: filtering via anti-join against the
+        # tiny hot-shingle list LOOKS cheaper but doubles the recomputed
+        # shingle subtree for each of the three downstream consumers —
+        # 6s → 10-26s at sf0.1. The window keeps the subtree linear.
+        # Persisting the shingle subtree is also a measured dead end:
+        # materialization breaks whole-stage pipelining.)
+        dfw = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(dfw))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # Carry each doc's shingle-set size on the rows themselves (window over
+    # the doc key) instead of a separate sizes aggregate + two join-backs:
+    # the expensive tokenize→explode→distinct subtree then evaluates twice
+    # (the two self-join branches) rather than three times.
+    sh = sh.withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
+    out = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -151,13 +159,11 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max(F.col("a.sz")).alias("sz_a"),  # constant per group
+            F.max(F.col("b.sz")).alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),

@@ -39,6 +39,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is sized by shuffle BYTES and blind to downstream
+        # PYTHON cost: with the default 1MB floor a few-MB trader feed
+        # collapses to 2 post-shuffle partitions and the per-company state
+        # machines run 2-wide on a 32-core box. A 64KB floor lets
+        # parallelismFirst actually reach the core count on small inputs;
+        # at cluster scale partitions dwarf both floors, so this only
+        # changes the small-data regime. (An explicit repartition(N, key)
+        # is NOT a fix: Catalyst removes it as redundant against the
+        # window/groupBy exchange, whose read AQE then coalesces.)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -61,6 +71,8 @@ def prep_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # see get_spark: keep python-bound stages parallel on small shuffles
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     # a foreign session may carry the 200-partition default; AQE coalesces,
     # but a sane floor cuts scheduling overhead on small-SF runs
     try:
