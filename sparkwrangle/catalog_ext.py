@@ -950,3 +950,79 @@ def x_dedup_exact_keep_first(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "text_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster connected components
+# ---------------------------------------------------------------------------
+
+_LSH_PAIRS_SQL = (
+    _minhash_sql(16)
+    + f"""
+    , bands AS (
+        SELECT doc_id, b.band,
+               CASE b.band
+                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
+                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
+                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
+                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+               END AS bh
+        FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+"""
+)
+
+
+@register(
+    "x_dedup_cc_clusters",
+    _LSH_PAIRS_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, reached) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON r.reached = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(reached) AS cluster_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           (doc_id = cluster_id) AS keep
+    FROM comp
+    """,
+    doc="Duplicate-cluster connected components: LSH candidate pairs form "
+    "an undirected graph; cluster_id = min doc_id reachable (iterative "
+    "min-label propagation Spark-side, recursive CTE oracle-side). keep "
+    "marks the cluster representative - the dedup KEEP-LIST over "
+    "transitive near-dup groups, which pairwise verification alone "
+    "cannot produce.",
+)
+def x_dedup_cc_clusters(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, "doc_id", k=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
+    comp = connected_components(pairs, docs.select("doc_id"), "doc_id")
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )

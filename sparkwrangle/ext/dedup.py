@@ -174,6 +174,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster connected components by iterative min-label
+    propagation: every node's label converges to the smallest id reachable
+    from it, so cluster_id = min doc_id of the component.
+
+    ``pairs`` is an undirected edge list (id_a, id_b); ``all_ids`` the full
+    node universe (singleton docs become their own cluster). Each round is
+    one distributed join + groupBy-min; labels advance one hop per round,
+    so rounds = graph diameter — near-dup clusters are shallow (dups of a
+    common ancestor), which keeps this small in practice. At 100 TB, swap
+    the propagation loop for alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce") for O(log n)
+    rounds; the per-round dataflow below is unchanged. ``localCheckpoint``
+    truncates lineage each round so plans don't snowball; on a real
+    cluster use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
+    for fault tolerance instead.
+
+    Returns (id_col, cluster_id), one row per node, deterministic.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["dst"] == labels["node"]).select(
+            F.col("src").alias("node"), F.col("lbl")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash signature: per token, take the portable hash; per bit j, sum
     ±1 over tokens; bit j of the signature = 1 iff the sum > 0.

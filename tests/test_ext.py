@@ -221,3 +221,22 @@ def test_approx_count_distinct_within_tolerance(spark):
     exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
     approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_connected_components_path_and_singleton(spark):
+    """CC handles transitive chains (multi-round propagation), separate
+    components, and singleton nodes; cluster_id = min reachable doc_id."""
+    from sparkwrangle.ext.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10)],
+        "id_a bigint, id_b bigint",
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+                                "doc_id bigint")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, ids, "doc_id").collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10), (99, 99)}
+    assert got == want
