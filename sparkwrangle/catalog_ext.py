@@ -1026,3 +1026,126 @@ def x_dedup_cc_clusters(spark, sf_dir):
         comp.withColumn("cluster_size", F.count("*").over(w))
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix sampling, chunking, signature-estimated similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_doc_chunking",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    st AS (
+        SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(s / 48 AS BIGINT) AS chunk_idx,
+           CAST(least(64, len(t) - s) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk_text
+    FROM st
+    """,
+    doc="Training-data chunker: overlapping 64-token windows at stride 48 "
+    "per document (context-window packing prep). Pure array expressions - "
+    "sequence/transform/posexplode, no UDF, map-side only.",
+)
+def x_doc_chunking(spark, sf_dir):
+    from sparkwrangle.ext.text import tokenize
+
+    C, S = 64, 48
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 1, F.lit(S)),
+        lambda s: F.struct(
+            F.least(F.lit(C), F.size("t") - s).cast("bigint").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(F.col("t"), s + 1, F.lit(C))).alias("chunk_text"),
+        ),
+    )
+    return toks.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "c.n_chunk_tokens",
+        "c.chunk_text",
+    )
+
+
+@register(
+    "x_stratified_sample",
+    f"""
+    WITH frac AS (
+        SELECT doc_id, lang, source,
+               CASE lang WHEN 'en' THEN 0.35 WHEN 'de' THEN 0.8 ELSE 1.0 END AS f
+        FROM documents
+    )
+    SELECT doc_id, lang, source,
+           round(1.0 / f, 6) AS sample_weight
+    FROM frac
+    WHERE {h60_sql("concat('smpl|', CAST(doc_id AS VARCHAR))")} % 10000 < f * 10000
+    """,
+    doc="Deterministic stratified sampling for training-mix rebalancing: "
+    "keep a per-language fraction (en down to 0.35, de to 0.8) decided by "
+    "a salted content hash - reproducible across runs/engines, no RNG "
+    "state, embarrassingly parallel; sample_weight = 1/f for unbiased "
+    "reweighting downstream.",
+)
+def x_stratified_sample(spark, sf_dir):
+    from sparkwrangle.ext.hashing import h60
+
+    docs = _t(spark, sf_dir, "documents")
+    f = (
+        F.when(F.col("lang") == "en", F.lit(0.35))
+        .when(F.col("lang") == "de", F.lit(0.8))
+        .otherwise(F.lit(1.0))
+    )
+    bucket = h60(F.concat(F.lit("smpl|"), F.col("doc_id").cast("string"))) % 10000
+    return (
+        docs.withColumn("f", f)
+        .filter(bucket < F.col("f") * 10000)
+        .select("doc_id", "lang", "source", r6(1.0 / F.col("f")).alias("sample_weight"))
+    )
+
+
+_EST_TERMS = " + ".join(f"CAST(sa.mh{i} = sb.mh{i} AS INT)" for i in range(16))
+
+
+@register(
+    "x_minhash_jaccard_est",
+    _LSH_PAIRS_SQL
+    + f"""
+    SELECT p.id_a, p.id_b,
+           round(({_EST_TERMS}) / 16.0, 6) AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    """,
+    doc="Signature-estimated Jaccard on LSH candidate pairs: fraction of "
+    "agreeing minhashes is an unbiased Jaccard estimator, so candidate "
+    "verification needs only the 16-int signatures - no second pass over "
+    "document shingles (the cheap verify stage at corpus scale).",
+)
+def x_minhash_jaccard_est(spark, sf_dir):
+    from sparkwrangle.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, "doc_id", k=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
+    est = sum(
+        (F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}")).cast("int") for i in range(16)
+    ) / 16.0
+    return (
+        pairs.join(sigs.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(sigs.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
+        .select("id_a", "id_b", r6(est).alias("est_jaccard"))
+    )

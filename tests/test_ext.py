@@ -240,3 +240,48 @@ def test_connected_components_path_and_singleton(spark):
     }
     want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10), (99, 99)}
     assert got == want
+
+
+def test_doc_chunking_window_arithmetic(spark):
+    """64-token windows at stride 48: a 65-token doc yields chunks of 64
+    and 17 tokens; a short doc yields one full-copy chunk; empty → none."""
+    from sparkwrangle.catalog import CATALOG
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(65))),
+            (2, "alpha beta"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.createOrReplaceTempView("_chunk_docs")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = {
+            (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+            for r in CATALOG["x_doc_chunking"].fn(spark, td).collect()
+        }
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    assert out[(1, 0)][0] == 64 and out[(1, 0)][1].startswith("w0 w1 ")
+    assert out[(1, 1)] == (17, " ".join(f"w{i}" for i in range(48, 65)))
+    assert out[(2, 0)] == (2, "alpha beta")
+
+
+def test_stratified_sample_deterministic_and_unbiased(spark):
+    """Hash-based sampling is run-to-run identical and lands within 6
+    points of the per-stratum target fraction on the oracle corpus."""
+    from conftest import SF_ORACLE
+    from sparkwrangle.catalog import CATALOG
+    from sparkwrangle.io import load_table
+
+    fn = CATALOG["x_stratified_sample"].fn
+    a = {r.doc_id for r in fn(spark, SF_ORACLE).collect()}
+    b = {r.doc_id for r in fn(spark, SF_ORACLE).collect()}
+    assert a == b
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_en = docs.filter("lang = 'en'").count()
+    kept_en = fn(spark, SF_ORACLE).filter("lang = 'en'").count()
+    assert abs(kept_en / n_en - 0.35) < 0.06
