@@ -215,28 +215,44 @@ def connected_components(
 
     Returns (id_col, cluster_id), one row per node, deterministic.
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    labels = all_ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
-    ).localCheckpoint()
+    from pyspark.sql import Observation
+
+    # materialize the edge list once: every round joins against it, and
+    # without the checkpoint each round would re-derive the whole upstream
+    # candidate-generation pipeline (shingle → minhash → LSH) from scratch
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()
+    )
+    # round 0 fused into initialization: with labels starting at the node
+    # ids, the first propagation is just min(self, neighbors) — one
+    # aggregation, no join, saves a full round of jobs
+    labels = (
+        all_ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+        .union(edges.select(F.col("src").alias("node"), F.col("dst").alias("lbl")))
+        .groupBy("node")
+        .agg(F.min("lbl").alias("lbl"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         prop = edges.join(labels, edges["dst"] == labels["node"]).select(
             F.col("src").alias("node"), F.col("lbl")
         )
-        new_labels = (
-            labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+        both = labels.withColumn("_old", F.col("lbl")).union(
+            prop.withColumn("_old", F.lit(None).cast(dict(labels.dtypes)["lbl"]))
         )
-        labels = new_labels
-        if changed == 0:
+        agg = both.groupBy("node").agg(
+            F.min("lbl").alias("lbl"), F.min("_old").alias("_old")
+        )
+        # convergence count rides the SAME job that materializes the
+        # checkpoint (observe metrics), instead of a second compare join
+        obs = Observation()
+        agg = agg.observe(
+            obs, F.sum((F.col("lbl") < F.col("_old")).cast("long")).alias("changed")
+        )
+        labels = agg.drop("_old").localCheckpoint()
+        if obs.get["changed"] == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
 

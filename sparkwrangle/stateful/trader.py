@@ -220,13 +220,41 @@ def run_trader_on_feed(
         + seq_ts.dt.second.to_numpy()
     )
 
-    history: list[tuple] = []
     p_vals = wide_p.to_numpy()
     r_vals = wide_r.to_numpy()
-    for k in range(len(ts_list)):
+    n = len(ts_list)
+
+    # Vectorized skip-ahead: a tick is a strict no-op whenever no position
+    # is open AND (the tick is in closing time OR nothing triggers) — in
+    # data_feed terms, cpt stays empty and only the balance history grows.
+    # Those stretches (the vast majority of a feed) are filled with a
+    # numpy slice write; the sequential protocol runs only from a trigger
+    # until the book is flat again, so quirk semantics (K.1/K.2/K.3) are
+    # byte-identical to the per-tick loop. NaN returns compare False in
+    # both the numpy mask and the list comprehension.
+    import numpy as np
+
+    if st.strict_reference:
+        trig_any = (r_vals > st.min_deviation).any(axis=1) if r_vals.size else np.zeros(n, bool)
+    else:
+        trig_any = (np.abs(r_vals) > st.min_deviation).any(axis=1) if r_vals.size else np.zeros(n, bool)
+    closing = sods > 16 * 3600 + 29 * 60
+    cand_idx = np.flatnonzero(trig_any & ~closing)
+
+    bal = np.empty(n, dtype=float)
+    k = 0
+    while k < n:
+        if not st.cpt:
+            p = int(np.searchsorted(cand_idx, k))
+            nxt = int(cand_idx[p]) if p < len(cand_idx) else n
+            if nxt > k:
+                bal[k:nxt] = st.balance
+                k = nxt
+                continue
         st.data_feed(int(sods[k]), list(r_vals[k]), list(p_vals[k]))
-        history.append((ts_list[k], st.balance))
-    return st.trades, history
+        bal[k] = st.balance
+        k += 1
+    return st.trades, list(zip(ts_list, bal.tolist()))
 
 
 def _key_type(feed: DataFrame) -> str:
@@ -261,8 +289,9 @@ def backtest_balances(feed: DataFrame, params: dict) -> DataFrame:
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         _, history = run_trader_on_feed(pdf, params)
         company = pdf["company"].iloc[0]
+        ts, bals = zip(*history) if history else ((), ())
         return pd.DataFrame(
-            [{"company": company, "ts": ts, "balance": b} for ts, b in history],
+            {"company": company, "ts": list(ts), "balance": list(bals)},
             columns=["company", "ts", "balance"],
         )
 
