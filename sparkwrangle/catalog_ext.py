@@ -1152,3 +1152,100 @@ def x_minhash_jaccard_est(spark, sf_dir):
         .join(sigs.alias("sb"), F.col("sb.doc_id") == F.col("id_b"))
         .select("id_a", "id_b", r6(est).alias("est_jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality filters: repetition statistics, PII redaction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_repetition_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tok_rows AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok_rows GROUP BY 1, 2),
+    td AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+                  max(c) AS max_cnt
+           FROM tc GROUP BY doc_id),
+    g_rows AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                      i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))) AS g
+        FROM toks
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM g_rows GROUP BY 1, 2),
+    gd AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2 FROM gc GROUP BY doc_id)
+    SELECT td.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(1.0 - n_distinct * 1.0 / n_tokens, 6) AS token_rep,
+           round(max_cnt * 1.0 / n_tokens, 6) AS top_token_share,
+           round(1.0 - d2 * 1.0 / n2, 6) AS gram2_rep
+    FROM td JOIN gd ON td.doc_id = gd.doc_id
+    """,
+    doc="Gopher-style repetition quality signals per document: repeated-"
+    "token fraction, most-frequent-token share, repeated-2-gram fraction "
+    "- the filters that catch boilerplate and looping generations. "
+    "Relational (explode + two groupBys), map-side combinable.",
+)
+def x_repetition_stats(spark, sf_dir):
+    from sparkwrangle.ext.dedup import shingles
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").count()
+    td = tc.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("count").alias("max_cnt"),
+    )
+    g2 = shingles(docs, "doc_id", "text", n=2, distinct=False)
+    gc = g2.groupBy("doc_id", "shingle").count()
+    gd = gc.groupBy("doc_id").agg(
+        F.sum("count").alias("n2"), F.count("*").alias("d2")
+    )
+    return td.join(gd, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        r6(1.0 - F.col("n_distinct") / F.col("n_tokens")).alias("token_rep"),
+        r6(F.col("max_cnt") / F.col("n_tokens")).alias("top_token_share"),
+        r6(1.0 - F.col("d2") / F.col("n2")).alias("gram2_rep"),
+    )
+
+
+def _pii_sql():
+    from sparkwrangle.ext.text import PII_PATTERNS
+
+    red = "text"
+    for k in ("email", "url", "phone"):
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '[{k.upper()}]', 'g')"
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    return f"""
+    SELECT doc_id,
+           {counts},
+           {red} AS redacted
+    FROM documents
+    """
+
+
+@register(
+    "x_pii_redact",
+    _pii_sql(),
+    doc="PII-shaped span redaction: email/URL/phone patterns replaced with "
+    "typed placeholders + per-type counts. Chained regexp_replace, "
+    "map-side only; patterns restricted to the Java-regex ∩ RE2 common "
+    "subset so both engines redact identically. (The driver corpus is "
+    "synthetic word-salad - the behavior is pinned by unit tests on "
+    "PII-bearing rows; this entry proves the corpus-scale plan.)",
+)
+def x_pii_redact(spark, sf_dir):
+    from sparkwrangle.ext.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    return redact_pii(docs).select(
+        "doc_id", "n_email", "n_url", "n_phone", "redacted"
+    )

@@ -45,9 +45,12 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     return withhash.withColumn("dup_count", F.count("*").over(w))
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document, long format
-    (id, shingle). The dedup building block.
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document, long format (id, shingle) —
+    distinct by default (the dedup building block); ``distinct=False``
+    keeps every occurrence (repetition statistics need the multiset).
 
     Two deliberate shapes here, both measured at sf0.1:
 
@@ -76,7 +79,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return t1.select(id_col, F.explode(grams).alias("shingle")).distinct()
+    out = t1.select(id_col, F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(

@@ -114,3 +114,29 @@ def normalize_for_dedup(col: Column | str) -> Column:
     folded = F.translate(F.col(col) if isinstance(col, str) else col, ACCENT_SRC, ACCENT_DST)
     cleaned = F.regexp_replace(F.regexp_replace(F.lower(folded), "[^a-z0-9 ]", " "), " +", " ")
     return F.trim(cleaned)
+
+
+# PII-shaped patterns, identical semantics under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "url": "https?://[^ \\t\\n]+",
+    "phone": "\\+?[0-9][0-9() -]{7,}[0-9]",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email/URL/phone-shaped spans with ``[TYPE]`` placeholders and
+    count each redaction type. A chained regexp_replace — map-side only,
+    order fixed (urls before phones so a URL's digits never half-match the
+    phone pattern after partial rewriting).
+    """
+    t = F.col(text_col)
+    counts = {
+        f"n_{k}": F.size(F.regexp_extract_all(t, F.lit(p), 0))
+        for k, p in PII_PATTERNS.items()
+    }
+    red = t
+    for k in ("email", "url", "phone"):
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
+    return df.withColumns({**counts, "redacted": red})

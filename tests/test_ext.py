@@ -307,3 +307,46 @@ def test_neardup_gemm_matches_relational(spark):
         for r in embedding_neardup_pairs_gemm(emb, threshold=0.4).collect()
     }
     assert rel == gem and len(rel) > 0
+
+
+def test_pii_redaction_on_bearing_rows(spark):
+    """Emails/URLs/phones are replaced with typed placeholders and counted
+    (the driver corpus has none, so the behavior pins here)."""
+    from sparkwrangle.ext.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@corp.example.org for details"),
+            (2, "see https://spark.apache.org/docs and http://a.b/c?q=1"),
+            (3, "call +1 (555) 010-7788 today"),
+            (4, "plain text, nothing to hide"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_email == 1 and "[EMAIL]" in out[1].redacted
+    assert "bob" not in out[1].redacted
+    assert out[2].n_url == 2 and out[2].redacted.count("[URL]") == 2
+    assert out[3].n_phone == 1 and "[PHONE]" in out[3].redacted
+    assert out[4].redacted == "plain text, nothing to hide"
+    assert (out[4].n_email, out[4].n_url, out[4].n_phone) == (0, 0, 0)
+
+
+def test_repetition_stats_on_crafted_docs(spark):
+    """A fully-repetitive doc scores high on every repetition axis; an
+    all-distinct doc scores zero."""
+    import tempfile
+
+    from sparkwrangle.catalog import CATALOG
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "alpha beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        out = {r.doc_id: r for r in CATALOG["x_repetition_stats"].fn(spark, td).collect()}
+    assert out[1].token_rep == 0.75 and out[1].top_token_share == 1.0
+    assert out[1].gram2_rep == round(1 - 1 / 3, 6)
+    assert out[2].token_rep == 0.0 and out[2].top_token_share == 0.25
+    assert out[2].gram2_rep == 0.0
