@@ -1,0 +1,95 @@
+"""Ingest-time corpus preparation — the 100 TB dedup layout.
+
+Every ad-hoc dedup query pays the tokenize → explode → distinct subtree
+again (twice, for self-joins — measured ~2 s per branch at sf0.1, and at
+corpus scale a full re-scan of the text). The production layout
+materializes that work ONCE at ingest:
+
+* ``shingles.parquet``      — (doc_id, shingle), distinct
+* ``minhash_sigs.parquet``  — (doc_id, mh0..mh{k-1})
+* ``text_hashes.parquet``   — (doc_id, text_hash) normalized exact-dup key
+
+after which every dedup family consumer (exact groups, LSH candidates,
+Jaccard verification, clustering) is a scan + join over columnar tables
+that never touch the raw text. In-session caching is NOT a substitute:
+``.cache()`` breaks whole-stage pipelines (measured slower), and cached
+state dies with the session — a written table amortizes across every
+query, session, and engine that follows.
+
+The from-prepared operators below mirror their from-scratch twins in
+``ext.dedup`` exactly (equality is pinned by tests), so correctness work
+done against the ad-hoc path transfers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkwrangle.ext.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    normalize_text,
+    shingles,
+)
+from sparkwrangle.ext.hashing import h60
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n: int = 3,
+    k: int = 16,
+) -> None:
+    """Materialize the dedup building blocks for a corpus. The signature
+    table is derived from the WRITTEN shingle table (one extra scan of
+    columnar data) rather than recomputing the text subtree."""
+    sh = shingles(docs, "doc_id", "text", n)
+    sh.write.mode("overwrite").parquet(f"{out_dir}/shingles.parquet")
+    sh_mat = spark.read.parquet(f"{out_dir}/shingles.parquet")
+    minhash_signatures(sh_mat, "doc_id", k=k).write.mode("overwrite").parquet(
+        f"{out_dir}/minhash_sigs.parquet"
+    )
+    docs.select(
+        "doc_id", h60(normalize_text(F.col("text"))).alias("text_hash")
+    ).write.mode("overwrite").parquet(f"{out_dir}/text_hashes.parquet")
+
+
+def load_prepared(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    return {
+        "shingles": spark.read.parquet(f"{out_dir}/shingles.parquet"),
+        "sigs": spark.read.parquet(f"{out_dir}/minhash_sigs.parquet"),
+        "text_hashes": spark.read.parquet(f"{out_dir}/text_hashes.parquet"),
+    }
+
+
+def lsh_pairs_from_prepared(
+    spark: SparkSession, out_dir: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs from the materialized signature table — no text
+    scan, no shingle recompute; the banding self-join reads one columnar
+    table twice."""
+    sigs = load_prepared(spark, out_dir)["sigs"]
+    return lsh_candidate_pairs(sigs, "doc_id", k=k, bands=bands)
+
+
+def jaccard_from_prepared(
+    spark: SparkSession,
+    out_dir: str,
+    threshold: float = 0.0,
+    max_df: int | None = 20,
+) -> DataFrame:
+    """Exact n-gram Jaccard from the materialized shingle table."""
+    sh = load_prepared(spark, out_dir)["shingles"]
+    return ngram_jaccard_pairs(sh, "doc_id", threshold=threshold, max_df=max_df)
+
+
+def exact_dup_groups_from_prepared(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Exact-dup group sizes from the materialized normalized-hash table."""
+    from pyspark.sql import Window
+
+    th = load_prepared(spark, out_dir)["text_hashes"]
+    w = Window.partitionBy("text_hash")
+    return th.withColumn("dup_count", F.count("*").over(w))

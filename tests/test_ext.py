@@ -350,3 +350,55 @@ def test_repetition_stats_on_crafted_docs(spark):
     assert out[1].gram2_rep == round(1 - 1 / 3, 6)
     assert out[2].token_rep == 0.0 and out[2].top_token_share == 0.25
     assert out[2].gram2_rep == 0.0
+
+
+def test_prepared_corpus_matches_adhoc(spark, tmp_path):
+    """The materialized ingest layout reproduces the ad-hoc pipeline
+    exactly: LSH candidates, df-capped Jaccard, and exact-dup groups from
+    prepared tables equal their from-scratch twins."""
+    from conftest import SF_ORACLE
+    from sparkwrangle.ext.dedup import (
+        exact_dup_groups,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+    from sparkwrangle.ext.prepared import (
+        exact_dup_groups_from_prepared,
+        jaccard_from_prepared,
+        lsh_pairs_from_prepared,
+        prepare_corpus,
+    )
+    from sparkwrangle.io import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = str(tmp_path / "prep")
+    prepare_corpus(spark, docs, out)
+
+    sh = shingles(docs, "doc_id", "text", 3)
+    want_pairs = {
+        tuple(r)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(sh, "doc_id", k=16), "doc_id"
+        ).collect()
+    }
+    got_pairs = {tuple(r) for r in lsh_pairs_from_prepared(spark, out).collect()}
+    assert got_pairs == want_pairs
+
+    want_j = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(sh, "doc_id", threshold=0.05, max_df=20).collect()
+    }
+    got_j = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_from_prepared(spark, out, threshold=0.05).collect()
+    }
+    assert got_j == want_j
+
+    want_e = {
+        (r.doc_id, r.text_hash, r.dup_count)
+        for r in exact_dup_groups(docs).select("doc_id", "text_hash", "dup_count").collect()
+    }
+    got_e = {tuple(r) for r in exact_dup_groups_from_prepared(spark, out).collect()}
+    assert got_e == want_e

@@ -483,3 +483,55 @@ def test_streaming_balances_parity(spark, feed_df, tmp_path):
     g = got.sort_values(["company", "ts"]).reset_index(drop=True)
     assert (b.company == g.company).all()
     assert max(abs(b.balance.to_numpy() - g.balance.to_numpy())) < 1e-12
+
+
+def test_stream_stream_interval_join_parity(spark, tmp_path):
+    """Watermarked stream-stream interval join returns exactly the batch
+    join's pairs when the same two feeds replay through micro-batches."""
+    import pandas as pd
+
+    from sparkwrangle.streaming.joins import interval_join
+
+    base = pd.Timestamp("2024-03-04 14:30:00")
+    orders = pd.DataFrame(
+        {
+            "company": ["A", "A", "B", "B", "A"],
+            "ts": [base + pd.Timedelta(minutes=m) for m in (0, 10, 0, 40, 90)],
+            "qty": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    fills = pd.DataFrame(
+        {
+            "company": ["A", "A", "B", "B", "A"],
+            "ts": [base + pd.Timedelta(minutes=m) for m in (1, 12, 39, 41, 200)],
+            "px": [10.0, 11.0, 12.0, 13.0, 14.0],
+        }
+    )
+    od, fd = str(tmp_path / "orders"), str(tmp_path / "fills")
+    # two files per side so the join spans micro-batches
+    for i, df in enumerate((orders, fills)):
+        d = (od, fd)[i]
+        half = len(df) // 2
+        spark.createDataFrame(df.iloc[:half]).write.parquet(f"{d}/p0")
+        spark.createDataFrame(df.iloc[half:]).write.parquet(f"{d}/p1")
+
+    batch = interval_join(
+        spark.createDataFrame(orders),
+        spark.createDataFrame(fills),
+        "company", 0, 180, watermark=None,
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert len(want) > 0  # fixture sanity: some pairs must match
+
+    schema_o = "company string, ts timestamp, qty double"
+    schema_f = "company string, ts timestamp, px double"
+    so = (spark.readStream.schema(schema_o).option("maxFilesPerTrigger", 1)
+          .parquet(od + "/*"))
+    sf = (spark.readStream.schema(schema_f).option("maxFilesPerTrigger", 1)
+          .parquet(fd + "/*"))
+    out = interval_join(so, sf, "company", 0, 180)
+    q = (out.writeStream.format("memory").queryName("ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
+    assert got == want
