@@ -97,12 +97,12 @@ def minhash_signatures(
     return base.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_explode(
     sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Band the signature (k/bands rows per band), bucket-join docs sharing
-    a band hash → candidate pairs (id_a < id_b). Linear candidate
-    generation: the join key is (band, band_hash)."""
+    """Long-format LSH banding of a signature table: (id, band, bh) with
+    bh = portable hash of the band's minhash row. The join key for
+    candidate generation, shared by full and incremental dedup."""
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -110,9 +110,18 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), h60(F.concat_ws("_", *cols)).alias("bh"))
         )
-    exploded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bh")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature (k/bands rows per band), bucket-join docs sharing
+    a band hash → candidate pairs (id_a < id_b). Linear candidate
+    generation: the join key is (band, band_hash)."""
+    exploded = band_explode(sigs, id_col, k, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (

@@ -93,3 +93,50 @@ def exact_dup_groups_from_prepared(spark: SparkSession, out_dir: str) -> DataFra
     th = load_prepared(spark, out_dir)["text_hashes"]
     w = Window.partitionBy("text_hash")
     return th.withColumn("dup_count", F.count("*").over(w))
+
+
+def incremental_lsh_pairs(
+    spark: SparkSession,
+    out_dir: str,
+    new_docs: DataFrame,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Operational incremental dedup: candidate pairs touching a NEW batch
+    of documents, against a prepared corpus — without recomputing anything
+    corpus-side.
+
+    Only the new batch pays tokenize/shingle/signature cost, and the
+    banding join probes (corpus ∪ new) bands WITH new-batch bands only —
+    corpus×corpus pairs are never generated (they were handled when
+    those docs were ingested). At 100 TB this is the daily-ingest shape:
+    cost scales with |batch| × bucket hit rate; the corpus contributes a
+    columnar scan of its signature table, not a self-join. Pair ids are
+    ordered (id_a < id_b) so output matches a full from-scratch run
+    restricted to pairs touching the new batch (pinned by test).
+
+    New doc_ids must not collide with corpus doc_ids (the ingest contract
+    — monotone ids).
+    """
+    from sparkwrangle.ext.dedup import band_explode
+
+    new_sh = shingles(new_docs, "doc_id", "text", n)
+    new_sigs = minhash_signatures(new_sh, "doc_id", k=k)
+    corpus_sigs = load_prepared(spark, out_dir)["sigs"]
+    all_bands = band_explode(
+        corpus_sigs.union(new_sigs.select(corpus_sigs.columns)), "doc_id", k, bands
+    )
+    new_bands = band_explode(new_sigs, "doc_id", k, bands).select(
+        F.col("doc_id").alias("_nid"), "band", "bh"
+    )
+    hits = all_bands.join(F.broadcast(new_bands), ["band", "bh"]).filter(
+        F.col("doc_id") != F.col("_nid")
+    )
+    return (
+        hits.select(
+            F.least("doc_id", "_nid").alias("id_a"),
+            F.greatest("doc_id", "_nid").alias("id_b"),
+        )
+        .distinct()
+    )

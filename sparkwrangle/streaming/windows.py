@@ -46,3 +46,32 @@ def dedup_stream(
     watermark (keys older than it are evicted), which is what makes this
     viable at 100 TB/day ingest rates."""
     return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def session_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = "10 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Session windows: rows within ``gap`` of each other merge into one
+    session per key; a session closes (and emits, in append mode) once
+    the watermark passes its end + gap. State per key is one open
+    session, not history — the sessionization contract at ingest scale.
+    ``watermark=None`` skips the late-data bound (complete-mode analytics
+    / batch). Works identically on batch DataFrames (session_window is
+    the same expression; the watermark is a no-op there)."""
+    src = (
+        stream.withWatermark(ts_col, watermark)
+        if (watermark and stream.isStreaming)
+        else stream
+    )
+    g = src.groupBy(F.session_window(ts_col, gap), *(keys or []))
+    return g.agg(F.count("*").alias("n"), F.sum("value").alias("sum_value")).select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *(keys or []),
+        "n",
+        "sum_value",
+    )

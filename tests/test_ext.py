@@ -402,3 +402,36 @@ def test_prepared_corpus_matches_adhoc(spark, tmp_path):
     }
     got_e = {tuple(r) for r in exact_dup_groups_from_prepared(spark, out).collect()}
     assert got_e == want_e
+
+
+def test_incremental_dedup_matches_full_recompute(spark, tmp_path):
+    """Daily-ingest dedup: candidates touching a new batch, computed
+    against the prepared corpus only, equal the full-recompute pairs
+    restricted to the batch."""
+    from conftest import SF_ORACLE
+    from sparkwrangle.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from sparkwrangle.ext.prepared import incremental_lsh_pairs, prepare_corpus
+    from sparkwrangle.io import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    corpus = docs.filter("doc_id < 400")
+    batch = docs.filter("doc_id >= 400")
+    out = str(tmp_path / "prep")
+    prepare_corpus(spark, corpus, out)
+
+    got = {tuple(r) for r in incremental_lsh_pairs(spark, out, batch).collect()}
+
+    full = lsh_candidate_pairs(
+        minhash_signatures(shingles(docs, "doc_id", "text", 3), "doc_id", k=16),
+        "doc_id",
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a >= 400 or r.id_b >= 400
+    }
+    assert got == want and len(want) > 0

@@ -176,3 +176,48 @@ def test_rate_source_drives_windowed_counts(spark):
     finally:
         q.stop()
     assert n >= 2, "rate source should finalize at least two 1s windows"
+
+
+def test_session_windows_stream_equals_batch(spark, tmp_path):
+    """Session windows merge rows within the gap per key; the streaming
+    run (availableNow over two files) emits exactly the batch sessions."""
+    import pandas as pd
+
+    from sparkwrangle.streaming.windows import session_counts
+
+    base = pd.Timestamp("2024-03-04 09:00:00")
+    rows = pd.DataFrame(
+        {
+            "user": ["u1"] * 4 + ["u2"] * 3,
+            "ts": [base + pd.Timedelta(minutes=m) for m in (0, 10, 70, 75, 5, 50, 200)],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+        }
+    )
+    batch = session_counts(
+        spark.createDataFrame(rows), gap="30 minutes", keys=["user"]
+    )
+    want = {tuple(r) for r in batch.collect()}
+    # u1: sessions {0,10} and {70,75}; u2: {5}, {50}, {200}
+    assert len(want) == 5
+
+    d = str(tmp_path / "sess")
+    spark.createDataFrame(rows.iloc[:4]).write.parquet(f"{d}/p0")
+    spark.createDataFrame(rows.iloc[4:]).write.parquet(f"{d}/p1")
+    stream = (
+        spark.readStream.schema("user string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    # no watermark + complete mode: nothing is dropped as late whatever
+    # order the two files replay in, every trigger rewrites the full
+    # session table, and the final result equals the batch sessions
+    # (append mode would hold tail sessions open forever here — no later
+    # batch ever advances the watermark past them).
+    out = session_counts(stream, gap="30 minutes", watermark=None, keys=["user"])
+    q = (
+        out.writeStream.format("memory").queryName("sess_sink")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sess_sink").collect()}
+    assert got == want
