@@ -99,11 +99,18 @@ def build_intraday_feed(
     hi_m = session_end[0] * 60 + session_end[1]
     g = g.filter(minute_of_day(F.col("ts")).between(lo_m, hi_m))
 
-    # 8. base-relative deviation: norm ÷ base_norm − 1, pandas /0 → ±inf
-    base = g.filter(F.col("ticker_idx") == 0).select(
-        "company", "block_id", "ts", F.col("norm_ff").alias("base_norm")
+    # 8. base-relative deviation: norm ÷ base_norm − 1, pandas /0 → ±inf.
+    #    The base row (ticker_idx = 0) is unique per (company, block, ts),
+    #    so a grouped window lifts its norm onto every row — same result
+    #    as the earlier filter + self-join but WITHOUT re-evaluating the
+    #    whole feed subtree for the base branch (and without its shuffle);
+    #    max() over the single non-null candidate is the identity, NaN
+    #    included (NaN orders above doubles, and there is nothing else).
+    wbase = Window.partitionBy("company", "block_id", "ts")
+    g = g.withColumn(
+        "base_norm",
+        F.max(F.when(F.col("ticker_idx") == 0, F.col("norm_ff"))).over(wbase),
     )
-    g = g.join(base, ["company", "block_id", "ts"], "left")
     g = g.withColumn(
         "ret",
         F.when(
