@@ -535,3 +535,40 @@ def test_stream_stream_interval_join_parity(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
     assert got == want
+
+
+def test_custom_python_datasource_replay(spark, feed_df, tmp_path):
+    """The Spark 4 Python DataSource replays the staged log with identical
+    records (batch read) and drives the streaming trader to batch parity
+    (micro-batch stream read with engine-managed offsets)."""
+    from sparkwrangle.streaming.replay import (
+        parse_feed_records,
+        stage_replay,
+        to_feed_records,
+    )
+    from sparkwrangle.streaming.replay_datasource import ReplayDataSource
+
+    d = str(tmp_path / "log")
+    stage_replay(feed_df, d, n_batches=3)
+    spark.dataSource.register(ReplayDataSource)
+
+    want_records = {tuple(r) for r in to_feed_records(feed_df).collect()}
+    got_records = {
+        tuple(r)
+        for r in spark.read.format("kafka_replay").option("path", d).load().collect()
+    }
+    assert got_records == want_records
+
+    stream = spark.readStream.format("kafka_replay").option("path", d).load()
+    out = streaming_backtest_trades(parse_feed_records(stream), TRADER_PARAMS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pyds_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = backtest_trades(feed_df, TRADER_PARAMS).toPandas()
+    stream_pdf = spark.sql("SELECT * FROM pyds_sink").toPandas()
+    _assert_same_trades(batch, stream_pdf)
