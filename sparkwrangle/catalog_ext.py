@@ -1249,3 +1249,174 @@ def x_pii_redact(spark, sf_dir):
     return redact_pii(docs).select(
         "doc_id", "n_email", "n_url", "n_phone", "redacted"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline hygiene: data-quality checks, vocabulary, embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_data_quality_checks",
+    """
+    SELECT 'orders_null_custkey' AS rule,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(count(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    doc="Pipeline hygiene: declarative data-quality expectations - null "
+    "keys, duplicate primary keys, value-range violations, referential "
+    "orphans (anti-joins) - as one violations-per-rule report. Anti-joins "
+    "broadcast the key side; every rule is a map-side-combinable count.",
+)
+def x_data_quality_checks(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    def one(rule, df):
+        return df.select(
+            F.lit(rule).alias("rule"),
+            F.count("*").cast("bigint").alias("violations"),
+        )
+
+    null_ck = orders.agg(
+        F.lit("orders_null_custkey").alias("rule"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).cast("bigint").alias("violations"),
+    )
+    dup_ok = orders.agg(
+        F.lit("orders_dup_orderkey").alias("rule"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias("violations"),
+    )
+    bad_price = orders.agg(
+        F.lit("orders_nonpositive_price").alias("rule"),
+        F.sum((F.col("o_totalprice") <= 0).cast("int")).cast("bigint").alias("violations"),
+    )
+    orphan_orders = one(
+        "orders_orphan_custkey",
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+        ),
+    )
+    orphan_items = one(
+        "lineitem_orphan_orderkey",
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+        ),
+    )
+    return null_ck.union(dup_ok).union(bad_price).union(orphan_orders).union(
+        orphan_items
+    )
+
+
+@register(
+    "x_vocab_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tok_rows AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    stats AS (
+        SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf
+        FROM tok_rows GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+               row_number() OVER (ORDER BY tf DESC, tok) AS token_id
+        FROM stats WHERE df >= 2
+    )
+    SELECT CAST(token_id AS BIGINT) AS token_id, tok, df, tf
+    FROM ranked WHERE token_id <= 200
+    """,
+    doc="Tokenizer-prep vocabulary builder: corpus-wide token document- "
+    "and term-frequencies, min-df floor, deterministic top-200 ranking "
+    "(tf desc, token asc) assigning stable token ids. One explode + one "
+    "combinable groupBy + a global top-k.",
+)
+def x_vocab_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    stats = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"), F.count("*").alias("tf")
+    )
+    # global top-k as orderBy+limit → TakeOrderedAndProject (per-partition
+    # top-200 then a 200-row merge on the driver side of the exchange) —
+    # NOT a row_number over an unpartitioned window, which would sort the
+    # whole vocabulary in one task at corpus scale. Ranking ids are then
+    # assigned over the bounded 200-row result.
+    top = (
+        stats.filter(F.col("df") >= 2)
+        .orderBy(F.desc("tf"), F.asc("tok"))
+        .limit(200)
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("tok"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("token_id"),
+        "tok",
+        "df",
+        "tf",
+    )
+
+
+@register(
+    "x_embedding_quantize",
+    """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    rng AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v)
+    SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+           CASE WHEN mx > mn THEN
+               list_transform(e, x -> CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5)
+                                            AS INT))
+           ELSE list_transform(e, x -> 0) END AS codes
+    FROM rng
+    """,
+    doc="Vector-index compression: per-vector int8 scalar quantization - "
+    "codes = floor((x-min)/(max-min)*255 + 0.5), constant vectors -> 0. "
+    "Map-side array expressions; the floor formula keeps Spark and "
+    "DuckDB codes bit-identical (no .5-boundary divergence).",
+)
+def x_embedding_quantize(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.select("vec_id", e.alias("e"))
+    rng = v.select(
+        "vec_id", "e", F.array_min("e").alias("mn"), F.array_max("e").alias("mx")
+    )
+    codes = F.when(
+        F.col("mx") > F.col("mn"),
+        F.transform(
+            F.col("e"),
+            lambda x: F.floor(
+                (x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0 + 0.5
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("e"), lambda x: F.lit(0)))
+    # codes must bind to the RAW mn/mx: aliasing r6(mn) AS mn in the same
+    # select would make Spark 4's lateral-column-alias resolution feed the
+    # ROUNDED bound into the quantizer (off-by-one codes vs the oracle)
+    out = rng.select("vec_id", "mn", "mx", codes.alias("codes"))
+    return out.select(
+        "vec_id", r6("mn").alias("mn"), r6("mx").alias("mx"), "codes"
+    )
