@@ -37,29 +37,49 @@ def scan_pair_pdf(pdf: pd.DataFrame, buy_at: float, fees: float) -> list[tuple]:
     cleaned with dropna + inf→0, as the reference does in cell 5).
     Returns a list of (open_ts, end_ts, ret) tuples.
     """
+    import numpy as np
+
     ts = pdf["ts"].to_numpy()
     delta = pdf["delta"].to_numpy()
-    ret1 = pdf["ret1"].to_numpy()
-    ret2 = pdf["ret2"].to_numpy()
     n = len(pdf)
 
+    # The per-row loop reduces to index jumps: the next entry is the next
+    # |delta| >= buy_at at or after the cursor, the close is the next
+    # zero-crossing strictly after the entry row (the opening row itself
+    # can never close: |d| >= buy_at > 0), and re-entry resumes after the
+    # close (the close row's own entry check ran while still in-trade).
+    # Interval return sums become prefix-sum differences. NaN deltas
+    # compare False in every mask, exactly as in the scalar comparisons.
+    entry_idx = np.flatnonzero(np.abs(delta) >= buy_at)
+    close_pos = np.flatnonzero(delta <= 0.0)  # closes a sign=+1 trade
+    close_neg = np.flatnonzero(delta >= 0.0)  # closes a sign=-1 trade
+    c1 = np.concatenate(([0.0], np.cumsum(pdf["ret1"].to_numpy())))
+    c2 = np.concatenate(([0.0], np.cumsum(pdf["ret2"].to_numpy())))
+
     trades: list[tuple] = []
-    in_trade = False
-    sign = 0.0
-    open_i = -1
-    for i in range(n):
-        d = delta[i]
-        if not in_trade and abs(d) >= buy_at and i + 1 < n:
-            in_trade = True
-            sign = 1.0 if d > 0 else (-1.0 if d < 0 else 0.0)
-            open_i = i + 1  # entry at next bar (K.9)
-        if in_trade and sign * d <= 0.0:
-            # inclusive [open, close] slice, pandas label-slicing semantics
-            lo, hi = open_i, i + 1
-            cum = -sign * ret2[lo:hi].sum() + sign * ret1[lo:hi].sum()
-            trades.append((ts[lo], ts[i], cum - fees))
-            in_trade = False
-            sign = 0.0
+    cursor = 0
+    while True:
+        p = int(np.searchsorted(entry_idx, cursor))
+        if p >= len(entry_idx):
+            break
+        i = int(entry_idx[p])
+        if i + 1 >= n:
+            break
+        if delta[i] == 0.0:  # reachable only at buy_at == 0: sign = 0,
+            # the same-row close check fires immediately, cum = 0
+            trades.append((ts[i + 1], ts[i], -fees))
+            cursor = i + 1
+            continue
+        sign = 1.0 if delta[i] > 0 else -1.0
+        arr = close_pos if sign > 0 else close_neg
+        q = int(np.searchsorted(arr, i + 1))
+        if q >= len(arr):
+            break  # final trade never closes → nothing to emit
+        j = int(arr[q])
+        lo, hi = i + 1, j + 1  # inclusive [open, close] label slice (K.9)
+        cum = -sign * (c2[hi] - c2[lo]) + sign * (c1[hi] - c1[lo])
+        trades.append((ts[lo], ts[j], cum - fees))
+        cursor = j + 1
     return trades
 
 
