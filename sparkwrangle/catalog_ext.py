@@ -1420,3 +1420,73 @@ def x_embedding_quantize(spark, sf_dir):
     return out.select(
         "vec_id", r6("mn").alias("mn"), r6("mx").alias("mx"), "codes"
     )
+
+
+@register(
+    "x_dedup_cc_keep",
+    (
+        _minhash_sql(16)
+        + f"""
+    , bands AS (
+        SELECT doc_id, b.band,
+               CASE b.band
+                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
+                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
+                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
+                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+               END AS bh
+        FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.15
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(node, reached) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON r.reached = e.src
+    )
+    SELECT node AS doc_id FROM reach
+    GROUP BY node HAVING node = min(reached)
+    """
+    ).replace("WITH toks", "WITH RECURSIVE toks", 1),
+    doc="The dedup PRODUCT path, transitively correct: LSH candidates → "
+    "exact-Jaccard verification (≥0.15) → connected components over the "
+    "VERIFIED graph → keep one representative (min doc_id) per cluster. "
+    "Unlike the pairwise keep-list, a chain a~b~c collapses to ONE kept "
+    "doc even when a and c never share a bucket.",
+)
+def x_dedup_cc_keep(spark, sf_dir):
+    from sparkwrangle.ext.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, "doc_id", k=16)
+    cand = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
+    jac = ngram_jaccard_pairs(sh, "doc_id", threshold=0.15)
+    verified = cand.join(jac, ["id_a", "id_b"], "inner").select("id_a", "id_b")
+    comp = connected_components(verified, docs.select("doc_id"), "doc_id")
+    return comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")

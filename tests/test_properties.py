@@ -150,3 +150,31 @@ def test_s1_scan_matches_independent_oracle(rows):
     for (o, e, r), (_, row) in zip(got, expected.iterrows()):
         assert o == row.open_date and e == row.end_date
         assert math.isclose(r, row["return"], rel_tol=0, abs_tol=1e-12)
+
+
+def test_connected_components_invariants(spark):
+    """CC is idempotent (running it on its own keeper-edges is stable) and
+    invariant to edge direction/duplication."""
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.ext.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (7, 8), (9, 9)]
+    ids = [(i,) for i in range(1, 11)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    # duplicated + reversed edges must not change the components
+    noisy = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).union(pairs)
+    ids_df = spark.createDataFrame(ids, "doc_id bigint")
+    base = {tuple(r) for r in connected_components(pairs, ids_df, "doc_id").collect()}
+    noisy_out = {
+        tuple(r) for r in connected_components(noisy, ids_df, "doc_id").collect()
+    }
+    assert base == noisy_out
+    # idempotence: components of the (node -> cluster rep) star graph
+    star = spark.createDataFrame(
+        [(a, b) for a, b in base if a != b], "id_a bigint, id_b bigint"
+    )
+    again = {tuple(r) for r in connected_components(star, ids_df, "doc_id").collect()}
+    assert again == base
