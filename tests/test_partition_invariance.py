@@ -21,6 +21,10 @@ QUERIES = [
     "w_pct_change_log_returns", # floor-formula rounded windows
     "x_dedup_minhash_sigs",     # min-aggregated portable hashes
     "r_balance_report",         # closed-form report aggregates
+    "x_dedup_cc_clusters",      # iterative min-label propagation
+    "x_embedding_neardup",      # per-cell GEMM (Arrow group boundaries)
+    "x_embedding_quantize",     # per-row array math, no shuffle at all
+    "x_stratified_sample",      # salted-hash keep decision
 ]
 
 
