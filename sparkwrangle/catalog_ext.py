@@ -1490,3 +1490,56 @@ def x_dedup_cc_keep(spark, sf_dir):
     verified = cand.join(jac, ["id_a", "id_b"], "inner").select("id_a", "id_b")
     comp = connected_components(verified, docs.select("doc_id"), "doc_id")
     return comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
+@register(
+    "x_quality_prune",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS t FROM documents),
+    stats AS (
+        SELECT doc_id, lang, len(t) AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                    / length(text) END AS punct_ratio,
+               CASE WHEN len(t) > 0 THEN
+                    CAST(len(list_filter(t, x -> x IN {_EN_STOP})) AS DOUBLE) / len(t)
+                    END AS stop_ratio
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                     + least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+        FROM stats
+    )
+    SELECT doc_id, lang, quality,
+           round(pr, 6) AS quality_rank
+    FROM (
+        SELECT doc_id, lang, quality,
+               percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY quality, doc_id) AS pr
+        FROM scored
+    ) WHERE pr >= 0.2
+    """,
+    doc="Corpus curation: drop the bottom 20% of each language's quality "
+    "distribution - percent_rank per lang over the (rounded) composite "
+    "score with doc_id tiebreak for cross-engine determinism. The "
+    "per-stratum window partitions by language, so parallelism scales "
+    "with the language count x skew-bounded stratum sizes.",
+)
+def x_quality_prune(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.text import add_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = add_text_stats(docs).select(
+        "doc_id", "lang", r6("quality").alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.2)
+        .select("doc_id", "lang", "quality", r6("pr").alias("quality_rank"))
+    )
