@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from sparkwrangle.catalog import _t, r6, register
+from sparkwrangle.catalog import _t, r6, register, rf_sql
 from sparkwrangle.ext.hashing import (
     MERSENNE_P,
     h60_sql,
@@ -1542,4 +1542,213 @@ def x_quality_prune(spark, sf_dir):
         scored.withColumn("pr", F.percent_rank().over(w))
         .filter(F.col("pr") >= 0.2)
         .select("doc_id", "lang", "quality", r6("pr").alias("quality_rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination, sequence packing, LM scoring, mixing weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_decontaminate",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               {h60_sql("unnest(list_transform(range(0, greatest(len(t) - 2, 0)), "
+                        "i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))")}
+               AS shash
+        FROM toks
+    ),
+    ev AS (SELECT doc_id AS eval_id, shash FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, shash FROM sh WHERE source <> 'src0')
+    SELECT tr.doc_id,
+           count(DISTINCT tr.shash) AS n_hit_shingles,
+           count(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM tr JOIN ev ON tr.shash = ev.shash
+    GROUP BY tr.doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents that share any "
+    "3-gram shingle with the held-out eval set (source='src0' stands in "
+    "for the benchmark corpus). The eval side collapses to 60-bit shingle "
+    "hashes and is broadcast - at 100 TB the benchmark suite is a few MB "
+    "of hashes against which the whole corpus streams map-side, no "
+    "shuffle of the training side. Reports per-doc contaminated-shingle "
+    "and eval-doc counts for audit before dropping.",
+)
+def x_decontaminate(spark, sf_dir):
+    from sparkwrangle.ext.dedup import shingles
+    from sparkwrangle.ext.hashing import h60
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = shingles(docs.filter(F.col("source") == "src0"), "doc_id", "text", 3).select(
+        F.col("doc_id").alias("eval_id"), h60(F.col("shingle")).alias("shash")
+    )
+    tr = shingles(docs.filter(F.col("source") != "src0"), "doc_id", "text", 3).select(
+        "doc_id", h60(F.col("shingle")).alias("shash")
+    )
+    return (
+        tr.join(F.broadcast(ev), "shash")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shash").alias("n_hit_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+@register(
+    "x_sequence_packing",
+    f"""
+    WITH toks AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents),
+    off AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / 128.0) AS BIGINT) AS first_bin,
+           CASE WHEN n_tokens > 0 THEN
+                CAST(floor((start_offset + n_tokens - 1) / 128.0) AS BIGINT)
+           END AS last_bin,
+           CASE WHEN n_tokens > 0 THEN
+                CAST(floor((start_offset + n_tokens - 1) / 128.0) AS BIGINT)
+                - CAST(floor(start_offset / 128.0) AS BIGINT) + 1
+           ELSE 0 END AS n_bins
+    FROM off
+    """,
+    doc="Sequence packing for training: lay every document's tokens on one "
+    "global stream (doc_id order) and cut fixed 128-token context windows "
+    "- each doc maps to [first_bin, last_bin]. The global prefix sum is "
+    "computed scalably: per-block running sums (window partitioned by "
+    "doc_id block) plus a broadcast prefix over block totals, so no "
+    "single-partition window ever sees more than one block or the tiny "
+    "block-total table. The same two-level scan pattern packs 100 TB.",
+)
+def x_sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    blk = toks.withColumn("blk", F.floor(F.col("doc_id") / 256))
+    wb = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = blk.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(wb), F.lit(0))
+    )
+    btot = blk.groupBy("blk").agg(F.sum("n_tokens").alias("bt"))
+    wp = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = btot.withColumn(
+        "blk_off", F.coalesce(F.sum("bt").over(wp), F.lit(0))
+    ).select("blk", "blk_off")
+    start = F.col("local_off") + F.col("blk_off")
+    first_bin = F.floor(start / 128.0)
+    last_bin = F.floor((start + F.col("n_tokens") - 1) / 128.0)
+    return (
+        local.join(F.broadcast(prefix), "blk")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            first_bin.alias("first_bin"),
+            F.when(F.col("n_tokens") > 0, last_bin).alias("last_bin"),
+            F.when(F.col("n_tokens") > 0, last_bin - first_bin + 1)
+            .otherwise(F.lit(0))
+            .alias("n_bins"),
+        )
+    )
+
+
+@register(
+    "x_unigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS n FROM vocab)
+    SELECT t.doc_id, count(*) AS n_tokens,
+           {rf_sql("avg(-ln(CAST(v.cnt AS DOUBLE) / tot.n))")} AS avg_nll
+    FROM toks t JOIN vocab v ON t.tok = v.tok, tot
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram-LM quality scoring (the KenLM-perplexity stand-in): fit "
+    "token frequencies over the corpus, score each document by its mean "
+    "negative log-likelihood. Two aggregations plus one join on token; "
+    "the vocabulary is bounded by language (broadcastable), so the "
+    "scoring pass is map-side against 100 TB of documents. High avg_nll "
+    "= rare-token-heavy docs (gibberish/OCR noise candidates).",
+)
+def x_unigram_logprob(spark, sf_dir):
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    scored = toks.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        rf(F.avg(-F.log(F.col("cnt").cast("double") / F.col("n")))).alias("avg_nll"),
+    )
+
+
+@register(
+    "x_source_mixing_weights",
+    f"""
+    WITH toks AS (SELECT source, len({_TOKS_SQL}) AS n FROM documents),
+    s AS (SELECT source, count(*) AS n_docs, sum(n) AS n_tokens
+          FROM toks GROUP BY source),
+    t AS (SELECT sum(n_tokens) AS tot FROM s),
+    w AS (SELECT source, n_docs, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / tot AS raw_share,
+                 sqrt(CAST(n_tokens AS DOUBLE) / tot) AS wgt
+          FROM s, t),
+    z AS (SELECT sum(wgt) AS sw FROM w)
+    SELECT source, n_docs, n_tokens,
+           {rf_sql("raw_share")} AS raw_share,
+           {rf_sql("wgt / sw")} AS mix_share,
+           {rf_sql("(wgt / sw) / raw_share")} AS boost
+    FROM w, z
+    """,
+    doc="Training-mix temperature weighting: per-source token shares and "
+    "the alpha=0.5 temperature-scaled sampling distribution (share^0.5, "
+    "renormalized) with the oversampling boost each source gets - the "
+    "standard rebalance that keeps small domains from washing out. One "
+    "bounded-cardinality aggregate plus scalar broadcasts; sqrt chain "
+    "rounded via the floor formula for cross-engine hash stability.",
+)
+def x_source_mixing_weights(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.size(tokenize(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    tot = s.agg(F.sum("n_tokens").alias("tot"))
+    w = s.crossJoin(F.broadcast(tot)).withColumn(
+        "raw_share", F.col("n_tokens").cast("double") / F.col("tot")
+    ).withColumn("wgt", F.sqrt("raw_share"))
+    sw = F.sum("wgt").over(Window.partitionBy())
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        rf(F.col("raw_share")).alias("raw_share"),
+        rf(F.col("wgt") / sw).alias("mix_share"),
+        rf((F.col("wgt") / sw) / F.col("raw_share")).alias("boost"),
     )
