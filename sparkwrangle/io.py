@@ -14,6 +14,7 @@ import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 # Tables the driver generates per TESTDATA.md / FIXTURES.md §B.
 TABLES = (
@@ -48,12 +49,14 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet → full pushdown/pruning support.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS) which Spark cannot
-    read as a timestamp; with ``spark.sql.legacy.parquet.nanosAsLong`` we
-    read raw nanos and floor to microseconds (timestamp_micros). DuckDB's
-    ``CAST(ts_ns AS TIMESTAMP)`` floors identically for positive epochs, so
-    oracle comparisons stay exact. Sub-microsecond ordering ties are
-    impossible in this data (events are seconds apart).
+    ``events.ts`` has shipped both as INT64 TIMESTAMP(NANOS) (which Spark
+    cannot read as a timestamp; ``spark.sql.legacy.parquet.nanosAsLong``
+    reads raw nanos and we floor to microseconds) and as plain
+    timestamp[us] (later testdata generations). We sniff the read dtype
+    and only convert when nanos arrived as LongType. DuckDB's
+    ``CAST(ts_ns AS TIMESTAMP)`` floors identically for positive epochs,
+    so oracle comparisons stay exact either way. Sub-microsecond ordering
+    ties are impossible in this data (events are seconds apart).
     """
     try:
         per_session = _TABLE_CACHE.setdefault(spark, {})
@@ -65,7 +68,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Session TZ is pinned to UTC (session.py), so NTZ -> LTZ is
+            # value-identical; LTZ keeps the engine-wide contract that
+            # ts casts to epoch seconds (sessionize, as-of joins).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     per_session[key] = df
     return df
 
