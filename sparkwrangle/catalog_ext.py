@@ -1752,3 +1752,250 @@ def x_source_mixing_weights(spark, sf_dir):
         rf(F.col("wgt") / sw).alias("mix_share"),
         rf((F.col("wgt") / sw) / F.col("raw_share")).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate span pruning, BM25 retrieval, semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_boilerplate_prune",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+                  WHERE len({_TOKS_SQL}) > 0),
+    blocks AS (
+        SELECT doc_id, s,
+               array_to_string(list_slice(t, s + 1, s + 4), ' ') AS bt
+        FROM (SELECT doc_id, t, unnest(range(0, len(t), 4)) AS s FROM toks)
+    ),
+    counted AS (
+        SELECT doc_id, s, bt,
+               count(*) OVER (PARTITION BY {h60_sql('bt')}) AS occ
+        FROM blocks
+    )
+    SELECT doc_id,
+           count(*) AS n_blocks,
+           sum(CASE WHEN occ >= 3 THEN 1 ELSE 0 END) AS n_dropped,
+           array_to_string(list(bt ORDER BY s) FILTER (WHERE occ < 3), ' ')
+               AS cleaned_text
+    FROM counted
+    GROUP BY doc_id
+    HAVING count(*) > sum(CASE WHEN occ >= 3 THEN 1 ELSE 0 END)
+    """,
+    doc="C4/RefinedWeb-style boilerplate span removal: split each document "
+    "into aligned 4-token blocks, count corpus-wide occurrences of each "
+    "block (by portable hash), drop blocks occurring >= 3 times, and "
+    "reassemble the surviving text in order. Docs losing every block "
+    "drop out entirely. Two shuffles total (by block hash for the "
+    "occurrence window, by doc for reassembly); at 100 TB the flagged "
+    "boilerplate set is tiny relative to the corpus, so the window form "
+    "can be swapped for an agg + broadcast anti-join without changing "
+    "results.",
+)
+def x_boilerplate_prune(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.hashing import h60
+    from sparkwrangle.ext.text import tokenize
+
+    B, THRESH = 4, 3
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    blocks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(B)),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.concat_ws(" ", F.slice(F.col("t"), s + 1, F.lit(B))).alias("bt"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.s", "b.bt")
+    occ = F.count("*").over(Window.partitionBy(h60(F.col("bt"))))
+    counted = blocks.withColumn("occ", occ)
+    dropped = F.sum((F.col("occ") >= THRESH).cast("bigint"))
+    # collect_list drops nulls, so the when() keeps only surviving blocks;
+    # array_sort on (s, bt) structs restores document order
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("occ") < THRESH, F.struct("s", "bt")))
+    )
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            dropped.alias("n_dropped"),
+            F.concat_ws(" ", F.transform(kept, lambda x: x.bt)).alias("cleaned_text"),
+        )
+        .filter(F.col("n_blocks") > F.col("n_dropped"))
+    )
+
+
+def _bm25_contrib_sql(term: str) -> str:
+    """Per-term BM25 contribution (k1=1.2, b=0.75) — identical IEEE op
+    chain on both engines; df/N/avgdl come from the scalar stats row."""
+    tf = f"CAST(len(list_filter(t, x -> x = '{term}')) AS DOUBLE)"
+    df = f"df_{term}"
+    return (
+        f"CASE WHEN {tf} > 0 THEN "
+        f"ln((n_corpus - {df} + 0.5) / ({df} + 0.5) + 1.0) "
+        f"* ({tf} * 2.2) / ({tf} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) "
+        f"ELSE 0.0 END"
+    )
+
+
+_BM25_TERMS = ("spark", "join", "stream")
+
+
+@register(
+    "x_bm25_search",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+                  WHERE len({_TOKS_SQL}) > 0),
+    dls AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_corpus,
+               avg(dl) AS avgdl,
+               {', '.join(
+                   f"CAST(sum(CASE WHEN len(list_filter(t, x -> x = '{trm}')) > 0 "
+                   f"THEN 1 ELSE 0 END) AS DOUBLE) AS df_{trm}"
+                   for trm in _BM25_TERMS)}
+        FROM dls
+    ),
+    scored AS (
+        SELECT doc_id,
+               {rf_sql(' + '.join(f'({_bm25_contrib_sql(trm)})' for trm in _BM25_TERMS))}
+                   AS bm25
+        FROM dls CROSS JOIN stats
+    )
+    SELECT doc_id, bm25
+    FROM scored
+    WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 keyword retrieval (Okapi, k1=1.2, b=0.75) for a fixed "
+    "3-term query: per-document term frequencies stay map-side (array "
+    "filter counts, no explode); corpus stats (N, avgdl, per-term df) "
+    "collapse to ONE scalar row broadcast back; the score is a "
+    "fixed-order sum of per-term contributions so no float ordering "
+    "crosses engines; global top-20 is TakeOrderedAndProject. At 100 TB "
+    "the only wide op is the single-row stats aggregate.",
+)
+def x_bm25_search(spark, sf_dir):
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.ext.text import tokenize
+
+    K1, B = 1.2, 0.75
+    docs = _t(spark, sf_dir, "documents")
+    dls = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+        .withColumn("dl", F.size("t").cast("double"))
+    )
+    def _tf(trm):
+        # NB: the lambda must take exactly one parameter — F.filter passes
+        # (element, index) to any two-parameter callable, so a `trm=trm`
+        # default-arg closure would silently bind trm to the index column
+        return F.size(F.filter(F.col("t"), lambda x: x == trm)).cast("double")
+
+    tf_cols = {trm: _tf(trm) for trm in _BM25_TERMS}
+    stats = dls.agg(
+        F.count("*").cast("double").alias("n_corpus"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((tf_cols[trm] > 0).cast("bigint")).cast("double").alias(f"df_{trm}")
+            for trm in _BM25_TERMS
+        ],
+    )
+    scored = dls.crossJoin(F.broadcast(stats))
+    contribs = []
+    for trm in _BM25_TERMS:
+        tf = tf_cols[trm]
+        idf = F.log(
+            (F.col("n_corpus") - F.col(f"df_{trm}") + 0.5)
+            / (F.col(f"df_{trm}") + 0.5)
+            + 1.0
+        )
+        part = idf * (tf * (K1 + 1.0)) / (
+            tf + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+        )
+        contribs.append(F.when(tf > 0, part).otherwise(F.lit(0.0)))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (
+        scored.select("doc_id", rf(total).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "x_semantic_dedup",
+    f"""
+    WITH dims AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE))) AS x
+        FROM embeddings
+    ), cents AS (
+        SELECT label AS cell, list(avg_x ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, avg(x) AS avg_x FROM dims GROUP BY label, pos)
+        GROUP BY label
+    ), assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(c.centroid, c.centroid)))
+                       DESC, c.cell) AS rk
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rk = 1
+    ), v AS (
+        SELECT s.vec_id, s.cell, e.embedding
+        FROM assigned s JOIN embeddings e USING (vec_id)
+    ), dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_COS_SQL} >= 0.4
+    )
+    SELECT v.vec_id, v.cell,
+           CAST(d.vec_id IS NULL AS BOOLEAN) AS kept
+    FROM v LEFT JOIN dups d ON v.vec_id = d.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup: train per-cell centroids (one "
+    "Lloyd step from the label seed), re-assign every vector to its "
+    "nearest TRAINED centroid, find within-cluster cosine near-dups "
+    "(sim >= 0.4) via the per-cell BLAS GEMM kernel, and keep the "
+    "lowest vec_id of each duplicate pair. Centroids broadcast "
+    "(|cells| rows); the quadratic check never crosses cluster "
+    "boundaries, so corpus-scale cost is sum over cells of |cell|^2 "
+    "block-GEMMs — the standard SemDeDup layout.",
+)
+def x_semantic_dedup(spark, sf_dir):
+    from sparkwrangle.ext.similarity import (
+        assign_cells,
+        embedding_neardup_pairs_gemm,
+        train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb)
+    assigned = assign_cells(emb, cents).select("vec_id", "cell")
+    base = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    pairs = embedding_neardup_pairs_gemm(base, threshold=0.4, cell_col="cell")
+    dups = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn(
+        "is_dup", F.lit(1)
+    )
+    return base.join(dups, "vec_id", "left").select(
+        "vec_id", "cell", F.col("is_dup").isNull().alias("kept")
+    )

@@ -74,6 +74,7 @@ _PYTHON_OK = {
     # dense numeric kernel: one BLAS GEMM per cell beats the relational
     # pair join 10× (see ext/similarity.embedding_neardup_pairs_gemm)
     "x_embedding_neardup",
+    "x_semantic_dedup",  # same GEMM kernel over trained cells
 }
 
 
