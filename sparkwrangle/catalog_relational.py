@@ -893,3 +893,121 @@ def c_asof_nearest(spark, sf_dir):
         direction="nearest", out_col="nearest_rate",
     )
     return out.select("event_id", "user_id", r6("nearest_rate").alias("nearest_rate"))
+
+
+@register(
+    "tpch_q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13-style customer order-count distribution: outer join "
+    "with a join-side predicate (customers with zero qualifying orders "
+    "must survive as c_count=0), two cascaded counts. The second "
+    "aggregate's key space is tiny (distinct order counts), so the "
+    "heavy shuffle is only the first groupBy on c_custkey — which AQE "
+    "coalesces; the outer join keeps nulls flowing instead of a "
+    "filter-then-join that would lose empty customers.",
+)
+def tpch_q13_order_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    f"""
+    SELECT round(
+        {_DSUM.format(expr='l.l_extendedprice')} / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
+        FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_limit
+    """,
+    doc="TPC-H Q17-style small-quantity revenue: the spec's correlated "
+    "scalar subquery (avg quantity per part) decorrelated into an "
+    "explicit per-part aggregate joined back — the same rewrite "
+    "Catalyst's DecorrelateInnerQuery performs. The per-part avg "
+    "aggregates map-side before its shuffle; the brand filter pushes "
+    "into the part scan and prunes the probe side early.",
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    lim = (
+        li.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_limit"))
+        .withColumnRenamed("l_partkey", "lim_partkey")
+    )
+    out = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(lim, li.l_partkey == lim.lim_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+    )
+    return out.agg(
+        F.round(dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly")
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {_DSUM.format(expr='l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 220
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18-style large-volume orders: groupBy-HAVING subquery "
+    "feeding a semi join (IN-list), then re-join the 3 tables for the "
+    "report columns. The HAVING aggregate and the final aggregate share "
+    "the l_orderkey shuffle key, so AQE reuses the exchange; top-100 is "
+    "TakeOrderedAndProject, never a global sort.",
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 220)
+        .select("l_orderkey")
+    )
+    out = (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+    return out
