@@ -1999,3 +1999,69 @@ def x_semantic_dedup(spark, sf_dir):
     return base.join(dups, "vec_id", "left").select(
         "vec_id", "cell", F.col("is_dup").isNull().alias("kept")
     )
+
+
+@register(
+    "x_epoch_shuffle",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               {h60_sql("concat('epoch7|', CAST(doc_id AS VARCHAR))")} AS hsh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hsh % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hsh % 8
+                                   ORDER BY hsh, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="Deterministic epoch shuffle for training-data ordering "
+    "reproducibility: portable hash of (epoch seed, doc_id) -> shard = "
+    "hash mod n_shards, pos = rank of the hash within the shard. Every "
+    "rerun of epoch 7 yields the identical (shard, pos) layout with no "
+    "stored state. The only wide op is a per-shard window — parallelism "
+    "= shard count, no global sort; at 100 TB raise n_shards to the "
+    "writer parallelism and each shard streams out ordered.",
+)
+def x_epoch_shuffle(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.hashing import h60
+
+    N_SHARDS, SEED = 8, "epoch7"
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        h60(F.concat(F.lit(SEED + "|"), F.col("doc_id").cast("string"))).alias("hsh"),
+    )
+    w = Window.partitionBy(F.col("hsh") % N_SHARDS).orderBy("hsh", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hsh") % N_SHARDS).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@register(
+    "x_source_blocklist",
+    """
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    LEFT JOIN (VALUES ('src3'), ('src11'), ('src17')) b(bad)
+      ON d.source = b.bad
+    WHERE b.bad IS NULL
+    """,
+    doc="Domain/source blocklist filter (UT1-style curation): anti-join "
+    "against the banned-source dimension. The blocklist broadcasts (it "
+    "is human-curated, thousands of rows at most), so at 100 TB this is "
+    "a map-side hash probe with zero shuffle — the filter form of "
+    "choice over a NOT IN literal once the list outgrows a predicate.",
+)
+def x_source_blocklist(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bad = docs.sparkSession.createDataFrame(
+        [("src3",), ("src11",), ("src17",)], ["bad"]
+    )
+    return docs.join(
+        F.broadcast(bad), docs.source == bad.bad, "left_anti"
+    ).select("doc_id", "source", "lang")
