@@ -2065,3 +2065,184 @@ def x_source_blocklist(spark, sf_dir):
     return docs.join(
         F.broadcast(bad), docs.source == bad.bad, "left_anti"
     ).select("doc_id", "source", "lang")
+
+
+def _curation_sql() -> str:
+    """Oracle for the end-to-end curation pipeline. Assembled from the
+    same fragments as the stage queries: quality percent_rank (cf.
+    x_quality_prune), minhash/LSH/verify/CC keep (cf. x_dedup_cc_keep,
+    k=16, bands=4, Jaccard >= 0.15), 8-gram decontamination vs the
+    src0 eval stand-in (cf. x_decontaminate, stricter n)."""
+    mins = ",\n           ".join(
+        f"min({universal_hash_sql(h60_sql('shingle'), a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(16))
+    )
+    band_exprs = [
+        "concat_ws('_', mh0, mh1, mh2, mh3)",
+        "concat_ws('_', mh4, mh5, mh6, mh7)",
+        "concat_ws('_', mh8, mh9, mh10, mh11)",
+        "concat_ws('_', mh12, mh13, mh14, mh15)",
+    ]
+    band_case = "\n                    ".join(
+        [f"WHEN {i} THEN {h60_sql(e)}" for i, e in enumerate(band_exprs[:3])]
+        + [f"ELSE {h60_sql(band_exprs[3])}"]
+    )
+    g8 = (
+        "unnest(list_transform(range(0, greatest(len(t) - 7, 0)), "
+        "i -> array_to_string(list_slice(t, i + 1, i + 8), ' ')))"
+    )
+    return f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, lang, source, text, {_TOKS_SQL} AS t
+             FROM documents WHERE source <> 'src0'),
+    stats AS (
+        SELECT doc_id, lang, source, len(t) AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                    / length(text) END AS punct_ratio,
+               CASE WHEN len(t) > 0 THEN
+                    CAST(len(list_filter(t, x -> x IN {_EN_STOP})) AS DOUBLE) / len(t)
+                    END AS stop_ratio
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id, lang, source, n_tokens,
+               round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                     + least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+        FROM stats
+    ),
+    keepq AS (
+        SELECT doc_id, lang, source, n_tokens FROM (
+            SELECT doc_id, lang, source, n_tokens,
+                   percent_rank() OVER (PARTITION BY lang
+                                        ORDER BY quality, doc_id) AS pr
+            FROM scored
+        ) WHERE pr >= 0.2
+    ),
+    sh AS (
+        SELECT DISTINCT t.doc_id,
+               unnest(list_transform(range(0, greatest(len(t.t) - 2, 0)),
+                      i -> array_to_string(list_slice(t.t, i + 1, i + 3), ' ')))
+               AS shingle
+        FROM toks t JOIN keepq k ON t.doc_id = k.doc_id
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.band,
+               CASE b.band
+                    {band_case}
+               END AS bh
+        FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.15
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(node, reached) AS (
+        SELECT doc_id, doc_id FROM keepq
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON r.reached = e.src
+    ),
+    reps AS (
+        SELECT node AS doc_id FROM reach
+        GROUP BY node HAVING node = min(reached)
+    ),
+    ev8 AS (
+        SELECT DISTINCT {h60_sql(g8)} AS shash
+        FROM (SELECT {_TOKS_SQL} AS t FROM documents WHERE source = 'src0')
+    ),
+    contam AS (
+        SELECT DISTINCT s.doc_id
+        FROM (
+            SELECT t.doc_id, {h60_sql('g8.s')} AS shash
+            FROM toks t
+            JOIN reps r ON t.doc_id = r.doc_id,
+            LATERAL (SELECT {g8.replace('unnest', 'unnest', 1)} AS s) g8
+        ) s JOIN ev8 e ON s.shash = e.shash
+    )
+    SELECT k.doc_id, k.lang, k.source, k.n_tokens
+    FROM keepq k
+    JOIN reps r ON k.doc_id = r.doc_id
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM contam)
+    """
+
+
+@register(
+    "x_curation_pipeline_end_to_end",
+    _curation_sql(),
+    doc="The full corpus-curation PRODUCT path in one plan: quality "
+    "pruning (drop each language's bottom quality quintile) -> MinHash-"
+    "LSH candidate generation -> exact-Jaccard verification -> "
+    "connected-components representative keep-list -> 8-gram "
+    "decontamination against the held-out eval stand-in (source=src0). "
+    "Every stage is the already-oracle-checked operator applied to the "
+    "previous stage's survivors; the eval shingle-hash set broadcasts.",
+)
+def x_curation_pipeline_end_to_end(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+    from sparkwrangle.ext.hashing import h60
+    from sparkwrangle.ext.text import add_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    scored = add_text_stats(train).select(
+        "doc_id", "lang", "source", "n_tokens", "text", r6("quality").alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    keepq = (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.2)
+        .select("doc_id", "lang", "source", "n_tokens", "text")
+    )
+    sh = shingles(keepq, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, "doc_id", k=16)
+    cand = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
+    jac = ngram_jaccard_pairs(sh, "doc_id", threshold=0.15)
+    verified = cand.join(jac, ["id_a", "id_b"], "inner").select("id_a", "id_b")
+    reps = (
+        connected_components(verified, keepq.select("doc_id"), "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    ev8 = (
+        shingles(docs.filter(F.col("source") == "src0"), "doc_id", "text", 8)
+        .select(h60(F.col("shingle")).alias("shash"))
+        .distinct()
+    )
+    tr8 = shingles(keepq.join(reps, "doc_id"), "doc_id", "text", 8).select(
+        "doc_id", h60(F.col("shingle")).alias("shash")
+    )
+    contam = tr8.join(F.broadcast(ev8), "shash").select("doc_id").distinct()
+    return (
+        keepq.join(reps, "doc_id")
+        .join(contam, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_tokens")
+    )

@@ -25,6 +25,10 @@ QUERIES = [
     "x_embedding_neardup",      # per-cell GEMM (Arrow group boundaries)
     "x_embedding_quantize",     # per-row array math, no shuffle at all
     "x_stratified_sample",      # salted-hash keep decision
+    "x_boilerplate_prune",      # block-hash occurrence window + reassembly
+    "x_bm25_search",            # scalar stats row + fixed-order float sum
+    "x_semantic_dedup",         # trained assign + per-cell GEMM keep-list
+    "x_epoch_shuffle",          # per-shard rank windows
 ]
 
 
