@@ -293,3 +293,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         )
         sig = term if sig is None else sig + term
     return agg.select(id_col, sig.alias("simhash"))
+
+
+def lsh_verified_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard, with the quadratic
+    check restricted to candidate MEMBERS: the candidate pair list is
+    materialized once (``localCheckpoint`` — it is tiny, near-dup pairs
+    only), its member-id set broadcast, and the shingle table semi-joined
+    down to those docs before the Jaccard self-join. Sizes stay exact
+    (every shingle of a member survives the semi-join), and the final
+    inner join against the pair list restores exact pair membership — the
+    output is bitwise identical to verifying corpus-wide (pinned by the
+    oracle gate), but the self-join fan-out is bounded by the candidate
+    set instead of Σ df(shingle)² over the whole corpus. This is the
+    composition every product pipeline should use; the corpus-wide form
+    survives only in the standalone `x_dedup_ngram_jaccard` (df-capped).
+    """
+    sigs = minhash_signatures(sh, id_col, k=k)
+    cand = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands).localCheckpoint()
+    cdocs = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cdocs), id_col, "left_semi")
+    jac = ngram_jaccard_pairs(sh_c, id_col, threshold=threshold)
+    return cand.join(jac, ["id_a", "id_b"], "inner").select("id_a", "id_b")
