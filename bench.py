@@ -39,14 +39,23 @@ def main() -> None:
     # Warmup: boot executors + codegen paths once.
     CATALOG["a_scan_pushdown"].fn(spark, sf_dir).count()
 
+    # Opt-in repetitions for local measurement on noisy hosts (this box's
+    # effective speed fluctuates several-fold between windows — NOTES.md).
+    # Default 1 keeps the driver-observed metric exactly what it always
+    # was: one cold build+drain per query.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
     timings: dict[str, float] = {}
     for name, spec in sorted(CATALOG.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # Drain the full result (what the driver's correctness pass does)
-        # without driver-side materialization cost dominating.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # Drain the full result (what the driver's correctness pass
+            # does) without driver-side materialization cost dominating.
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
