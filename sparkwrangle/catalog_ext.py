@@ -1781,45 +1781,10 @@ def x_source_mixing_weights(spark, sf_dir):
     "results.",
 )
 def x_boilerplate_prune(spark, sf_dir):
-    from pyspark.sql import Window
+    from sparkwrangle.ext.text import prune_boilerplate
 
-    from sparkwrangle.ext.hashing import h60
-    from sparkwrangle.ext.text import tokenize
-
-    B, THRESH = 4, 3
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t")).filter(
-        F.size("t") > 0
-    )
-    blocks = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 1, F.lit(B)),
-                lambda s: F.struct(
-                    s.alias("s"),
-                    F.concat_ws(" ", F.slice(F.col("t"), s + 1, F.lit(B))).alias("bt"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.s", "b.bt")
-    occ = F.count("*").over(Window.partitionBy(h60(F.col("bt"))))
-    counted = blocks.withColumn("occ", occ)
-    dropped = F.sum((F.col("occ") >= THRESH).cast("bigint"))
-    # collect_list drops nulls, so the when() keeps only surviving blocks;
-    # array_sort on (s, bt) structs restores document order
-    kept = F.array_sort(
-        F.collect_list(F.when(F.col("occ") < THRESH, F.struct("s", "bt")))
-    )
-    return (
-        counted.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_blocks"),
-            dropped.alias("n_dropped"),
-            F.concat_ws(" ", F.transform(kept, lambda x: x.bt)).alias("cleaned_text"),
-        )
-        .filter(F.col("n_blocks") > F.col("n_dropped"))
-    )
+    return prune_boilerplate(docs, "doc_id", "text", block=4, min_occ=3)
 
 
 def _bm25_contrib_sql(term: str) -> str:
@@ -1875,48 +1840,12 @@ _BM25_TERMS = ("spark", "join", "stream")
 )
 def x_bm25_search(spark, sf_dir):
     from sparkwrangle.catalog import rf
-    from sparkwrangle.ext.text import tokenize
+    from sparkwrangle.ext.text import bm25_scores
 
-    K1, B = 1.2, 0.75
     docs = _t(spark, sf_dir, "documents")
-    dls = (
-        docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-        .filter(F.size("t") > 0)
-        .withColumn("dl", F.size("t").cast("double"))
-    )
-    def _tf(trm):
-        # NB: the lambda must take exactly one parameter — F.filter passes
-        # (element, index) to any two-parameter callable, so a `trm=trm`
-        # default-arg closure would silently bind trm to the index column
-        return F.size(F.filter(F.col("t"), lambda x: x == trm)).cast("double")
-
-    tf_cols = {trm: _tf(trm) for trm in _BM25_TERMS}
-    stats = dls.agg(
-        F.count("*").cast("double").alias("n_corpus"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((tf_cols[trm] > 0).cast("bigint")).cast("double").alias(f"df_{trm}")
-            for trm in _BM25_TERMS
-        ],
-    )
-    scored = dls.crossJoin(F.broadcast(stats))
-    contribs = []
-    for trm in _BM25_TERMS:
-        tf = tf_cols[trm]
-        idf = F.log(
-            (F.col("n_corpus") - F.col(f"df_{trm}") + 0.5)
-            / (F.col(f"df_{trm}") + 0.5)
-            + 1.0
-        )
-        part = idf * (tf * (K1 + 1.0)) / (
-            tf + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
-        )
-        contribs.append(F.when(tf > 0, part).otherwise(F.lit(0.0)))
-    total = contribs[0]
-    for c in contribs[1:]:
-        total = total + c
+    scored = bm25_scores(docs, list(_BM25_TERMS), "text", k1=1.2, b=0.75)
     return (
-        scored.select("doc_id", rf(total).alias("bm25"))
+        scored.select("doc_id", rf(F.col("bm25")).alias("bm25"))
         .filter(F.col("bm25") > 0)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)

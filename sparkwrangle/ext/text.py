@@ -140,3 +140,102 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for k in ("email", "url", "phone"):
         red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
     return df.withColumns({**counts, "redacted": red})
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of each document for a bag-of-terms query.
+
+    Per-term tf is an array-filter count on the token array (map-side, no
+    explode); corpus stats (N, avgdl, per-term df) collapse to ONE scalar
+    row that broadcasts back; the score is a FIXED-order sum of per-term
+    contributions, so no float aggregation order can differ across
+    engines or partitionings. Adds a raw ``bm25`` column (caller rounds).
+    """
+    t = tokenize(F.col(text_col))
+    dls = df.withColumn("_t", t).filter(F.size("_t") > 0).withColumn(
+        "_dl", F.size("_t").cast("double")
+    )
+
+    def _tf(trm):
+        # exactly one lambda parameter: F.filter passes (element, index)
+        # to two-parameter callables, silently binding a default arg
+        return F.size(F.filter(F.col("_t"), lambda x: x == trm)).cast("double")
+
+    stats = dls.agg(
+        F.count("*").cast("double").alias("_n_corpus"),
+        F.avg("_dl").alias("_avgdl"),
+        *[F.sum((_tf(trm) > 0).cast("bigint")).cast("double").alias(f"_df_{i}")
+          for i, trm in enumerate(terms)],
+    )
+    scored = dls.crossJoin(F.broadcast(stats))
+    total = F.lit(0.0)
+    for i, trm in enumerate(terms):
+        tf = _tf(trm)
+        idf = F.log(
+            (F.col("_n_corpus") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5)
+            + 1.0
+        )
+        part = idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+        contrib = F.when(tf > 0, part).otherwise(F.lit(0.0))
+        total = contrib if i == 0 else total + contrib
+    drop = ["_t", "_dl", "_n_corpus", "_avgdl"] + [f"_df_{i}" for i in range(len(terms))]
+    return scored.withColumn("bm25", total).drop(*drop)
+
+
+def prune_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 4,
+    min_occ: int = 3,
+) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate span removal: split each document
+    into aligned ``block``-token blocks, count corpus-wide occurrences of
+    each block (by portable hash), drop blocks occurring ``min_occ``+
+    times, reassemble survivors in order. Docs losing every block drop
+    out. Two shuffles (block hash, then doc reassembly); at corpus scale
+    the flagged set is tiny, so an agg + broadcast anti-join over a
+    MATERIALIZED block layout is the swap-in (ext/prepared pattern).
+
+    Returns (id_col, n_blocks, n_dropped, cleaned_text).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, tokenize(F.col(text_col)).alias("t")).filter(
+        F.size("t") > 0
+    )
+    blocks = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(block)),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.concat_ws(" ", F.slice(F.col("t"), s + 1, F.lit(block))).alias("bt"),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, "b.s", "b.bt")
+    occ = F.count("*").over(Window.partitionBy(h60(F.col("bt"))))
+    counted = blocks.withColumn("occ", occ)
+    dropped = F.sum((F.col("occ") >= min_occ).cast("bigint"))
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("occ") < min_occ, F.struct("s", "bt")))
+    )
+    return (
+        counted.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_blocks"),
+            dropped.alias("n_dropped"),
+            F.concat_ws(" ", F.transform(kept, lambda x: x.bt)).alias("cleaned_text"),
+        )
+        .filter(F.col("n_blocks") > F.col("n_dropped"))
+    )

@@ -435,3 +435,50 @@ def test_incremental_dedup_matches_full_recompute(spark, tmp_path):
         if r.id_a >= 400 or r.id_b >= 400
     }
     assert got == want and len(want) > 0
+
+
+def test_lsh_verified_pairs_matches_corpus_wide_verification(spark):
+    """The candidate-restricted Jaccard composition must be bitwise equal
+    to verifying corpus-wide: semi-joining shingles to candidate members
+    keeps sizes exact, and the final pair inner join restores exact pair
+    membership — on a randomized corpus with planted near-dup chains."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.ext.dedup import (
+        lsh_candidate_pairs,
+        lsh_verified_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    doc_id = 0
+    for _ in range(60):
+        base = [rng.choice(vocab) for _ in range(rng.randint(6, 30))]
+        rows.append((doc_id, " ".join(base)))
+        doc_id += 1
+        # plant a chain of progressively-mutated near-dups
+        for _ in range(rng.randint(0, 2)):
+            mut = list(base)
+            for _ in range(rng.randint(1, 3)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((doc_id, " ".join(mut)))
+            doc_id += 1
+            base = mut
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(docs, "doc_id", "text", 3)
+
+    restricted = lsh_verified_pairs(sh, "doc_id", k=16, bands=4, threshold=0.15)
+    sigs = minhash_signatures(sh, "doc_id", k=16)
+    cand = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
+    jac = ngram_jaccard_pairs(sh, "doc_id", threshold=0.15)
+    corpus_wide = cand.join(jac, ["id_a", "id_b"], "inner").select("id_a", "id_b")
+
+    a = sorted((r.id_a, r.id_b) for r in restricted.collect())
+    b = sorted((r.id_a, r.id_b) for r in corpus_wide.collect())
+    assert a == b and len(a) > 0
