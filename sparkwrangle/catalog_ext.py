@@ -2162,3 +2162,62 @@ def x_curation_pipeline_end_to_end(spark, sf_dir):
         .join(contam, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_tokens")
     )
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    """Bit-interleave user_id (even positions) with second-of-day (odd)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((u >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((s >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "x_zorder_layout",
+    f"""
+    WITH k AS (
+        SELECT event_id,
+               CAST(user_id AS BIGINT) AS u,
+               CAST(date_part('hour', ts) * 3600
+                    + date_part('minute', ts) * 60
+                    + date_part('second', ts) AS BIGINT) AS s
+        FROM events
+    )
+    SELECT event_id, u AS user_id, s AS sec_of_day,
+           CAST({_zorder_sql()} AS BIGINT) AS zval
+    FROM k
+    ORDER BY zval, event_id
+    LIMIT 100
+    """,
+    doc="Z-order layout key: bit-interleave (user_id, second-of-day) into "
+    "one 32-bit Morton code — the multi-dimensional sort key that makes "
+    "parquet row-group min/max skip on BOTH dimensions at once. At "
+    "100 TB this is the write-path ordering for tables queried by "
+    "either user or time slice; the expression is a fixed fold of "
+    "shifts/masks (codegen'd, no UDF), and the catalog query checks the "
+    "code itself — the layout write is io.write_table sorted by zval.",
+)
+def x_zorder_layout(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id").cast("bigint")
+    s = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    ).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(s, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return (
+        ev.select(
+            "event_id",
+            u.alias("user_id"),
+            s.alias("sec_of_day"),
+            z.alias("zval"),
+        )
+        .orderBy("zval", "event_id")
+        .limit(100)
+    )
