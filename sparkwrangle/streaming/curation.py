@@ -1,0 +1,95 @@
+"""Streaming corpus curation — the ingest-time twin of the batch
+curation pipeline (catalog_ext.x_curation_pipeline_end_to_end).
+
+Per micro-batch, each arriving document is quality-scored, PII-redacted,
+decontaminated against the eval shingle-hash set, and exact-deduped
+within the watermark horizon. Differences from the batch pipeline are
+inherent to streaming and documented here:
+
+* quality uses an ABSOLUTE threshold, not a per-language percentile —
+  a percentile over the full stream is unbounded state; re-rank
+  offline if quantile pruning is required.
+* dedup is exact (normalized-text hash) keep-first within the
+  watermark, not MinHash-LSH — candidate generation across the whole
+  history is unbounded state; the incremental LSH path
+  (ext.prepared.incremental_lsh_pairs) covers batch-vs-corpus near-dup
+  at ingest boundaries instead.
+* decontamination must stay STATELESS: a join back onto per-doc flags
+  derived from the same stream would be a (forbidden) stream-stream
+  anti join. Instead the doc's shingle hashes are built map-side as an
+  ARRAY column and tested with arrays_overlap against the eval set
+  inlined as a literal — benchmark suites are small (≤ a few hundred
+  thousand hashes) so the literal is bounded; for bigger suites,
+  pre-filter with a coarser structure (e.g. a band of the hash) before
+  the exact overlap.
+
+The whole pipeline is stateless except the final dropDuplicates, so it
+chains legally in append mode. Every transformation works identically
+on a batch DataFrame (the watermark is a no-op there) — the parity test
+pins stream == batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkwrangle.ext.dedup import normalize_text, shingles
+from sparkwrangle.ext.hashing import h60
+from sparkwrangle.ext.text import add_text_stats, redact_pii, tokenize
+
+
+def eval_shingle_hash_list(eval_docs: DataFrame, n: int = 8) -> list[int]:
+    """Static decontamination set: distinct n-gram shingle hashes of the
+    held-out eval corpus, collected once at plan-build time (it is a
+    benchmark suite — small and static by construction)."""
+    rows = (
+        shingles(eval_docs, "doc_id", "text", n)
+        .select(h60(F.col("shingle")).alias("shash"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r.shash for r in rows)
+
+
+def _shingle_hash_array(text_col, n: int):
+    """Map-side n-gram shingle-hash ARRAY (no explode): hash of the
+    space-joined n-token window at each start position."""
+    toks = tokenize(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: h60(F.concat_ws(" ", F.slice(toks, i + 1, F.lit(n)))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def curate_stream(
+    docs: DataFrame,
+    eval_hashes: list[int],
+    ts_col: str = "ts",
+    min_quality: float = 0.5,
+    watermark: str = "10 minutes",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Quality-filter → PII-redact → decontaminate → watermark-bounded
+    exact dedup. ``docs`` needs (doc_id, ts, text, lang, source);
+    returns kept documents with ``quality`` and ``redacted`` columns.
+
+    Order matters: the contamination check runs on the ORIGINAL text
+    (redaction must not mask eval overlap), while dedup keys on the
+    normalized REDACTED text (two docs differing only in a redacted
+    email are the same training document).
+    """
+    scored = add_text_stats(docs).filter(F.col("quality") >= min_quality)
+    red = redact_pii(scored)
+    sh_arr = _shingle_hash_array(F.col("text"), shingle_n)
+    ev = F.lit(eval_hashes).cast("array<bigint>")
+    clean = red.filter(~F.arrays_overlap(sh_arr, ev))
+    keyed = clean.withColumn("text_key", h60(normalize_text(F.col("redacted"))))
+    src = keyed.withWatermark(ts_col, watermark) if keyed.isStreaming else keyed
+    deduped = src.dropDuplicates(["text_key"])
+    return deduped.select(
+        "doc_id", ts_col, "lang", "source", "quality", "redacted"
+    )

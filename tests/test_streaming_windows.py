@@ -221,3 +221,66 @@ def test_session_windows_stream_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM sess_sink").collect()}
     assert got == want
+
+
+def test_curate_stream_matches_batch(spark, tmp_path):
+    """Streaming curation (quality -> redact -> decontaminate -> dedup)
+    emits exactly the batch pipeline's keep-set; the duplicate key keeps
+    its first arrival in the stream."""
+    from sparkwrangle.streaming.curation import (
+        curate_stream,
+        eval_shingle_hash_list,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    good = " ".join(["the and of to a in is that with for"] * 12)
+    rows = [
+        # kept: long, stopword-structured, unique
+        (1, "2024-01-01 10:00:00", good + " one", "en", "srcA"),
+        # dup pair (identical after email redaction), split across batches
+        (2, "2024-01-01 10:01:00", good + " contact bob@x.com now", "en", "srcA"),
+        (5, "2024-01-01 10:05:00", good + " contact eve@y.org now", "en", "srcB"),
+        # dropped: quality below threshold (short)
+        (3, "2024-01-01 10:02:00", "tiny doc", "en", "srcA"),
+        # dropped: contains the eval 8-gram verbatim
+        (4, "2024-01-01 10:03:00", good + " " + base, "en", "srcB"),
+    ]
+    eval_docs = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    ev = eval_shingle_hash_list(eval_docs, n=8)
+    assert len(ev) == 3  # 10 tokens -> three 8-grams
+
+    def _docs(rs):
+        return spark.createDataFrame(
+            rs, "doc_id long, ts string, text string, lang string, source string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    batch_out = curate_stream(_docs(rows), ev).collect()
+    assert sorted(r.doc_id for r in batch_out)[:1] == [1]
+    batch_ids = {r.doc_id for r in batch_out}
+    assert batch_ids & {2, 5} and len(batch_ids) == 2  # 1 + one of the dups
+    assert all("[EMAIL]" in r.redacted for r in batch_out if r.doc_id in (2, 5))
+
+    d = str(tmp_path / "curate")
+    os.makedirs(d)
+    _docs(rows[:3]).coalesce(1).write.parquet(os.path.join(d, "b1"))
+    _docs(rows[3:]).coalesce(1).write.parquet(os.path.join(d, "b2"))
+    schema = "doc_id long, ts timestamp, text string, lang string, source string"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(os.path.join(d, "*"))
+    out = curate_stream(stream, ev)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM curate_sink").collect()
+    got_ids = sorted(r.doc_id for r in got)
+    # first arrival (doc 2) wins the dedup key in arrival order
+    assert got_ids == [1, 2]
+    assert {r.doc_id for r in got} <= {1, 2, 5}
