@@ -2221,3 +2221,92 @@ def x_zorder_layout(spark, sf_dir):
         .orderBy("zval", "event_id")
         .limit(100)
     )
+
+
+@register(
+    "x_dedup_lsh_recall_audit",
+    (
+        _minhash_sql(16)
+        + f"""
+    , bands AS (
+        SELECT doc_id, b.band,
+               CASE b.band
+                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
+                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
+                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
+                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+               END AS bh
+        FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    truth AS (
+        SELECT i.id_a, i.id_b
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.15
+    ),
+    hit AS (SELECT t.id_a, t.id_b FROM truth t JOIN cand c
+            ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM cand) AS n_cand,
+           (SELECT count(*) FROM hit) AS n_hit,
+           {rf_sql("CASE WHEN (SELECT count(*) FROM truth) > 0 THEN "
+                   "CAST((SELECT count(*) FROM hit) AS DOUBLE) "
+                   "/ (SELECT count(*) FROM truth) END")} AS recall,
+           {rf_sql("CASE WHEN (SELECT count(*) FROM cand) > 0 THEN "
+                   "CAST((SELECT count(*) FROM hit) AS DOUBLE) "
+                   "/ (SELECT count(*) FROM cand) END")} AS precision
+    """
+    ),
+    doc="LSH quality audit: recall and precision of the banded MinHash "
+    "candidate generator against the exact-Jaccard ground truth "
+    "(threshold 0.15, UNcapped — this is the one query allowed to pay "
+    "the corpus-wide self-join, because it exists to measure what the "
+    "fast path misses). One row: n_true, n_cand, n_hit, recall, "
+    "precision. Run it on a sample before trusting a (k, bands) "
+    "configuration at full scale.",
+)
+def x_dedup_lsh_recall_audit(spark, sf_dir):
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    truth = ngram_jaccard_pairs(sh, "doc_id", threshold=0.15).select("id_a", "id_b")
+    sigs = minhash_signatures(sh, "doc_id", k=16)
+    cand = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
+    hit = truth.join(cand, ["id_a", "id_b"], "inner")
+    nt = truth.agg(F.count("*").alias("n_true"))
+    nc = cand.agg(F.count("*").alias("n_cand"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    row = nt.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(nh))
+    return row.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        rf(
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_hit").cast("double") / F.col("n_true"),
+            )
+        ).alias("recall"),
+        rf(
+            F.when(
+                F.col("n_cand") > 0,
+                F.col("n_hit").cast("double") / F.col("n_cand"),
+            )
+        ).alias("precision"),
+    )

@@ -1011,3 +1011,69 @@ def tpch_q18_large_orders(spark, sf_dir):
         .limit(100)
     )
     return out
+
+
+@register(
+    "tpch_q4_priority_exists",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4-style priority check: EXISTS correlated subquery planned "
+    "as a LEFT SEMI join on the order key — the probe side never "
+    "duplicates orders however many lineitems match; the tiny result "
+    "sorts after aggregation.",
+)
+def tpch_q4_priority_exists(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    kept = o.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (o.o_orderkey == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    f"""
+    SELECT round(
+        100.0 * {_DSUM.format(
+            expr="CASE WHEN p.p_type = 'PROMO' "
+                 "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+        / {_DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')},
+        6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1995-09-01'
+      AND l.l_shipdate < DATE '1995-10-01'
+    """,
+    doc="TPC-H Q14-style promo revenue share: conditional aggregation over "
+    "a broadcast dimension join; the date predicate pushes into the "
+    "lineitem scan; both sums ride the exact decimal accumulator so the "
+    "ratio is partition-order-proof.",
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(p.select("p_partkey", "p_type")),
+                     li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_revenue_pct")
+    )
