@@ -86,3 +86,24 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_curated_corpus_write_matches_keep_list(spark, tmp_path):
+    """tools/curate.py's write path: the curated corpus holds exactly the
+    keep-list's documents, partitioned by language for pruning."""
+    from sparkwrangle.catalog import CATALOG
+    from sparkwrangle.io import load_table, write_table
+
+    sf = SF_SMOKE
+    out = str(tmp_path / "curated")
+    docs = load_table(spark, sf, "documents")
+    keep = CATALOG["x_curation_pipeline_end_to_end"].fn(spark, sf)
+    curated = docs.join(keep.select("doc_id"), "doc_id").select(
+        "doc_id", "lang", "source", "text", "n_chars"
+    )
+    write_table(curated, f"{out}/documents.parquet", partition_by=["lang"])
+    back = spark.read.parquet(f"{out}/documents.parquet")
+    assert back.count() == keep.count()
+    kept_ids = {r.doc_id for r in keep.select("doc_id").collect()}
+    got_ids = {r.doc_id for r in back.select("doc_id").collect()}
+    assert got_ids == kept_ids
