@@ -2310,3 +2310,67 @@ def x_dedup_lsh_recall_audit(spark, sf_dir):
             )
         ).alias("precision"),
     )
+
+
+@register(
+    "x_cross_source_dup_matrix",
+    (
+        _minhash_sql(16)
+        + f"""
+    , bands AS (
+        SELECT doc_id, b.band,
+               CASE b.band
+                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
+                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
+                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
+                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+               END AS bh
+        FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.doc_id = c.id_a
+        JOIN sizes sb ON sb.doc_id = c.id_b
+        WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.15
+    )
+    SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           count(*) AS n_dup_pairs
+    FROM verified v
+    JOIN documents da ON v.id_a = da.doc_id
+    JOIN documents db ON v.id_b = db.doc_id
+    GROUP BY 1, 2
+    """
+    ),
+    doc="Cross-source duplication matrix: verified near-dup pairs "
+    "(MinHash-LSH + exact Jaccard >= 0.15) attributed to their source "
+    "pair, undirected (least/greatest normalization). The curation "
+    "report that tells you WHICH feeds re-crawl each other before you "
+    "pay for full dedup; the source dimension joins broadcast.",
+)
+def x_cross_source_dup_matrix(spark, sf_dir):
+    from sparkwrangle.ext.dedup import lsh_verified_pairs, shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    verified = lsh_verified_pairs(sh, "doc_id", k=16, bands=4, threshold=0.15)
+    src = docs.select("doc_id", "source")
+    pa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    pb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    attributed = verified.join(F.broadcast(pa), "id_a").join(
+        F.broadcast(pb), "id_b"
+    )
+    return attributed.groupBy(
+        F.least("src_a", "src_b").alias("source_lo"),
+        F.greatest("src_a", "src_b").alias("source_hi"),
+    ).agg(F.count("*").alias("n_dup_pairs"))
