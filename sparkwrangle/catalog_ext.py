@@ -2374,3 +2374,126 @@ def x_cross_source_dup_matrix(spark, sf_dir):
         F.least("src_a", "src_b").alias("source_lo"),
         F.greatest("src_a", "src_b").alias("source_hi"),
     ).agg(F.count("*").alias("n_dup_pairs"))
+
+
+@register(
+    "x_dedup_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(0, greatest(len(t) - 2, 0)),
+                      i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS shingle
+        FROM toks
+    ),
+    counted AS (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY {h60_sql('shingle')}) AS df
+        FROM sh
+    ),
+    capped AS (SELECT doc_id, shingle FROM counted WHERE df <= 50),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM capped a JOIN capped b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a AS contained_id, i.id_b AS container_id,
+           round(CAST(i.n_inter AS DOUBLE) / sa.sz, 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    WHERE CAST(i.n_inter AS DOUBLE) / sa.sz >= 0.8
+    """,
+    doc="Containment dedup (|A∩B| / |A| >= 0.8, DIRECTED): catches a "
+    "document quoted or embedded inside a larger one, which symmetric "
+    "Jaccard misses when sizes differ (|A∩B|/|A∪B| shrinks with the "
+    "container). Same shingle machinery as the Jaccard family with the "
+    "standard df-cap; the pair join is directed (a <> b), so every "
+    "(contained, container) edge surfaces once.",
+)
+def x_dedup_containment(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.dedup import shingles
+    from sparkwrangle.ext.hashing import h60
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    dfw = Window.partitionBy(h60(F.col("shingle")))
+    capped = (
+        sh.withColumn("df", F.count("*").over(dfw))
+        .filter(F.col("df") <= 50)
+        .drop("df")
+    )
+    capped = capped.withColumn(
+        "sz", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+            F.col("a.sz").alias("sz_a"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cont = F.col("n_inter").cast("double") / F.col("sz_a")
+    return inter.filter(cont >= 0.8).select(
+        "contained_id", "container_id", r6(cont).alias("containment")
+    )
+
+
+@register(
+    "x_events_funnel",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        count(*) AS n_users,
+        sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+        sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                 THEN 1 ELSE 0 END) AS n_viewed_after,
+        sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                      AND t_purchase > t_view
+                 THEN 1 ELSE 0 END) AS n_purchased_after
+    FROM firsts
+    """,
+    doc="Ordered conversion funnel (signup -> view -> purchase): one "
+    "conditional-min aggregate per user collapses each stage to its "
+    "first occurrence, then ordering predicates count strictly "
+    "sequential conversions — one shuffle on user_id, no self-joins, "
+    "no window over event history. NULL stage times fail the > "
+    "predicate in both engines, so missing stages drop out identically.",
+)
+def x_events_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(kind):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    viewed = signed & (F.col("t_view") > F.col("t_signup"))
+    bought = viewed & (F.col("t_purchase") > F.col("t_view"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(signed.cast("bigint")).alias("n_signup"),
+        F.sum(viewed.cast("bigint")).alias("n_viewed_after"),
+        F.sum(bought.cast("bigint")).alias("n_purchased_after"),
+    )
