@@ -2497,3 +2497,44 @@ def x_events_funnel(spark, sf_dir):
         F.sum(viewed.cast("bigint")).alias("n_viewed_after"),
         F.sum(bought.cast("bigint")).alias("n_purchased_after"),
     )
+
+
+@register(
+    "x_events_retention",
+    """
+    WITH wk AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS week
+        FROM events
+    ),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM wk)
+    SELECT c.cohort_week,
+           CAST(a.week - c.cohort_week AS BIGINT) AS weeks_since,
+           count(*) AS n_active
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: cohort = each user's first active epoch "
+    "week; one row per (cohort_week, weeks_since) with the surviving "
+    "active-user count. Two shuffles on user_id (cohort min + the "
+    "activity-to-cohort join — co-partitioned, so AQE reuses the "
+    "exchange) and a small final aggregate; epoch-week arithmetic "
+    "avoids calendar/session-timezone traps across engines.",
+)
+def x_events_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800.0).cast("bigint").alias("week"),
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = wk.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("bigint").alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )

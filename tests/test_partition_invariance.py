@@ -29,6 +29,10 @@ QUERIES = [
     "x_bm25_search",            # scalar stats row + fixed-order float sum
     "x_semantic_dedup",         # trained assign + per-cell GEMM keep-list
     "x_epoch_shuffle",          # per-shard rank windows
+    "x_curation_pipeline_end_to_end",  # staged composition incl. checkpoint
+    "x_dedup_containment",      # df-capped directed shingle join
+    "x_events_funnel",          # conditional-min funnel counts
+    "x_dedup_lsh_recall_audit", # single-row audit ratios
 ]
 
 
