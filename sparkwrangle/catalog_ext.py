@@ -2538,3 +2538,93 @@ def x_events_retention(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_active"))
     )
+
+
+def _stream_curation_twin_sql() -> str:
+    """Oracle for the batch embodiment of streaming/curation.curate_stream
+    over the training corpus (source <> 'src0'), eval = src0's 8-gram
+    hash set. Quality >= 0.5 on the RAW score (same fixed IEEE chain both
+    sides); dedup keeps the deterministic first (ts = doc_id arrival)."""
+    from sparkwrangle.ext.text import PII_PATTERNS
+
+    red = "text"
+    for k in ("email", "url", "phone"):
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '[{k.upper()}]', 'g')"
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(redacted), "
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+    g8 = (
+        "unnest(list_transform(range(0, greatest(len(t) - 7, 0)), "
+        "i -> array_to_string(list_slice(t, i + 1, i + 8), ' ')))"
+    )
+    return f"""
+    WITH train AS (SELECT doc_id, lang, source, text FROM documents
+                   WHERE source <> 'src0'),
+    toks AS (SELECT doc_id, lang, source, text, {_TOKS_SQL} AS t FROM train),
+    scored AS (
+        SELECT doc_id, lang, source, text, t,
+               least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + (1.0 - least(CASE WHEN length(text) > 0 THEN
+                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                     / length(text) END * 5.0, 1.0)) * 0.3
+               + least(CASE WHEN len(t) > 0 THEN
+                     CAST(len(list_filter(t, x -> x IN {_EN_STOP})) AS DOUBLE)
+                     / len(t) END * 5.0, 1.0) * 0.3 AS quality
+        FROM toks WHERE len(t) > 0
+    ),
+    surv AS (SELECT * FROM scored WHERE quality >= 0.5),
+    ev8 AS (
+        SELECT DISTINCT {h60_sql(g8)} AS shash
+        FROM (SELECT {_TOKS_SQL} AS t FROM documents WHERE source = 'src0')
+    ),
+    contam AS (
+        SELECT DISTINCT s.doc_id FROM (
+            SELECT doc_id, {h60_sql('g8.s')} AS shash
+            FROM surv, LATERAL (SELECT {g8} AS s) g8
+        ) s JOIN ev8 e ON s.shash = e.shash
+    ),
+    red AS (
+        SELECT doc_id, lang, source, quality, {red} AS redacted
+        FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    keyed AS (
+        SELECT doc_id, lang, source, quality, redacted,
+               {h60_sql(norm)} AS text_key
+        FROM red
+    )
+    SELECT doc_id, lang, source, round(quality, 6) AS quality, redacted
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY text_key
+                                     ORDER BY doc_id) AS rk
+        FROM keyed
+    ) WHERE rk = 1
+    """
+
+
+@register(
+    "x_stream_curation_batch_twin",
+    _stream_curation_twin_sql(),
+    doc="The streaming ingest-curation pipeline's batch embodiment "
+    "(streaming/curation.curate_stream on a batch frame): absolute "
+    "quality threshold, PII redaction, map-side arrays_overlap "
+    "decontamination against the literal src0 8-gram set, and "
+    "deterministic keep-first dedup on the normalized redacted text. "
+    "Gives the stream's exact dataflow an oracle-checked row; the "
+    "stream/batch parity test covers the micro-batch side.",
+)
+def x_stream_curation_batch_twin(spark, sf_dir):
+    from sparkwrangle.streaming.curation import (
+        curate_stream,
+        eval_shingle_hash_list,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = eval_shingle_hash_list(docs.filter(F.col("source") == "src0"), n=8)
+    train = docs.filter(F.col("source") != "src0").withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id"))
+    )
+    out = curate_stream(train, ev, min_quality=0.5)
+    return out.select(
+        "doc_id", "lang", "source", r6("quality").alias("quality"), "redacted"
+    )

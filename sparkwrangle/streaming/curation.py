@@ -88,8 +88,23 @@ def curate_stream(
     ev = F.lit(eval_hashes).cast("array<bigint>")
     clean = red.filter(~F.arrays_overlap(sh_arr, ev))
     keyed = clean.withColumn("text_key", h60(normalize_text(F.col("redacted"))))
-    src = keyed.withWatermark(ts_col, watermark) if keyed.isStreaming else keyed
-    deduped = src.dropDuplicates(["text_key"])
+    if keyed.isStreaming:
+        # keep-first by ARRIVAL within the watermark horizon
+        deduped = keyed.withWatermark(ts_col, watermark).dropDuplicates(
+            ["text_key"]
+        )
+    else:
+        # batch embodiment keeps the deterministic first: earliest event
+        # time, doc_id tiebreak (equal to the stream whenever arrival
+        # order follows event time — the parity test's case)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("text_key").orderBy(ts_col, "doc_id")
+        deduped = (
+            keyed.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
     return deduped.select(
         "doc_id", ts_col, "lang", "source", "quality", "redacted"
     )
