@@ -54,13 +54,20 @@ def eval_shingle_hash_list(eval_docs: DataFrame, n: int = 8) -> list[int]:
 
 def _shingle_hash_array(text_col, n: int):
     """Map-side n-gram shingle-hash ARRAY (no explode): hash of the
-    space-joined n-token window at each start position."""
+    space-joined n-token window at each start position.
+
+    Built from n zipped shifted slices (the shingles() shape, NOTES.md
+    CollapseProject trap): an index lambda doing per-element slice()
+    would get the tokenize regexp INLINED into it and re-run per
+    shingle — measured ~6× slower on this exact expression."""
     toks = tokenize(text_col)
+    sz = F.size(toks)
+    shifted = [F.slice(toks, i + 1, sz - (n - 1)).alias(f"t{i}") for i in range(n)]
     return F.when(
-        F.size(toks) >= n,
+        sz >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: h60(F.concat_ws(" ", F.slice(toks, i + 1, F.lit(n)))),
+            F.arrays_zip(*shifted),
+            lambda s: h60(F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
 
