@@ -1077,3 +1077,87 @@ def tpch_q14_promo_share(spark, sf_dir):
     return joined.agg(
         F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_revenue_pct")
     )
+
+
+@register(
+    "q_cdc_upsert",
+    """
+    WITH changes AS (
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 13 = 0 THEN 'D'
+                    WHEN c_custkey % 7 = 0 THEN 'U' END AS op,
+               round(c_acctbal + 100.0, 6) AS new_bal
+        FROM customer
+        WHERE c_custkey % 13 = 0 OR c_custkey % 7 = 0
+    )
+    SELECT c.c_custkey, c.c_name,
+           round(CASE WHEN ch.op = 'U' THEN ch.new_bal
+                      ELSE c.c_acctbal END, 6) AS acctbal,
+           CASE WHEN ch.op = 'U' THEN 1 ELSE 0 END AS was_updated
+    FROM customer c
+    LEFT JOIN changes ch ON c.c_custkey = ch.k
+    WHERE ch.op IS DISTINCT FROM 'D'
+    """,
+    doc="CDC upsert (MERGE semantics without a table format): apply a "
+    "deterministic change set (updates on key%7, deletes on key%13 — "
+    "deletes win the overlap, matching MERGE's first-clause rule) to "
+    "the base via one left join: matched-update coalesces the new "
+    "value, matched-delete filters out, unmatched passes through. At "
+    "100 TB both sides hash-partition on the key — the join IS the "
+    "merge; a lakehouse MERGE compiles to exactly this plus a rewrite.",
+)
+def q_cdc_upsert(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    changes = (
+        c.filter((F.col("c_custkey") % 13 == 0) | (F.col("c_custkey") % 7 == 0))
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") % 13 == 0, F.lit("D"))
+            .when(F.col("c_custkey") % 7 == 0, F.lit("U"))
+            .alias("op"),
+            F.round(F.col("c_acctbal") + 100.0, 6).alias("new_bal"),
+        )
+    )
+    merged = c.join(changes, c.c_custkey == changes.k, "left").filter(
+        ~F.col("op").eqNullSafe("D")
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.round(
+            F.when(F.col("op") == "U", F.col("new_bal")).otherwise(
+                F.col("c_acctbal")
+            ),
+            6,
+        ).alias("acctbal"),
+        F.when(F.col("op") == "U", 1).otherwise(0).alias("was_updated"),
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    """
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS INTEGER) AS is_current
+    FROM events
+    """,
+    doc="SCD2 validity intervals: each per-user event opens a version "
+    "valid until the next one (lead window, event_id tiebreak); the "
+    "open-ended row is the current version. One shuffle on user_id, "
+    "windows bounded per user — the dimension-history build every "
+    "warehouse load runs.",
+)
+def q_scd2_intervals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
