@@ -482,3 +482,32 @@ def test_lsh_verified_pairs_matches_corpus_wide_verification(spark):
     a = sorted((r.id_a, r.id_b) for r in restricted.collect())
     b = sorted((r.id_a, r.id_b) for r in corpus_wide.collect())
     assert a == b and len(a) > 0
+
+
+def test_bm25_scores_hand_computed(spark):
+    """bm25_scores against a hand-derived Okapi BM25 value (k1=1.2,
+    b=0.75): 3 docs, query term 'cat' with df=2, one containing it
+    twice."""
+    import math
+
+    from sparkwrangle.ext.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat sat on the mat"),          # tf=1, dl=5
+            (2, "cat cat everywhere here"),     # tf=2, dl=4
+            (3, "dog days of summer heat now"), # tf=0, dl=6
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["cat"]).collect()}
+    n, df, avgdl = 3.0, 2.0, 5.0
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert abs(out[1] - score(1, 5)) < 1e-12
+    assert abs(out[2] - score(2, 4)) < 1e-12
+    assert out[3] == 0.0
+    assert out[2] > out[1] > out[3]
