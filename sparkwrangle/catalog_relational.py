@@ -1161,3 +1161,56 @@ def q_scd2_intervals(spark, sf_dir):
         nxt.alias("valid_to"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+@register(
+    "h_struct_map_suite",
+    f"""
+    WITH per AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT user_id,
+               map_from_entries(list(struct_pack(k := event_type, v := n))) AS m,
+               CAST(sum(n) AS BIGINT) AS cnt
+        FROM per GROUP BY user_id
+    ),
+    tot AS (
+        SELECT user_id,
+               round({_DSUM.format(expr='value')}, 6) AS tot
+        FROM events GROUP BY user_id
+    )
+    SELECT a.user_id,
+           COALESCE((m['purchase'])[1], 0) AS n_purchase,
+           COALESCE((m['error'])[1], 0) AS n_error,
+           struct_pack(cnt := a.cnt, tot := t.tot).cnt AS n_events,
+           struct_pack(cnt := a.cnt, tot := t.tot).tot AS sum_value
+    FROM agg a JOIN tot t ON a.user_id = t.user_id
+    """,
+    doc="Struct/map scalar surface: per-user event-type counts pivoted "
+    "into a MAP (map_from_entries over collected entries — key order "
+    "irrelevant, only extraction is observed), element_at with a "
+    "missing-key null -> 0, and a STRUCT built then field-accessed. "
+    "Output stays flat so the cross-engine hash compares scalars, not "
+    "engine-specific nested renderings.",
+)
+def h_struct_map_suite(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    agg = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("n").alias("v")))
+        ).alias("m"),
+        F.sum("n").alias("cnt"),
+    )
+    tot = ev.groupBy("user_id").agg(r6(dsum(F.col("value"))).alias("tot"))
+    j = agg.join(tot, "user_id")
+    stats = F.struct(F.col("cnt").alias("cnt"), F.col("tot").alias("tot"))
+    return j.select(
+        "user_id",
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias("n_purchase"),
+        F.coalesce(F.element_at("m", F.lit("error")), F.lit(0)).alias("n_error"),
+        stats.getField("cnt").alias("n_events"),
+        stats.getField("tot").alias("sum_value"),
+    )
