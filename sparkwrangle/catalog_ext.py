@@ -2650,3 +2650,38 @@ def x_stream_curation_batch_twin(spark, sf_dir):
     return out.select(
         "doc_id", "lang", "source", r6("quality").alias("quality"), "redacted"
     )
+
+
+@register(
+    "x_length_histogram",
+    f"""
+    WITH toks AS (SELECT len({_TOKS_SQL}) AS n FROM documents),
+    b AS (
+        SELECT CAST(floor(ln(n) / ln(2)) AS BIGINT) AS bucket, n
+        FROM toks WHERE n > 0
+    )
+    SELECT bucket,
+           CAST(pow(2, bucket) AS BIGINT) AS bucket_min_tokens,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens
+    FROM b GROUP BY bucket
+    """,
+    doc="Token-length histogram in power-of-2 buckets — the packing/"
+    "truncation diagnostic every context-window budget decision reads. "
+    "Map-side token count + a bounded-cardinality aggregate (≤ ~40 "
+    "buckets however large the corpus); integer log2 via ln ratio is "
+    "exact for the magnitudes involved in both engines.",
+)
+def x_length_histogram(spark, sf_dir):
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(tokenize(F.col("text")))
+    b = docs.select(n.alias("n")).filter(F.col("n") > 0).withColumn(
+        "bucket", F.floor(F.log(F.col("n").cast("double")) / F.log(F.lit(2.0))).cast("bigint")
+    )
+    return b.groupBy("bucket").agg(
+        F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("bucket_min_tokens"),
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
