@@ -2356,7 +2356,10 @@ def x_dedup_lsh_recall_audit(spark, sf_dir):
     "(MinHash-LSH + exact Jaccard >= 0.15) attributed to their source "
     "pair, undirected (least/greatest normalization). The curation "
     "report that tells you WHICH feeds re-crawl each other before you "
-    "pay for full dedup; the source dimension joins broadcast.",
+    "pay for full dedup. The doc_id->source map is PER-DOCUMENT sized, "
+    "so it joins by shuffle (AQE may still broadcast when it measures "
+    "the side as small) — a forced doc-level broadcast would OOM the "
+    "driver at 100 TB.",
 )
 def x_cross_source_dup_matrix(spark, sf_dir):
     from sparkwrangle.ext.dedup import lsh_verified_pairs, shingles
@@ -2367,9 +2370,7 @@ def x_cross_source_dup_matrix(spark, sf_dir):
     src = docs.select("doc_id", "source")
     pa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
     pb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
-    attributed = verified.join(F.broadcast(pa), "id_a").join(
-        F.broadcast(pb), "id_b"
-    )
+    attributed = verified.join(pa, "id_a").join(pb, "id_b")
     return attributed.groupBy(
         F.least("src_a", "src_b").alias("source_lo"),
         F.greatest("src_a", "src_b").alias("source_hi"),
@@ -2540,7 +2541,21 @@ def x_events_retention(spark, sf_dir):
     )
 
 
-_EVAL_HASH_CACHE: dict[str, list[int]] = {}
+# Keyed on (sf_dir, documents.parquet mtime): testdata is regenerated
+# in place between driver rounds, so a path-only key would decontaminate
+# against a stale eval set while the SQL oracle reads the fresh files.
+_EVAL_HASH_CACHE: dict[tuple[str, float], list[int]] = {}
+
+
+def _eval_cache_key(sf_dir: str) -> tuple[str, float]:
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = os.stat(p).st_mtime
+    except OSError:
+        mtime = -1.0
+    return (sf_dir, mtime)
 
 
 def _stream_curation_twin_sql() -> str:
@@ -2629,14 +2644,15 @@ def x_stream_curation_batch_twin(spark, sf_dir):
     # deterministic src0 subset stands in for it (the full-set path is
     # the batch curation pipeline's broadcast join). Real deployments
     # compute the suite's hash set once ever, so it memoizes per corpus.
-    if sf_dir not in _EVAL_HASH_CACHE:
-        _EVAL_HASH_CACHE[sf_dir] = eval_shingle_hash_list(
+    ck = _eval_cache_key(sf_dir)
+    if ck not in _EVAL_HASH_CACHE:
+        _EVAL_HASH_CACHE[ck] = eval_shingle_hash_list(
             docs.filter(
                 (F.col("source") == "src0") & (F.col("doc_id") % 100 < 10)
             ),
             n=8,
         )
-    ev = _EVAL_HASH_CACHE[sf_dir]
+    ev = _EVAL_HASH_CACHE[ck]
     # documents.parquet is ONE file locally -> one input partition; the
     # per-row literal-set probe would run single-threaded. Spread the
     # stateless map stage (at 100 TB input splits provide this for free,
@@ -2657,7 +2673,7 @@ def x_stream_curation_batch_twin(spark, sf_dir):
     f"""
     WITH toks AS (SELECT len({_TOKS_SQL}) AS n FROM documents),
     b AS (
-        SELECT CAST(floor(ln(n) / ln(2)) AS BIGINT) AS bucket, n
+        SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket, n
         FROM toks WHERE n > 0
     )
     SELECT bucket,
@@ -2669,8 +2685,11 @@ def x_stream_curation_batch_twin(spark, sf_dir):
     doc="Token-length histogram in power-of-2 buckets — the packing/"
     "truncation diagnostic every context-window budget decision reads. "
     "Map-side token count + a bounded-cardinality aggregate (≤ ~40 "
-    "buckets however large the corpus); integer log2 via ln ratio is "
-    "exact for the magnitudes involved in both engines.",
+    "buckets however large the corpus). The bucket is derived with "
+    "INTEGER arithmetic on both engines (length of the binary "
+    "representation − 1 ≡ floor(log2 n)) — an ln-ratio float formula "
+    "sits on a 1-ulp boundary at exact powers of two and can disagree "
+    "across libm implementations.",
 )
 def x_length_histogram(spark, sf_dir):
     from sparkwrangle.ext.text import tokenize
@@ -2678,7 +2697,8 @@ def x_length_histogram(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     n = F.size(tokenize(F.col("text")))
     b = docs.select(n.alias("n")).filter(F.col("n") > 0).withColumn(
-        "bucket", F.floor(F.log(F.col("n").cast("double")) / F.log(F.lit(2.0))).cast("bigint")
+        "bucket",
+        (F.length(F.conv(F.col("n").cast("string"), 10, 2)) - 1).cast("bigint"),
     )
     return b.groupBy("bucket").agg(
         F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("bucket_min_tokens"),

@@ -96,10 +96,18 @@ def curate_stream(
     clean = red.filter(~F.arrays_overlap(sh_arr, ev))
     keyed = clean.withColumn("text_key", h60(normalize_text(F.col("redacted"))))
     if keyed.isStreaming:
-        # keep-first by ARRIVAL within the watermark horizon
-        deduped = keyed.withWatermark(ts_col, watermark).dropDuplicates(
-            ["text_key"]
-        )
+        # keep-first by ARRIVAL within the watermark horizon.
+        # dropDuplicatesWithinWatermark (Spark >= 3.5) is the only form
+        # that actually EVICTS per-key state once the watermark passes;
+        # plain dropDuplicates(subset) without the event-time column in
+        # the subset keeps state forever (dedup-over-all-history) and
+        # OOMs a 100 TB stream. Semantics: duplicates whose event times
+        # fall within the watermark delay of each other are dropped;
+        # a key recurring after the horizon is admitted again — which is
+        # the bounded-state behavior the docstring promises.
+        deduped = keyed.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["text_key"])
     else:
         # batch embodiment keeps the deterministic first: earliest event
         # time, doc_id tiebreak (equal to the stream whenever arrival
