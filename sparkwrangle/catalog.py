@@ -1055,6 +1055,150 @@ def s2_intraday_trader(spark, sf_dir):
     return backtest_trades(feed, params)
 
 
+# Restricted-regime SQL twin of the S2 trader (the S1 recursive-CTE
+# pattern applied to IntradayRegionArbitrage.py:35-159 semantics). The
+# regime restrictions make the sequential ledger SQL-expressible without
+# changing ONE line of the state machine — the Spark side runs the real
+# applyInPandas trader:
+#
+# * single arb ticker → cpt is at most [0]: no K.3 one-TP-per-tick break
+#   ambiguity, no live-list skip on market close (one element).
+# * trade_size_percent=False → order_size is a constant (2·trade_size),
+#   so the balance is bal₀ + os·Σ_{j<k} Δⱼ — a WINDOW RUNNING SUM, where
+#   Δⱼ = bp_close/bp_open − ap_close/ap_open (cash-neutral open
+#   contributes 0; roiₖ = os·Δₖ / balₖ vs the pre-close balance, ref
+#   :137-139).
+# * sl_percent=9.0 (unreachable: |pnl| ≤ (os/bal)·|Δ| ≪ 9 on this
+#   price map) → closes are data-determined: TP when −tr ≤ r ≤ tr
+#   (checked FIRST, ref :104-124), else 'mc' on any tick strictly after
+#   16:29:00 (ref :152-159). Re-entry earliest at close_rn+1 (the
+#   data_feed if/elif shape admits no same-tick re-open).
+#
+# Tick times are synthesized tz-independently (NTZ from event_id
+# arithmetic) so the second-of-day the trader sees is identical under
+# any driver session timezone — the full-regime s2_intraday_trader keeps
+# the real event-time feed and stays rows-only.
+_S2_SOD_SQL = "(9*3600 + (event_id * 7919) % 28800)"
+
+_S2_RESTRICTED_SQL = f"""
+    WITH RECURSIVE ticks AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS rn,
+               (value - 50.0) / 200.0 AS r,
+               value + 1.0 AS ap,
+               value / 10.0 + 50.0 AS bp,
+               {_S2_SOD_SQL} > 59340 AS closing
+        FROM events
+    ), aug AS (
+        SELECT *,
+               (NOT closing AND r > 0.1) AS trig,
+               (r >= -0.01 AND r <= 0.01) AS tp,
+               ((r >= -0.01 AND r <= 0.01) OR closing) AS closes
+        FROM ticks
+    ), ptr AS (
+        SELECT *,
+               min(CASE WHEN trig THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_open,
+               min(CASE WHEN closes THEN rn END) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_close,
+               min(CASE WHEN trig THEN rn END) OVER (PARTITION BY user_id)
+                   AS first_open
+        FROM aug
+    ), trades AS (
+        SELECT user_id, rn AS open_rn, next_close AS close_rn
+        FROM ptr WHERE rn = first_open
+        UNION ALL
+        SELECT c.user_id, s.rn, s.next_close
+        FROM trades t
+        JOIN ptr c ON c.user_id = t.user_id AND c.rn = t.close_rn + 1
+        JOIN ptr s ON s.user_id = c.user_id AND s.rn = c.next_open
+        WHERE t.close_rn IS NOT NULL
+    ), closed AS (
+        SELECT t.user_id,
+               row_number() OVER (PARTITION BY t.user_id ORDER BY t.open_rn)
+                   - 1 AS trade_seq,
+               CASE WHEN cl.tp THEN 'tp' ELSE 'mc' END AS close_type,
+               20.0 * (cl.bp / op.bp - cl.ap / op.ap) AS chg
+        FROM trades t
+        JOIN ptr op ON op.user_id = t.user_id AND op.rn = t.open_rn
+        JOIN ptr cl ON cl.user_id = t.user_id AND cl.rn = t.close_rn
+        WHERE t.close_rn IS NOT NULL
+    ), bal AS (
+        SELECT *,
+               1000.0 + coalesce(sum(chg) OVER (
+                   PARTITION BY user_id ORDER BY trade_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+                   AS bal_before
+        FROM closed
+    )
+    SELECT user_id AS company, CAST(trade_seq AS INT) AS trade_seq,
+           close_type,
+           floor((chg / bal_before) * 1000000.0 + 0.5) / 1000000.0 AS roi
+    FROM bal
+"""
+
+
+@register(
+    "s2_trader_single_position",
+    _S2_RESTRICTED_SQL,
+    doc="S2/S3 restricted regime: the REAL applyInPandas trader state "
+    "machine (IntradayRegionArbitrage.py:35-159 semantics, strict "
+    "quirks) parameterized to single-arb-ticker / fixed order size / "
+    "unreachable SL, which makes the sequential TP/market-close ledger "
+    "exactly expressible as a recursive-CTE gaps-and-islands oracle — "
+    "the externally-checkable twin of the golden-pinned full regime.",
+)
+def s2_trader_single_position(spark, sf_dir):
+    from sparkwrangle.stateful.trader import backtest_trades
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    sod = F.lit(9 * 3600) + (F.col("event_id") * 7919) % 28800
+    seq = ev.withColumn("feed_seq", F.row_number().over(w)).withColumn(
+        "ts",
+        F.expr(
+            "make_timestamp_ntz(2024, 1, 1, "
+            "cast((9*3600 + (event_id * 7919) % 28800) / 3600 as int), "
+            "cast(((9*3600 + (event_id * 7919) % 28800) % 3600) / 60 as int), "
+            "cast((9*3600 + (event_id * 7919) % 28800) % 60 as int))"
+        ),
+    )
+    base = seq.select(
+        F.col("user_id").alias("company"),
+        "feed_seq",
+        "ts",
+        F.lit(0).alias("ticker_idx"),
+        (F.col("value") / 10.0 + 50.0).alias("price"),
+        F.lit(None).cast("double").alias("ret"),
+    )
+    arb = seq.select(
+        F.col("user_id").alias("company"),
+        "feed_seq",
+        "ts",
+        F.lit(1).alias("ticker_idx"),
+        (F.col("value") + 1.0).alias("price"),
+        ((F.col("value") - 50.0) / 200.0).alias("ret"),
+    )
+    feed = base.unionByName(arb)
+    params = dict(
+        bal=1000.0,
+        min_deviation=0.1,
+        sl_percent=9.0,
+        trigger_range=0.01,
+        trade_size=10.0,
+        trade_size_percent=False,
+    )
+    out = backtest_trades(feed, params)
+    return out.select(
+        "company", "trade_seq", "close_type", rf(F.col("roi")).alias("roi")
+    )
+
+
 @register(
     "r_balance_report",
     """

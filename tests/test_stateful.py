@@ -314,3 +314,55 @@ def test_ep2_golden_on_real_ticker_structures(spark):
         assert len(gb) == len(eh)
         assert max(abs(gb.balance.to_numpy() - eh.balance.to_numpy())) < 1e-9
     assert total > 0, "structures must produce trades"
+
+
+def test_s2_single_position_restricted_regime(spark):
+    """The restricted-regime S2 twin (single arb ticker, fixed order size,
+    unreachable SL) runs the REAL state machine and must agree with an
+    independent straight-line simulation of the data_feed protocol —
+    guarding the recursive-CTE oracle's regime assumptions (no same-tick
+    re-open, TP-before-mc priority, running-sum balance)."""
+    import duckdb
+
+    from sparkwrangle.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        CATALOG["s2_trader_single_position"]
+        .fn(spark, sf)
+        .orderBy("company", "trade_seq")
+        .toPandas()
+    )
+    ev = duckdb.sql(
+        f"SELECT user_id, event_id, value FROM '{sf}/events.parquet' "
+        "ORDER BY user_id, event_id"
+    ).df()
+    os_, bal0 = 20.0, 1000.0
+    rows = []
+    for uid, g in ev.groupby("user_id", sort=True):
+        bal, open_px, n = bal0, None, 0
+        for _, e in g.iterrows():
+            v = e.value
+            r = (v - 50.0) / 200.0
+            ap, bp = v + 1.0, v / 10.0 + 50.0
+            closing = (9 * 3600 + (int(e.event_id) * 7919) % 28800) > 59340
+            if open_px is not None:
+                tp = -0.01 <= r <= 0.01
+                if tp or closing:
+                    chg = os_ * (bp / open_px[1] - ap / open_px[0])
+                    roi = chg / bal
+                    bal += chg
+                    rows.append((uid, n, "tp" if tp else "mc", roi))
+                    n += 1
+                    open_px = None
+            elif not closing and r > 0.1:
+                open_px = (ap, bp)
+        assert bal > 0
+    assert len(rows) == len(got), (len(rows), len(got))
+    assert {"tp", "mc"} >= set(got.close_type)
+    for (uid, seq, typ, roi), (_, row) in zip(rows, got.iterrows()):
+        assert row.company == uid and row.trade_seq == seq
+        assert row.close_type == typ
+        import math
+
+        assert abs(math.floor(roi * 1e6 + 0.5) / 1e6 - row.roi) < 1e-9
