@@ -209,22 +209,135 @@ def connected_components(
     all_ids: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Duplicate-cluster connected components by iterative min-label
-    propagation: every node's label converges to the smallest id reachable
-    from it, so cluster_id = min doc_id of the component.
+    """Duplicate-cluster connected components by alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): cluster_id = smallest
+    id reachable from each node.
 
-    ``pairs`` is an undirected edge list (id_a, id_b); ``all_ids`` the full
-    node universe (singleton docs become their own cluster). Each round is
-    one distributed join + groupBy-min; labels advance one hop per round,
-    so rounds = graph diameter — near-dup clusters are shallow (dups of a
-    common ancestor), which keeps this small in practice. At 100 TB, swap
-    the propagation loop for alternating large-star/small-star contraction
-    (Kiveris et al., "Connected Components in MapReduce") for O(log n)
-    rounds; the per-round dataflow below is unchanged. ``localCheckpoint``
-    truncates lineage each round so plans don't snowball; on a real
-    cluster use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
-    for fault tolerance instead.
+    ``pairs`` is an undirected edge list (id_a, id_b); ``all_ids`` the
+    full node universe (singleton docs become their own cluster). Each
+    round rewires every node toward the minimum of its neighborhood:
+
+    * large-star: for each node u, attach every STRICTLY LARGER neighbor
+      to m(u) = min(N(u) ∪ {u});
+    * small-star: orient edges (hi → lo), attach u and all its smaller
+      neighbors to m(u) = min(N(u)).
+
+    Both are one groupBy-min + one join over the current edge set, and the
+    edge set never grows beyond the input size (each node emits at most
+    its degree). The round count is O(log n) REGARDLESS of component
+    shape — a diameter-d chain that one-hop min-label propagation walks in
+    d rounds contracts in ~log₂ d doublings (pinned by the chain test in
+    tests/test_ext.py). Convergence is detected when the oriented edge
+    set's (count, hash-sum) fingerprint is stable across a round — the
+    fingerprint rides the checkpoint-materialization job via ``observe``,
+    so no extra comparison pass runs. ``localCheckpoint`` truncates
+    lineage per round; on a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for fault
+    tolerance instead.
+
+    ``stats`` (optional) receives {"rounds": n} for observability.
+
+    Returns (id_col, cluster_id), one row per node, deterministic.
+    """
+    from pyspark.sql import Observation
+
+    def fingerprint(df):
+        obs = Observation()
+        return (
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("src", "dst")).alias("hs"),
+            ),
+            obs,
+        )
+
+    # orient (hi → lo), drop self-loops/dups; materialize once so rounds
+    # don't re-derive the upstream candidate pipeline (shingle → LSH)
+    edges = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("src"),
+            F.least("id_a", "id_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges, obs = fingerprint(edges)
+    edges = edges.localCheckpoint()
+    prev = (obs.get["n"], obs.get["hs"])
+    rounds = 0
+    for _ in range(max_iter):
+        if prev[0] == 0:
+            break
+        # -- large-star: und = both directions; m(u) = min(u, min N(u));
+        #    emit (v, m(u)) for v > u
+        und = edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = und.groupBy("src").agg(F.min("dst").alias("mn"))
+        mins = mins.select(
+            "src", F.least("src", "mn").alias("m")
+        )
+        large = (
+            und.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # -- small-star on the large-star output, oriented hi → lo:
+        #    m(u) = min N(u) (all neighbors are < u); emit (u, m) and
+        #    (v, m) for the other small neighbors
+        sm = large.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+        mins2 = sm.groupBy("src").agg(F.min("dst").alias("m"))
+        rewired = (
+            sm.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .union(mins2.select("src", F.col("m").alias("dst")))
+            .distinct()
+        )
+        rewired, obs = fingerprint(rewired)
+        edges = rewired.localCheckpoint()
+        rounds += 1
+        cur = (obs.get["n"], obs.get["hs"])
+        if cur == prev:
+            break
+        prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at fixpoint the edge set is a star forest (node → component min);
+    # singletons label themselves
+    labels = all_ids.select(F.col(id_col).alias("node")).join(
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("root")),
+        "node",
+        "left",
+    )
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.coalesce("root", "node").alias("cluster_id"),
+    )
+
+
+def connected_components_propagation(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """One-hop min-label propagation baseline (kept for property-testing
+    the contraction implementation against an independent formulation):
+    every node's label converges to the smallest id reachable from it,
+    advancing one hop per round, so rounds = graph diameter. Fine for
+    shallow near-dup clusters; ``connected_components`` (large-star/
+    small-star, O(log n) rounds) is the scale path — a 100 TB corpus with
+    one chain-shaped component makes diameter-bounded rounds a
+    scale-killer.
 
     Returns (id_col, cluster_id), one row per node, deterministic.
     """

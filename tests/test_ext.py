@@ -511,3 +511,53 @@ def test_bm25_scores_hand_computed(spark):
     assert abs(out[2] - score(2, 4)) < 1e-12
     assert out[3] == 0.0
     assert out[2] > out[1] > out[3]
+
+
+def test_connected_components_chain_contracts_in_log_rounds(spark):
+    """A 120-node chain has diameter 119: one-hop min-label propagation
+    needs 119 rounds (the old max_iter=50 loop would not even converge),
+    while large-star/small-star contraction must finish in O(log n)."""
+    from sparkwrangle.ext.dedup import connected_components
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    stats = {}
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, ids, "doc_id", stats=stats).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+    assert stats["rounds"] <= 12, f"expected O(log n) rounds, got {stats['rounds']}"
+
+
+def test_connected_components_matches_propagation_baseline(spark):
+    """The contraction implementation agrees with the independent one-hop
+    propagation formulation on random graphs (chains, stars, cliques,
+    singletons mixed)."""
+    import random
+
+    from sparkwrangle.ext.dedup import (
+        connected_components,
+        connected_components_propagation,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(5, 35))
+        ]
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a bigint, id_b bigint"
+        )
+        ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+        a = {tuple(r) for r in connected_components(pairs, ids, "doc_id").collect()}
+        b = {
+            tuple(r)
+            for r in connected_components_propagation(pairs, ids, "doc_id").collect()
+        }
+        assert a == b, f"trial {trial}: contraction != propagation"
