@@ -59,6 +59,16 @@ def build_intraday_feed(
         (bars.ts >= blocks.start_ts) & (bars.ts < blocks.end_ts),
         "inner",
     ).select("company", "ticker", "ts", "close", "block_id")
+    # ONE shuffle feeds the whole grid phase: hash(company, block_id) is a
+    # SUBSET of every downstream clustering key — the tick-grid distinct
+    # (company, block_id, ts), the grid⋈bars join (4 keys), the wg/wb
+    # windows (company, block_id, ticker) and wbase (company, block_id,
+    # ts) — so EnsureRequirements inserts no further exchanges until the
+    # final per-company feed_seq/trader stage (inherent: the state machine
+    # is sequential per company). Parallelism stays at company×block
+    # granularity for the heavy normalize/ffill work, which is the scale
+    # axis at 100 TB; measured 2× cold-plan win at sf0.1 (6.2s → 2.8s).
+    b = b.repartition("company", "block_id")
 
     # 2. grid = company-block tick timeline × the company's tickers
     ticks = b.select("company", "block_id", "ts").distinct()

@@ -561,3 +561,26 @@ def test_connected_components_matches_propagation_baseline(spark):
             for r in connected_components_propagation(pairs, ids, "doc_id").collect()
         }
         assert a == b, f"trial {trial}: contraction != propagation"
+
+
+def test_lsh_band_buckets_vectorized_matches_fold(spark):
+    """The Arrow-vectorized sign-LSH banding is bit-identical to the JVM
+    fold-expression form (same left-to-right accumulation order)."""
+    from sparkwrangle.ext.similarity import (
+        hyperplane_planes,
+        lsh_band_buckets,
+        lsh_band_buckets_vectorized,
+    )
+    from sparkwrangle.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    planes = hyperplane_planes(64, 16, 13)
+    a = {
+        tuple(r)
+        for r in lsh_band_buckets(emb, planes, 4).collect()
+    }
+    b = {
+        tuple(r)
+        for r in lsh_band_buckets_vectorized(emb, planes, 4).collect()
+    }
+    assert a == b and len(a) > 0
