@@ -596,6 +596,49 @@ def x_multimodal_features(spark, sf_dir):
 
 
 @register(
+    "x_multimodal_bmp_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS w,
+               3 + doc_id % 7 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, xx.x AS x, yy.y AS y
+        FROM dims,
+             unnest(range(0, w)) AS xx(x),
+             unnest(range(0, h)) AS yy(y)
+    ), sums AS (
+        SELECT doc_id, w, h,
+               sum((doc_id + 7*x + 13*y) % 256
+                   + (3*doc_id + x) % 256
+                   + (x*y + doc_id) % 256) AS psum
+        FROM px GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, 'image/bmp' AS media_type,
+           CAST(54 + ((3*w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+           CAST(psum AS DOUBLE) / (w * h * 3) AS byte_mean,
+           CAST(1 AS BIGINT) AS feature_dim
+    FROM sums
+    """,
+    doc="North-star multimodal decode, REAL binary path: each doc carries "
+    "a synthesized NON-ASCII 24-bpp BMP (deterministic pixels from "
+    "doc_id); decode_features walks the actual BITMAPINFOHEADER and "
+    "padded pixel rows (ext/multimodal.decode_bmp) and reports the "
+    "channel-byte mean. The oracle aggregates the same closed form "
+    "without touching bytes — header offsets, stride padding, and "
+    "channel extraction are all hash-checked (a raw whole-file byte "
+    "mean would include headers+padding and fail). Integer pixel sums "
+    "divide identically in both engines.",
+)
+def x_multimodal_bmp_decode(spark, sf_dir):
+    from sparkwrangle.ext.multimodal import attach_bmp_payload, decode_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_features(attach_bmp_payload(docs))
+
+
+@register(
     "x_dedup_pipeline_end_to_end",
     _minhash_sql(16)
     + f"""

@@ -584,3 +584,44 @@ def test_lsh_band_buckets_vectorized_matches_fold(spark):
         for r in lsh_band_buckets_vectorized(emb, planes, 4).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_decode_bmp_roundtrip_and_errors():
+    """decode_bmp parses what encode_bmp_deterministic writes — incl. rows
+    needing stride padding — and refuses non-BMP / unsupported payloads."""
+    import pytest as _pytest
+
+    from sparkwrangle.ext.multimodal import decode_bmp, encode_bmp_deterministic
+
+    saw_non_ascii = False
+    for doc_id in [0, 1, 5, 12, 25, 38, 1000003]:
+        w_exp = 4 + doc_id % 13
+        h_exp = 3 + doc_id % 7
+        b = encode_bmp_deterministic(doc_id)
+        assert b[:2] == b"BM"
+        saw_non_ascii = saw_non_ascii or any(byte > 127 for byte in b)
+        w, h, psum, pcnt = decode_bmp(b)
+        assert (w, h) == (w_exp, h_exp)
+        assert pcnt == w * h * 3
+        expected = sum(
+            (doc_id + 7 * x + 13 * y) % 256
+            + (3 * doc_id + x) % 256
+            + (x * y + doc_id) % 256
+            for x in range(w)
+            for y in range(h)
+        )
+        assert psum == expected
+    assert saw_non_ascii, "payload set must exercise non-ASCII bytes"
+    # top-down (negative height) variant parses identically
+    import struct
+
+    b = bytearray(encode_bmp_deterministic(7))
+    w, h, psum, pcnt = decode_bmp(bytes(b))
+    struct.pack_into("<i", b, 22, -h)
+    assert decode_bmp(bytes(b)) == (w, h, psum, pcnt)
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap at all, just text")
+    bad = bytearray(encode_bmp_deterministic(3))
+    struct.pack_into("<H", bad, 28, 8)  # 8-bpp unsupported
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
