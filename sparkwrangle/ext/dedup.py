@@ -238,7 +238,17 @@ def connected_components(
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for fault
     tolerance instead.
 
-    ``stats`` (optional) receives {"rounds": n} for observability.
+    Shallow-graph fast path: near-dup clusters are almost always stars or
+    cliques (every member pairs with the minimum), for which ONE fused
+    min(self, neighbors) propagation round is already the fixpoint — and
+    costs a third of a contraction round. So the operator first runs that
+    single propagation round with a changed-count observation; only a
+    non-converged (deeper-than-one-hop) graph falls through to the
+    contraction loop. Worst case pays one extra cheap round before the
+    O(log n) loop; the common case never pays contraction's constant.
+
+    ``stats`` (optional) receives {"rounds": n, "path": "propagation" |
+    "contraction"} for observability.
 
     Returns (id_col, cluster_id), one row per node, deterministic.
     """
@@ -268,7 +278,48 @@ def connected_components(
     edges, obs = fingerprint(edges)
     edges = edges.localCheckpoint()
     prev = (obs.get["n"], obs.get["hs"])
-    rounds = 0
+
+    # -- shallow fast path: fused-init propagation, one verification round
+    if prev[0] > 0:
+        und0 = edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        init = (
+            all_ids.select(
+                F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+            )
+            .union(und0.select(F.col("src").alias("node"), F.col("dst").alias("lbl")))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        prop = und0.join(init, und0["dst"] == init["node"]).select(
+            F.col("src").alias("node"), F.col("lbl")
+        )
+        both = init.withColumn("_old", F.col("lbl")).union(
+            prop.withColumn("_old", F.lit(None).cast(dict(init.dtypes)["lbl"]))
+        )
+        pobs = Observation()
+        agg = (
+            both.groupBy("node")
+            .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old"))
+            .observe(
+                pobs,
+                F.sum((F.col("lbl") < F.col("_old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+        )
+        labels1 = agg.drop("_old").localCheckpoint()
+        if pobs.get["changed"] == 0:
+            if stats is not None:
+                stats["rounds"] = 1
+                stats["path"] = "propagation"
+            return labels1.select(
+                F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
+            )
+
+    rounds = 1 if prev[0] > 0 else 0  # the propagation probe round above
     for _ in range(max_iter):
         if prev[0] == 0:
             break
@@ -311,6 +362,7 @@ def connected_components(
         prev = cur
     if stats is not None:
         stats["rounds"] = rounds
+        stats["path"] = "contraction"
     # at fixpoint the edge set is a star forest (node → component min);
     # singletons label themselves
     labels = all_ids.select(F.col(id_col).alias("node")).join(
