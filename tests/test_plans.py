@@ -68,24 +68,36 @@ _PYTHON_OK = {
     "s1_daily_pairs_backtest",
     "s1_compounded_return",
     "s2_intraday_trader",
+    "s2_trader_single_position",  # same applyInPandas trader, restricted regime
     "ep2_full_pipeline",
     "x_multimodal_features",
+    "x_multimodal_bmp_decode",  # binary synth + real BMP parse, Arrow-batched
     "x_frame_sampling",
     # dense numeric kernel: one BLAS GEMM per cell beats the relational
     # pair join 10× (see ext/similarity.embedding_neardup_pairs_gemm)
     "x_embedding_neardup",
     "x_semantic_dedup",  # same GEMM kernel over trained cells
+    # sign-LSH banding: vectorized Arrow batches replace interpreted HOF
+    # folds (ext/similarity.lsh_band_buckets_vectorized)
+    "x_knn_lsh_hyperplane",
 }
 
 
 def test_plan_linter_all_queries(spark):
     """Sweep every catalog query's physical plan for red flags: row-wise
-    Python eval in relational paths and accidental cartesian products."""
+    Python eval in relational paths and accidental cartesian products.
+    ArrowEvalPython is linted too — vectorized scalar UDFs are still
+    Python on executors and must be on the sanctioned list."""
     problems = []
     for name in sorted(CATALOG):
         plan = _plan(spark, name)
         if name not in _PYTHON_OK:
-            for marker in ("BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            for marker in (
+                "BatchEvalPython",
+                "ArrowEvalPython",
+                "FlatMapGroupsInPandas",
+                "MapInPandas",
+            ):
                 if marker in plan:
                     problems.append(f"{name}: {marker}")
         if "CartesianProduct" in plan and "broadcast" not in plan.lower():
