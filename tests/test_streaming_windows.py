@@ -283,3 +283,68 @@ def test_curate_stream_matches_batch(spark, tmp_path):
     # first arrival (doc 2) wins the dedup key in arrival order
     assert got_ids == [1, 2]
     assert {r.doc_id for r in got} <= {1, 2, 5}
+
+
+def test_curate_stream_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: duplicates within the
+    horizon are dropped, and once the watermark passes a key's expiry
+    (first occurrence + delay) its state is EVICTED — eviction happens at
+    micro-batch COMMIT, so a recurrence lands fresh one batch later. The
+    bounded-state behavior a 100 TB stream needs: plain
+    dropDuplicates(subset) would dedup over all history and drop doc 14.
+    (The in-order parity test cannot distinguish the two.)"""
+    import os
+
+    from sparkwrangle.streaming.curation import curate_stream
+
+    good = " ".join(["the and of to a in is that with for"] * 12)
+    dup_text = good + " recurring bulletin body"
+    batches = [
+        [
+            (10, "2024-01-01 10:00:00", dup_text, "en", "srcA"),
+            # same normalized text within the 10-minute horizon -> dropped
+            (11, "2024-01-01 10:05:00", dup_text, "en", "srcB"),
+            # pacer advances the watermark to 10:20 after batch 0
+            (12, "2024-01-01 10:30:00", good + " unique pacer marker", "en", "srcA"),
+        ],
+        [
+            # batch 1 runs with watermark 10:20 > expiry 10:10, but state
+            # eviction happens at batch COMMIT after input processing, so
+            # this in-batch recurrence is still deduplicated...
+            (13, "2024-01-01 10:25:00", dup_text, "en", "srcB"),
+        ],
+        [
+            # ...while a recurrence in the NEXT batch finds the state
+            # evicted and is admitted again
+            (14, "2024-01-01 10:40:00", dup_text, "en", "srcA"),
+        ],
+    ]
+
+    def _docs(rs):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rs, "doc_id long, ts string, text string, lang string, source string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    d = str(tmp_path / "curate_wm")
+    os.makedirs(d)
+    for i, rs in enumerate(batches):
+        _docs(rs).coalesce(1).write.parquet(os.path.join(d, f"b{i}"))
+    schema = "doc_id long, ts timestamp, text string, lang string, source string"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(os.path.join(d, "*"))
+    out = curate_stream(stream, [99_999_999], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_wm_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_ids = sorted(
+        r.doc_id for r in spark.sql("SELECT doc_id FROM curate_wm_sink").collect()
+    )
+    assert got_ids == [10, 12, 14], got_ids
