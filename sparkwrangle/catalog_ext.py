@@ -2584,23 +2584,6 @@ def x_events_retention(spark, sf_dir):
     )
 
 
-# Keyed on (sf_dir, documents.parquet mtime): testdata is regenerated
-# in place between driver rounds, so a path-only key would decontaminate
-# against a stale eval set while the SQL oracle reads the fresh files.
-_EVAL_HASH_CACHE: dict[tuple[str, float], list[int]] = {}
-
-
-def _eval_cache_key(sf_dir: str) -> tuple[str, float]:
-    import os
-
-    p = os.path.join(sf_dir, "documents.parquet")
-    try:
-        mtime = os.stat(p).st_mtime
-    except OSError:
-        mtime = -1.0
-    return (sf_dir, mtime)
-
-
 def _stream_curation_twin_sql() -> str:
     """Oracle for the batch embodiment of streaming/curation.curate_stream
     over the training corpus (source <> 'src0'), eval = src0's 8-gram
@@ -2669,43 +2652,44 @@ def _stream_curation_twin_sql() -> str:
     _stream_curation_twin_sql(),
     doc="The streaming ingest-curation pipeline's batch embodiment "
     "(streaming/curation.curate_stream on a batch frame): absolute "
-    "quality threshold, PII redaction, map-side arrays_overlap "
-    "decontamination against the literal src0 8-gram set, and "
+    "quality threshold, PII redaction, decontamination against the src0 "
+    "8-gram hash set — as a TABLE via explode + broadcast semi/anti-join "
+    "(the batch scale path: no driver collect, no re-hashed per-row "
+    "literal; the stream keeps the stateless literal probe), and "
     "deterministic keep-first dedup on the normalized redacted text. "
-    "Gives the stream's exact dataflow an oracle-checked row; the "
+    "Gives the stream's exact semantics an oracle-checked row; the "
     "stream/batch parity test covers the micro-batch side.",
 )
 def x_stream_curation_batch_twin(spark, sf_dir):
-    from sparkwrangle.streaming.curation import (
-        curate_stream,
-        eval_shingle_hash_list,
-    )
+    from sparkwrangle.ext.dedup import shingles
+    from sparkwrangle.ext.hashing import h60
+    from sparkwrangle.streaming.curation import curate_stream
 
     docs = _t(spark, sf_dir, "documents")
-    # the benchmark suite is a BOUNDED, STATIC artifact by construction —
-    # the literal-array decontamination is sized for that; a
-    # deterministic src0 subset stands in for it (the full-set path is
-    # the batch curation pipeline's broadcast join). Real deployments
-    # compute the suite's hash set once ever, so it memoizes per corpus.
-    ck = _eval_cache_key(sf_dir)
-    if ck not in _EVAL_HASH_CACHE:
-        _EVAL_HASH_CACHE[ck] = eval_shingle_hash_list(
+    # the eval suite as a DataFrame — one plan end to end, nothing
+    # materializes on the driver
+    ev_df = (
+        shingles(
             docs.filter(
                 (F.col("source") == "src0") & (F.col("doc_id") % 100 < 10)
             ),
-            n=8,
+            "doc_id",
+            "text",
+            8,
         )
-    ev = _EVAL_HASH_CACHE[ck]
+        .select(h60(F.col("shingle")).alias("shash"))
+        .distinct()
+    )
     # documents.parquet is ONE file locally -> one input partition; the
-    # per-row literal-set probe would run single-threaded. Spread the
-    # stateless map stage (at 100 TB input splits provide this for free,
-    # and in a real stream the source partitions do).
+    # per-row map stage would run single-threaded. Spread it (at 100 TB
+    # input splits provide this for free, and in a real stream the
+    # source partitions do).
     train = (
         docs.filter(F.col("source") != "src0")
         .repartition(32, "doc_id")
         .withColumn("ts", F.timestamp_seconds(F.col("doc_id")))
     )
-    out = curate_stream(train, ev, min_quality=0.5)
+    out = curate_stream(train, ev_df, min_quality=0.5)
     return out.select(
         "doc_id", "lang", "source", r6("quality").alias("quality"), "redacted"
     )
