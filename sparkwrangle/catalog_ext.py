@@ -639,6 +639,41 @@ def x_multimodal_bmp_decode(spark, sf_dir):
 
 
 @register(
+    "x_multimodal_wav_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id, 32 + doc_id % 41 AS n FROM documents
+    ), s AS (
+        SELECT doc_id, n,
+               sum((31 * doc_id + 17 * ii.i) % 65536 - 32768) AS ssum
+        FROM dims, unnest(range(0, n)) AS ii(i)
+        GROUP BY doc_id, n
+    )
+    SELECT doc_id, 'audio/wav' AS media_type,
+           CAST(60 + 2 * n AS BIGINT) AS n_bytes,
+           CAST(ssum AS DOUBLE) / n AS byte_mean,
+           CAST(1 AS BIGINT) AS feature_dim
+    FROM s
+    """,
+    doc="North-star multimodal decode, audio path: each doc carries a "
+    "synthesized PCM-16 mono WAV (deterministic samples from doc_id, "
+    "with a LIST chunk deliberately placed before fmt/data); "
+    "decode_features walks the actual RIFF chunks (ext/multimodal."
+    "decode_wav) and reports the mean sample value. The oracle "
+    "aggregates the same closed form without touching bytes — a "
+    "fixed-offset reader or one that miscounts chunk padding fails the "
+    "hash. n_bytes = 44-byte canonical header + 16-byte LIST chunk + "
+    "2 bytes/sample; integer sample sums divide identically in both "
+    "engines.",
+)
+def x_multimodal_wav_decode(spark, sf_dir):
+    from sparkwrangle.ext.multimodal import attach_wav_payload, decode_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_features(attach_wav_payload(docs))
+
+
+@register(
     "x_dedup_pipeline_end_to_end",
     _minhash_sql(16)
     + f"""

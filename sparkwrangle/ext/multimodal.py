@@ -84,6 +84,9 @@ def decode_features(media: DataFrame) -> DataFrame:
                 elif mt == "image/bmp":
                     _, _, psum, pcnt = decode_bmp(bytes(b))
                     means.append(psum / pcnt if pcnt else None)
+                elif mt == "audio/wav":
+                    n, _, ssum, ch = decode_wav(bytes(b))
+                    means.append(ssum / (n * ch) if n else None)
                 else:
                     means.append(sum(b) / len(b))
             out = pd.DataFrame(
@@ -160,6 +163,87 @@ def encode_bmp_deterministic(doc_id: int) -> bytes:
             rows.append((x * y + doc_id) % 256)  # R
         rows.extend(b"\x00" * (stride - 3 * w))
     return header + bytes(rows)
+
+
+def decode_wav(b: bytes) -> tuple[int, int, int, int]:
+    """Parse a PCM 16-bit WAV: returns (n_samples, sample_rate,
+    sample_sum, n_channels) from a real RIFF chunk walk — 'fmt ' is
+    located by ITERATING chunks (not a fixed offset: writers put LIST/
+    INFO chunks before 'data', and chunk sizes pad to even — both
+    handled), samples decoded little-endian signed. Raises ValueError on
+    non-RIFF/WAVE payloads, non-PCM encodings, or bit depths ≠ 16 — the
+    honest behavior for a decoder.
+    """
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    n = len(data) // 2
+    samples = struct.unpack_from(f"<{n}h", data, 0)
+    return n // n_channels, sample_rate, sum(samples), n_channels
+
+
+def encode_wav_deterministic(doc_id: int) -> bytes:
+    """Synthesize a valid PCM-16 mono WAV whose samples are a closed form
+    of ``doc_id`` — the oracle counterpart of ``decode_wav``:
+    n_samples = 32 + id%41, sample_i = (31·id + 17·i) % 65536 − 32768,
+    rate 8000. A LIST chunk is deliberately placed BEFORE fmt/data so a
+    fixed-offset reader (no real chunk walk) fails the hash check."""
+    import struct
+
+    n = 32 + doc_id % 41
+    samples = [
+        ((31 * doc_id + 17 * i) % 65536) - 32768 for i in range(n)
+    ]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16)
+    info = b"INFOnote"  # 8 bytes, even — exercises the chunk skip
+    chunks = (
+        b"LIST" + struct.pack("<I", len(info)) + info
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def attach_wav_payload(docs: DataFrame) -> DataFrame:
+    """Multimodal table with REAL audio payloads: each doc carries the
+    deterministic synthetic WAV for its doc_id, generated on executors."""
+    from pyspark.sql.functions import pandas_udf
+
+    def gen(ids):
+        return pd.Series([encode_wav_deterministic(int(i)) for i in ids])
+
+    gen.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    gen_udf = pandas_udf("binary")(gen)
+    with_payload = docs.select(
+        F.col("doc_id"), gen_udf(F.col("doc_id")).alias("payload")
+    )
+    return with_payload.select(
+        F.col("doc_id"),
+        F.lit("audio/wav").alias("media_type"),
+        F.concat(F.lit("mem://wav/"), F.col("doc_id")).alias("uri"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.col("payload"),
+    )
 
 
 def attach_bmp_payload(docs: DataFrame) -> DataFrame:

@@ -625,3 +625,42 @@ def test_decode_bmp_roundtrip_and_errors():
     struct.pack_into("<H", bad, 28, 8)  # 8-bpp unsupported
     with _pytest.raises(ValueError):
         decode_bmp(bytes(bad))
+
+
+def test_decode_wav_roundtrip_and_errors():
+    """decode_wav walks RIFF chunks for real (LIST before fmt/data, even
+    padding) and refuses non-WAV / non-PCM-16 payloads."""
+    import struct
+
+    import pytest as _pytest
+
+    from sparkwrangle.ext.multimodal import decode_wav, encode_wav_deterministic
+
+    for doc_id in [0, 3, 40, 41, 999983]:
+        n_exp = 32 + doc_id % 41
+        b = encode_wav_deterministic(doc_id)
+        n, rate, ssum, ch = decode_wav(b)
+        assert (n, rate, ch) == (n_exp, 8000, 1)
+        assert ssum == sum(
+            ((31 * doc_id + 17 * i) % 65536) - 32768 for i in range(n_exp)
+        )
+    # odd-size chunk before data must be skipped with pad byte
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<3h", -1, 2, 3)
+    odd = b"odd"  # 3 bytes -> 1 pad byte
+    chunks = (
+        b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert decode_wav(wav) == (3, 8000, 4, 1)
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAIFF" + b"\x00" * 40)
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float32
+    chunks = (
+        b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
