@@ -278,19 +278,10 @@ def k6_faithful_ticker_share(spark, sf_dir):
     return out.select(r6("share_above").alias("share_above"))
 
 
-@register(
-    "ep2_full_pipeline",
-    None,
-    doc="EP2 end-to-end on driver testdata: events-derived 5-min bars for "
-    "3 synthetic companies (base + EU ticker with '.') → block range join, "
-    "tick grid, FX snap, normalize, ffill, session band, base-relative "
-    "returns → S2 trader → trade log. The full SURVEY §3 EP2 lifecycle in "
-    "one plan; golden-tested against the pandas oracle on fixtures.",
-)
-def ep2_full_pipeline(spark, sf_dir):
-    from sparkwrangle.pipelines.intraday import build_intraday_feed
-    from sparkwrangle.stateful.trader import backtest_trades
-
+def _ep2_inputs(spark, sf_dir):
+    """Events-derived EP2 inputs (bars, fx, blocks, listings) — shared by
+    the rows-only full pipeline and the oracle-checked feed/trader twins
+    so the derivations can never drift apart."""
     ev = _t(spark, sf_dir, "events")
     # derive a bars table: 3 companies × (base, EU) tickers from events
     company = F.concat(F.lit("CO"), (F.col("user_id") % 3).cast("string"))
@@ -327,6 +318,24 @@ def ep2_full_pipeline(spark, sf_dir):
         (F.lit("2024-01-01").cast("timestamp") + F.expr("make_interval(0,0,0,id*7,0,0,0)")).alias("start_ts"),
         (F.lit("2024-01-01").cast("timestamp") + F.expr("make_interval(0,0,0,id*7+7,0,0,0)")).alias("end_ts"),
     )
+    return bars, fx, blocks, listings
+
+
+@register(
+    "ep2_full_pipeline",
+    None,
+    doc="EP2 end-to-end on driver testdata: events-derived 5-min bars for "
+    "3 synthetic companies (base + EU ticker with '.') → block range join, "
+    "tick grid, FX snap, normalize, ffill, session band, base-relative "
+    "returns → S2 trader → trade log. The full SURVEY §3 EP2 lifecycle in "
+    "one plan; golden-tested against the pandas oracle on fixtures; the "
+    "feed construction is separately hash-checked by ep2_feed_builder.",
+)
+def ep2_full_pipeline(spark, sf_dir):
+    from sparkwrangle.pipelines.intraday import build_intraday_feed
+    from sparkwrangle.stateful.trader import backtest_trades
+
+    bars, fx, blocks, listings = _ep2_inputs(spark, sf_dir)
     feed = build_intraday_feed(bars, fx, blocks, listings)
     # looser thresholds than the reference defaults: the events-derived
     # deviations are mild and the synthetic session has few post-16:29
@@ -340,6 +349,267 @@ def ep2_full_pipeline(spark, sf_dir):
         trade_size_percent=True,
     )
     return backtest_trades(feed, params)
+
+
+# Full SQL translation of pipelines.intraday.build_intraday_feed over the
+# events-derived EP2 inputs — every step (block range join, tick grid, FX
+# snap+ffill, conditional conversion, block min-max normalize with pandas
+# /0→±inf/NaN semantics, ffill, session band, base-relative deviation,
+# day-of-month feed order) in window SQL. NaN/±inf are produced with the
+# SAME branch structure as ops.filters.safe_div_pandas so every row is
+# bitwise identical; per-row arithmetic is IEEE-identical across engines.
+_EP2_FEED_CTE = """
+    bars AS (
+        SELECT 'CO' || CAST(user_id % 3 AS VARCHAR) AS company,
+               'T' || CAST(user_id % 3 AS VARCHAR) AS ticker,
+               ts, value + 100.0 AS close
+        FROM events
+        UNION ALL
+        SELECT 'CO' || CAST(user_id % 3 AS VARCHAR),
+               'T' || CAST(user_id % 3 AS VARCHAR) || '.DE',
+               ts,
+               (value + 100.0)
+                   * (1 + CAST((event_id % 7) - 3 AS DOUBLE) / 30.0) / 1.05
+        FROM events
+    ), fx AS (
+        SELECT ts, 1.0 + (value - 50.0) / 1000.0 AS rate
+        FROM events WHERE event_type = 'signup'
+    ), blocks AS (
+        SELECT CAST(i AS INT) AS block_id,
+               TIMESTAMP '2024-01-01' + to_days(CAST(i * 7 AS INT)) AS start_ts,
+               TIMESTAMP '2024-01-01' + to_days(CAST(i * 7 + 7 AS INT)) AS end_ts
+        FROM (SELECT unnest(range(0, 5)) AS i)
+    ), listings AS (
+        SELECT DISTINCT company, ticker,
+               CASE WHEN contains(ticker, '.') THEN 1 ELSE 0 END AS ticker_idx
+        FROM bars
+    ), b AS (
+        SELECT bars.company, bars.ticker, bars.ts, bars.close, blocks.block_id
+        FROM bars JOIN blocks
+          ON bars.ts >= blocks.start_ts AND bars.ts < blocks.end_ts
+    ), ticks AS (
+        SELECT DISTINCT company, block_id, ts FROM b
+    ), grid AS (
+        SELECT t.company, t.block_id, t.ts, l.ticker, l.ticker_idx
+        FROM ticks t JOIN listings l ON t.company = l.company
+    ), g0 AS (
+        SELECT g.*, b.close, fx.rate
+        FROM grid g
+        LEFT JOIN b USING (company, block_id, ts, ticker)
+        LEFT JOIN fx USING (ts)
+    ), g1 AS (
+        SELECT *,
+               last_value(rate IGNORE NULLS) OVER wg AS rate_ff,
+               min(close) OVER wb AS lo,
+               max(close) OVER wb AS hi
+        FROM g0
+        WINDOW wg AS (PARTITION BY company, block_id, ticker ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wb AS (PARTITION BY company, block_id, ticker)
+    ), g2 AS (
+        SELECT *,
+               CASE WHEN contains(ticker, '.') THEN close * rate_ff
+                    ELSE close END AS price_conv,
+               CASE WHEN close IS NULL OR hi IS NULL THEN NULL
+                    WHEN (hi - lo) <> 0 THEN (close - lo) / (hi - lo)
+                    WHEN isnan(close - lo) THEN 'nan'::DOUBLE
+                    WHEN (close - lo) > 0 THEN 'infinity'::DOUBLE
+                    WHEN (close - lo) < 0 THEN '-infinity'::DOUBLE
+                    ELSE 'nan'::DOUBLE END AS norm
+        FROM g1
+    ), g3 AS (
+        SELECT *,
+               last_value(price_conv IGNORE NULLS) OVER wg2 AS price_ff,
+               last_value(norm IGNORE NULLS) OVER wg2 AS norm_ff
+        FROM g2
+        WINDOW wg2 AS (PARTITION BY company, block_id, ticker ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), g4 AS (
+        SELECT * FROM g3
+        WHERE (hour(ts) * 60 + minute(ts)) BETWEEN 870 AND 990
+    ), g5 AS (
+        SELECT *,
+               max(CASE WHEN ticker_idx = 0 THEN norm_ff END)
+                   OVER (PARTITION BY company, block_id, ts) AS base_norm
+        FROM g4
+    ), g6 AS (
+        SELECT *,
+               CASE WHEN ticker_idx > 0 THEN
+                   (CASE WHEN norm_ff IS NULL OR base_norm IS NULL THEN NULL
+                         WHEN base_norm <> 0 THEN norm_ff / base_norm
+                         WHEN isnan(norm_ff) THEN 'nan'::DOUBLE
+                         WHEN norm_ff > 0 THEN 'infinity'::DOUBLE
+                         WHEN norm_ff < 0 THEN '-infinity'::DOUBLE
+                         ELSE 'nan'::DOUBLE END) - 1
+               END AS ret,
+               dense_rank() OVER (PARTITION BY company
+                                  ORDER BY block_id, day(ts), ts) AS feed_seq
+        FROM g5
+    )
+"""
+
+_EP2_FEED_SQL = (
+    "WITH "
+    + _EP2_FEED_CTE
+    + """
+    SELECT company, CAST(feed_seq AS INT) AS feed_seq, ts, ticker_idx,
+           round(price_ff, 6) AS price, round(ret, 6) AS ret
+    FROM g6
+"""
+)
+
+
+@register(
+    "ep2_feed_builder",
+    _EP2_FEED_SQL,
+    doc="The EP2 feed CONSTRUCTION (pipelines.intraday.build_intraday_feed) "
+    "hash-checked end to end: block range join → tick grid → FX snap + "
+    "ffill → conditional EU conversion → block min-max normalize (pandas "
+    "/0 → ±inf/NaN branch structure reproduced exactly) → ffill → "
+    "14:30-16:30 session band → base-relative deviation → day-of-month "
+    "feed order (quirk K.2). The pure-Catalyst half of ep2_full_pipeline, "
+    "externally verified; only the sequential trader on top stays "
+    "rows-only.",
+)
+def ep2_feed_builder(spark, sf_dir):
+    from sparkwrangle.pipelines.intraday import build_intraday_feed
+
+    bars, fx, blocks, listings = _ep2_inputs(spark, sf_dir)
+    feed = build_intraday_feed(bars, fx, blocks, listings)
+    return feed.select(
+        "company",
+        "feed_seq",
+        "ts",
+        "ticker_idx",
+        r6(F.col("price")).alias("price"),
+        r6(F.col("ret")).alias("ret"),
+    )
+
+
+# Restricted-regime EP2 trader twin: the SAME recursive-CTE machinery as
+# s2_trader_single_position (catalog.py) stacked on the full feed-builder
+# SQL above — single arb ticker per company (the EP2 feed has exactly
+# base + one EU listing), fixed order size, unreachable SL. Ticks where
+# either price is still null (no close / no FX rate yet in the block) are
+# filtered identically on both sides BEFORE the state machine: the
+# reference protocol would poison the ledger with NaN arithmetic there,
+# which no SQL twin can follow. NaN/±inf deviations are handled with
+# explicit isnan guards (DuckDB orders NaN above all doubles, pandas
+# comparisons with NaN are False — the guards make both engines take the
+# reference's branch).
+_EP2_TRADER_SQL = (
+    "WITH RECURSIVE "
+    + _EP2_FEED_CTE
+    + """
+    , ticksq AS (
+        SELECT company, CAST(feed_seq AS INT) AS fs,
+               max(CASE WHEN ticker_idx = 0 THEN price_ff END) AS bp,
+               max(CASE WHEN ticker_idx = 1 THEN price_ff END) AS ap,
+               max(CASE WHEN ticker_idx = 1 THEN ret END) AS r,
+               max(hour(ts) * 3600 + minute(ts) * 60
+                   + CAST(second(ts) AS BIGINT)) AS sod
+        FROM g6 GROUP BY company, feed_seq
+    ), filt AS (
+        SELECT *, row_number() OVER (PARTITION BY company ORDER BY fs) AS rn
+        FROM ticksq WHERE bp IS NOT NULL AND ap IS NOT NULL
+    ), aug AS (
+        SELECT *,
+               (sod > 59340) AS closing,
+               (NOT sod > 59340 AND r IS NOT NULL AND NOT isnan(r)
+                AND r > 0.02) AS trig,
+               (r IS NOT NULL AND NOT isnan(r)
+                AND r >= -0.005 AND r <= 0.005) AS tp,
+               ((r IS NOT NULL AND NOT isnan(r)
+                 AND r >= -0.005 AND r <= 0.005) OR sod > 59340) AS closes
+        FROM filt
+    ), ptr AS (
+        SELECT *,
+               min(CASE WHEN trig THEN rn END) OVER (
+                   PARTITION BY company ORDER BY rn
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_open,
+               min(CASE WHEN closes THEN rn END) OVER (
+                   PARTITION BY company ORDER BY rn
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_close,
+               min(CASE WHEN trig THEN rn END) OVER (PARTITION BY company)
+                   AS first_open
+        FROM aug
+    ), trades AS (
+        SELECT company, rn AS open_rn, next_close AS close_rn
+        FROM ptr WHERE rn = first_open
+        UNION ALL
+        SELECT c.company, s.rn, s.next_close
+        FROM trades t
+        JOIN ptr c ON c.company = t.company AND c.rn = t.close_rn + 1
+        JOIN ptr s ON s.company = c.company AND s.rn = c.next_open
+        WHERE t.close_rn IS NOT NULL
+    ), closed AS (
+        SELECT t.company,
+               row_number() OVER (PARTITION BY t.company ORDER BY t.open_rn)
+                   - 1 AS trade_seq,
+               CASE WHEN cl.tp THEN 'tp' ELSE 'mc' END AS close_type,
+               2.0 * (cl.bp / op.bp - cl.ap / op.ap) AS chg
+        FROM trades t
+        JOIN ptr op ON op.company = t.company AND op.rn = t.open_rn
+        JOIN ptr cl ON cl.company = t.company AND cl.rn = t.close_rn
+        WHERE t.close_rn IS NOT NULL
+    ), bal AS (
+        SELECT *,
+               1000.0 + coalesce(sum(chg) OVER (
+                   PARTITION BY company ORDER BY trade_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+                   AS bal_before
+        FROM closed
+    )
+    SELECT company, CAST(trade_seq AS INT) AS trade_seq, close_type,
+           floor((chg / bal_before) * 1000000.0 + 0.5) / 1000000.0 AS roi
+    FROM bal
+"""
+)
+
+
+@register(
+    "ep2_trader_single_position",
+    _EP2_TRADER_SQL,
+    doc="EP2 end-to-end with an ORACLE: the real applyInPandas trader in "
+    "the restricted regime (fixed order size, unreachable SL; the EP2 "
+    "feed already has exactly one arb ticker per company) on top of the "
+    "full feed-builder SQL — block join, grid, FX ffill, normalize, "
+    "session band, K.2 feed order, then the gaps-and-islands trade CTE. "
+    "With ep2_feed_builder this makes the whole EP2 lifecycle "
+    "externally hash-checked except the reference-faithful "
+    "percent-sizing ledger, which stays golden-pinned "
+    "(ep2_full_pipeline).",
+)
+def ep2_trader_single_position(spark, sf_dir):
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.pipelines.intraday import build_intraday_feed
+    from sparkwrangle.stateful.trader import backtest_trades
+
+    bars, fx, blocks, listings = _ep2_inputs(spark, sf_dir)
+    feed = build_intraday_feed(bars, fx, blocks, listings)
+    # both legs priced: drop ticks before the first close / FX rate of
+    # the block (the state machine would NaN-poison the ledger there;
+    # the oracle applies the identical filter)
+    w = Window.partitionBy("company", "feed_seq")
+    feed_f = (
+        feed.withColumn("_np", F.count("price").over(w))
+        .filter(F.col("_np") == 2)
+        .drop("_np")
+    )
+    params = dict(
+        bal=1000.0,
+        min_deviation=0.02,
+        sl_percent=9.0,
+        trigger_range=0.005,
+        trade_size=1.0,
+        trade_size_percent=False,
+    )
+    out = backtest_trades(feed_f, params)
+    return out.select(
+        "company", "trade_seq", "close_type", rf(F.col("roi")).alias("roi")
+    )
 
 
 @register(
