@@ -1080,7 +1080,7 @@ def s2_intraday_trader(spark, sf_dir):
 # the real event-time feed and stays rows-only.
 _S2_SOD_SQL = "(9*3600 + (event_id * 7919) % 28800)"
 
-_S2_RESTRICTED_SQL = f"""
+_S2_TRADES_SQL = f"""
     WITH RECURSIVE ticks AS (
         SELECT user_id,
                row_number() OVER (PARTITION BY user_id ORDER BY event_id)
@@ -1123,14 +1123,20 @@ _S2_RESTRICTED_SQL = f"""
                row_number() OVER (PARTITION BY t.user_id ORDER BY t.open_rn)
                    - 1 AS trade_seq,
                CASE WHEN cl.tp THEN 'tp' ELSE 'mc' END AS close_type,
-               20.0 * (cl.bp / op.bp - cl.ap / op.ap) AS chg
+               (cl.bp / op.bp - cl.ap / op.ap) AS delta
         FROM trades t
         JOIN ptr op ON op.user_id = t.user_id AND op.rn = t.open_rn
         JOIN ptr cl ON cl.user_id = t.user_id AND cl.rn = t.close_rn
         WHERE t.close_rn IS NOT NULL
-    ), bal AS (
-        SELECT *,
-               1000.0 + coalesce(sum(chg) OVER (
+    )"""
+
+# Fixed order size: balance is bal0 + os·Σ delta — a window RUNNING SUM.
+_S2_RESTRICTED_SQL = (
+    _S2_TRADES_SQL
+    + """
+    , bal AS (
+        SELECT *, 20.0 * delta AS chg,
+               1000.0 + coalesce(sum(20.0 * delta) OVER (
                    PARTITION BY user_id ORDER BY trade_seq
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
                    AS bal_before
@@ -1141,21 +1147,41 @@ _S2_RESTRICTED_SQL = f"""
            floor((chg / bal_before) * 1000000.0 + 0.5) / 1000000.0 AS roi
     FROM bal
 """
-
-
-@register(
-    "s2_trader_single_position",
-    _S2_RESTRICTED_SQL,
-    doc="S2/S3 restricted regime: the REAL applyInPandas trader state "
-    "machine (IntradayRegionArbitrage.py:35-159 semantics, strict "
-    "quirks) parameterized to single-arb-ticker / fixed order size / "
-    "unreachable SL, which makes the sequential TP/market-close ledger "
-    "exactly expressible as a recursive-CTE gaps-and-islands oracle — "
-    "the externally-checkable twin of the golden-pinned full regime.",
 )
-def s2_trader_single_position(spark, sf_dir):
-    from sparkwrangle.stateful.trader import backtest_trades
 
+# Percent sizing (trade_size_percent=True): order size is 2·ts·bal at each
+# open, so the ledger COMPOUNDS — bal_k = bal_{k-1}·(1 + 2·ts·delta_k), a
+# sequential product no window can express; the recursion carries it in
+# trade order exactly as the state machine does (ref :90-99 open,
+# :137-139 close). roi_k = bal_k/bal_{k-1} − 1, and bal_rel = bal_k/bal0
+# pins the compounded series itself, not just per-trade increments.
+_S2_PERCENT_SQL = (
+    _S2_TRADES_SQL
+    + """
+    , ledg AS (
+        SELECT user_id, CAST(-1 AS BIGINT) AS trade_seq,
+               CAST(NULL AS VARCHAR) AS close_type,
+               CAST(1000.0 AS DOUBLE) AS bal, CAST(NULL AS DOUBLE) AS roi
+        FROM (SELECT DISTINCT user_id FROM closed)
+        UNION ALL
+        SELECT c.user_id, c.trade_seq, c.close_type,
+               l.bal * (1.0 + 0.02 * c.delta),
+               l.bal * (1.0 + 0.02 * c.delta) / l.bal - 1.0
+        FROM ledg l JOIN closed c
+          ON c.user_id = l.user_id AND c.trade_seq = l.trade_seq + 1
+    )
+    SELECT user_id AS company, CAST(trade_seq AS INT) AS trade_seq,
+           close_type,
+           floor(roi * 1000000.0 + 0.5) / 1000000.0 AS roi,
+           floor((bal / 1000.0) * 1000000.0 + 0.5) / 1000000.0 AS bal_rel
+    FROM ledg WHERE trade_seq >= 0
+"""
+)
+
+
+def _s2_restricted_feed(spark, sf_dir):
+    """Shared tz-independent single-arb-ticker feed for the restricted-regime
+    trader twins (synthesized NTZ tick times from event_id arithmetic)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
     sod = F.lit(9 * 3600) + (F.col("event_id") * 7919) % 28800
@@ -1184,7 +1210,23 @@ def s2_trader_single_position(spark, sf_dir):
         (F.col("value") + 1.0).alias("price"),
         ((F.col("value") - 50.0) / 200.0).alias("ret"),
     )
-    feed = base.unionByName(arb)
+    return base.unionByName(arb)
+
+
+@register(
+    "s2_trader_single_position",
+    _S2_RESTRICTED_SQL,
+    doc="S2/S3 restricted regime: the REAL applyInPandas trader state "
+    "machine (IntradayRegionArbitrage.py:35-159 semantics, strict "
+    "quirks) parameterized to single-arb-ticker / fixed order size / "
+    "unreachable SL, which makes the sequential TP/market-close ledger "
+    "exactly expressible as a recursive-CTE gaps-and-islands oracle — "
+    "the externally-checkable twin of the golden-pinned full regime.",
+)
+def s2_trader_single_position(spark, sf_dir):
+    from sparkwrangle.stateful.trader import backtest_trades
+
+    feed = _s2_restricted_feed(spark, sf_dir)
     params = dict(
         bal=1000.0,
         min_deviation=0.1,
@@ -1196,6 +1238,39 @@ def s2_trader_single_position(spark, sf_dir):
     out = backtest_trades(feed, params)
     return out.select(
         "company", "trade_seq", "close_type", rf(F.col("roi")).alias("roi")
+    )
+
+
+@register(
+    "s2_trader_percent_ledger",
+    _S2_PERCENT_SQL,
+    doc="S3 compounding ledger, externally verified: the REAL applyInPandas "
+    "trader with trade_size_percent=True (order size 2·1%·balance, ref "
+    ":85-99), restricted regime as s2_trader_single_position. Balance "
+    "compounds bal_k = bal_{k-1}·(1+0.02·Δ_k) — a sequential product the "
+    "oracle re-derives with a recursive CTE carrying the ledger in trade "
+    "order; bal_rel pins the compounded series, closing the one S3 cell "
+    "that was golden-only (percent sizing).",
+)
+def s2_trader_percent_ledger(spark, sf_dir):
+    from sparkwrangle.stateful.trader import backtest_trades_ledger
+
+    feed = _s2_restricted_feed(spark, sf_dir)
+    params = dict(
+        bal=1000.0,
+        min_deviation=0.1,
+        sl_percent=9.0,
+        trigger_range=0.01,
+        trade_size=0.01,
+        trade_size_percent=True,
+    )
+    out = backtest_trades_ledger(feed, params)
+    return out.select(
+        "company",
+        "trade_seq",
+        "close_type",
+        rf(F.col("roi")).alias("roi"),
+        rf(F.col("bal_after") / 1000.0).alias("bal_rel"),
     )
 
 

@@ -270,7 +270,7 @@ def x_dedup_minhash_sigs(spark, sf_dir):
     from sparkwrangle.ext.dedup import minhash_signatures, shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", 3)
+    sh = shingles(docs, "doc_id", "text", 3, distinct=False)
     return minhash_signatures(sh, "doc_id", k=16)
 
 
@@ -304,7 +304,7 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", 3)
+    sh = shingles(docs, "doc_id", "text", 3, distinct=False)
     sigs = minhash_signatures(sh, "doc_id", k=16)
     return lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
 
@@ -715,7 +715,7 @@ def x_dedup_pipeline_end_to_end(spark, sf_dir):
     from sparkwrangle.ext.dedup import lsh_verified_pairs, shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", 3)
+    sh = shingles(docs, "doc_id", "text", 3, distinct=False)
     verified = lsh_verified_pairs(sh, "doc_id", k=16, bands=4, threshold=0.15)
     drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(drop, "doc_id", "left_anti").select("doc_id")
@@ -1090,7 +1090,7 @@ def x_dedup_cc_clusters(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", 3)
+    sh = shingles(docs, "doc_id", "text", 3, distinct=False)
     sigs = minhash_signatures(sh, "doc_id", k=16)
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
     comp = connected_components(pairs, docs.select("doc_id"), "doc_id")
@@ -1211,7 +1211,7 @@ def x_minhash_jaccard_est(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", 3)
+    sh = shingles(docs, "doc_id", "text", 3, distinct=False)
     sigs = minhash_signatures(sh, "doc_id", k=16)
     pairs = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
     est = sum(
@@ -1551,7 +1551,7 @@ def x_dedup_cc_keep(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", 3)
+    sh = shingles(docs, "doc_id", "text", 3, distinct=False)
     verified = lsh_verified_pairs(sh, "doc_id", k=16, bands=4, threshold=0.15)
     comp = connected_components(verified, docs.select("doc_id"), "doc_id")
     return comp.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
@@ -2219,7 +2219,7 @@ def x_curation_pipeline_end_to_end(spark, sf_dir):
         .select("doc_id", "lang", "source", "n_tokens", "text")
         .localCheckpoint()
     )
-    sh = shingles(keepq, "doc_id", "text", 3)
+    sh = shingles(keepq, "doc_id", "text", 3, distinct=False)
     verified = lsh_verified_pairs(sh, "doc_id", k=16, bands=4, threshold=0.15)
     reps = (
         connected_components(verified, keepq.select("doc_id"), "doc_id")
@@ -2363,8 +2363,13 @@ def x_dedup_lsh_recall_audit(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sh = shingles(docs, "doc_id", "text", 3)
+    # the truth branch needs distinct shingle SETS (Jaccard sizes); the
+    # signature branch re-derives the subtree anyway, so hand it the
+    # multiset form and skip that copy's corpus-wide distinct shuffle
+    sigs = minhash_signatures(
+        shingles(docs, "doc_id", "text", 3, distinct=False), "doc_id", k=16
+    )
     truth = ngram_jaccard_pairs(sh, "doc_id", threshold=0.15).select("id_a", "id_b")
-    sigs = minhash_signatures(sh, "doc_id", k=16)
     cand = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
     hit = truth.join(cand, ["id_a", "id_b"], "inner")
     nt = truth.agg(F.count("*").alias("n_true"))
@@ -2443,7 +2448,7 @@ def x_cross_source_dup_matrix(spark, sf_dir):
     from sparkwrangle.ext.dedup import lsh_verified_pairs, shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", 3)
+    sh = shingles(docs, "doc_id", "text", 3, distinct=False)
     verified = lsh_verified_pairs(sh, "doc_id", k=16, bands=4, threshold=0.15)
     src = docs.select("doc_id", "source")
     pa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))

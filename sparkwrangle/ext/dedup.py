@@ -88,7 +88,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per doc from its shingle set:
     sig_i = min over shingles of (a_i·(h60(shingle) mod p) + b_i) mod p.
-    One aggregation — partial mins combine map-side."""
+    One aggregation — partial mins combine map-side. ``sh`` may be a
+    multiset (``shingles(..., distinct=False)``): min over a multiset
+    equals min over its set, and skipping the distinct saves a full
+    corpus-wide shuffle before the aggregation."""
     base = sh.withColumn("h", h60(F.col("shingle")) )
     aggs = [
         F.min(universal_hash(F.col("h"), a, b)).alias(f"mh{i}")
@@ -479,6 +482,13 @@ def lsh_verified_pairs(
     set instead of Σ df(shingle)² over the whole corpus. This is the
     composition every product pipeline should use; the corpus-wide form
     survives only in the standalone `x_dedup_ngram_jaccard` (df-capped).
+
+    ``sh`` may be a shingle MULTISET (``shingles(..., distinct=False)``) —
+    and should be, for one fewer corpus-wide shuffle: min-hash over a
+    multiset equals min-hash over its set, so the signature branch needs
+    no distinct at all, and the Jaccard branch deduplicates AFTER the
+    candidate-member semi-join, when the table is near-dup members only
+    instead of the whole corpus. Output is identical either way.
     """
     sigs = minhash_signatures(sh, id_col, k=k)
     cand = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands).localCheckpoint()
@@ -487,6 +497,6 @@ def lsh_verified_pairs(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cdocs), id_col, "left_semi")
+    sh_c = sh.join(F.broadcast(cdocs), id_col, "left_semi").distinct()
     jac = ngram_jaccard_pairs(sh_c, id_col, threshold=threshold)
     return cand.join(jac, ["id_a", "id_b"], "inner").select("id_a", "id_b")

@@ -52,6 +52,7 @@ class TraderState:
         "strict_reference",
         "balance",
         "trades",
+        "trade_balances",
         "shares",
         "base_shares",
         "cpt",
@@ -86,6 +87,10 @@ class TraderState:
         self.strict_reference = strict_reference
         self.balance = bal
         self.trades: list[tuple[str, float]] = []
+        # balance AFTER each close, parallel to ``trades`` — the ledger
+        # series the percent-sizing oracle twin checks (kept out of the
+        # trades tuples so the reference-shaped API stays 2-tuples)
+        self.trade_balances: list[float] = []
         self.shares: dict[int, float] = {}  # keyed by arb-ticker index
         self.base_shares: dict[int, float] = {}
         self.cpt: list[int] = []  # open-position ticker indices
@@ -179,6 +184,7 @@ class TraderState:
         del self.shares[idx]
         del self.base_shares[idx]
         self.trades.append((close_type, roi))
+        self.trade_balances.append(self.balance)
         self.cpt.remove(idx)
 
 
@@ -190,9 +196,10 @@ def run_trader_on_feed(
     ``feed`` is long format with columns: ts, ticker_idx (0 = base, listing
     order — IntradayRegionArbitrage.py:47 ``tickers[0]``), price (converted
     + ffilled), ret (base-relative normalized deviation; NaN for idx 0).
-    Returns (trades, balance_history) where balance_history is
-    [(ts, balance)] with one row per tick, recorded AFTER the tick is fed
-    (intra_day_arbitrage.ipynb:145-147, cell 8).
+    Returns (trades, balance_history, trade_balances) where
+    balance_history is [(ts, balance)] with one row per tick, recorded
+    AFTER the tick is fed (intra_day_arbitrage.ipynb:145-147, cell 8),
+    and trade_balances is the post-close balance parallel to trades.
     """
     st = TraderState(**params)
     # pivot on feed_seq, not ts: the reference's day-of-month grouping
@@ -254,7 +261,7 @@ def run_trader_on_feed(
         st.data_feed(int(sods[k]), list(r_vals[k]), list(p_vals[k]))
         bal[k] = st.balance
         k += 1
-    return st.trades, list(zip(ts_list, bal.tolist()))
+    return st.trades, list(zip(ts_list, bal.tolist())), st.trade_balances
 
 
 def _key_type(feed: DataFrame) -> str:
@@ -266,7 +273,7 @@ def backtest_trades(feed: DataFrame, params: dict) -> DataFrame:
     schema = f"company {_key_type(feed)}, trade_seq int, close_type string, roi double"
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        trades, _ = run_trader_on_feed(pdf, params)
+        trades, _, _ = run_trader_on_feed(pdf, params)
         company = pdf["company"].iloc[0]
         return pd.DataFrame(
             [
@@ -280,6 +287,38 @@ def backtest_trades(feed: DataFrame, params: dict) -> DataFrame:
     return feed.select(*cols).groupBy("company").applyInPandas(run, schema)
 
 
+def backtest_trades_ledger(feed: DataFrame, params: dict) -> DataFrame:
+    """Distributed S2/S3 trade log WITH the ledger: (company, trade_seq,
+    close_type, roi, bal_after). ``bal_after`` is the state machine's
+    balance right after each close — under percent sizing the compounded
+    series bal₀·∏(1+roiⱼ), which is what the recursive-CTE oracle twin
+    re-derives independently (ref :90-99 open / :137-139 close)."""
+    schema = (
+        f"company {_key_type(feed)}, trade_seq int, close_type string, "
+        "roi double, bal_after double"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        trades, _, balances = run_trader_on_feed(pdf, params)
+        company = pdf["company"].iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    "company": company,
+                    "trade_seq": i,
+                    "close_type": t,
+                    "roi": r,
+                    "bal_after": b,
+                }
+                for i, ((t, r), b) in enumerate(zip(trades, balances))
+            ],
+            columns=["company", "trade_seq", "close_type", "roi", "bal_after"],
+        )
+
+    cols = ["company", "feed_seq", "ts", "ticker_idx", "price", "ret"]
+    return feed.select(*cols).groupBy("company").applyInPandas(run, schema)
+
+
 def backtest_balances(feed: DataFrame, params: dict) -> DataFrame:
     """Distributed S2 balance history: (company, ts, balance) per tick,
     in feed order (which is NOT ts order across month boundaries — quirk
@@ -287,7 +326,7 @@ def backtest_balances(feed: DataFrame, params: dict) -> DataFrame:
     schema = f"company {_key_type(feed)}, ts timestamp, balance double"
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        _, history = run_trader_on_feed(pdf, params)
+        _, history, _ = run_trader_on_feed(pdf, params)
         company = pdf["company"].iloc[0]
         ts, bals = zip(*history) if history else ((), ())
         return pd.DataFrame(

@@ -69,6 +69,7 @@ _PYTHON_OK = {
     "s1_compounded_return",
     "s2_intraday_trader",
     "s2_trader_single_position",  # same applyInPandas trader, restricted regime
+    "s2_trader_percent_ledger",  # same trader, percent sizing + ledger output
     "ep2_full_pipeline",
     "ep2_trader_single_position",  # same applyInPandas trader, restricted regime
     "x_multimodal_features",
