@@ -1096,7 +1096,7 @@ _S2_TRADES_SQL = f"""
                (r >= -0.01 AND r <= 0.01) AS tp,
                ((r >= -0.01 AND r <= 0.01) OR closing) AS closes
         FROM ticks
-    ), ptr AS (
+    ), ptr AS MATERIALIZED (
         SELECT *,
                min(CASE WHEN trig THEN rn END) OVER (
                    PARTITION BY user_id ORDER BY rn
@@ -1118,7 +1118,7 @@ _S2_TRADES_SQL = f"""
         JOIN ptr c ON c.user_id = t.user_id AND c.rn = t.close_rn + 1
         JOIN ptr s ON s.user_id = c.user_id AND s.rn = c.next_open
         WHERE t.close_rn IS NOT NULL
-    ), closed AS (
+    ), closed AS MATERIALIZED (
         SELECT t.user_id,
                row_number() OVER (PARTITION BY t.user_id ORDER BY t.open_rn)
                    - 1 AS trade_seq,

@@ -497,7 +497,7 @@ def ep2_feed_builder(spark, sf_dir):
 # explicit isnan guards (DuckDB orders NaN above all doubles, pandas
 # comparisons with NaN are False — the guards make both engines take the
 # reference's branch).
-_EP2_TRADER_SQL = (
+_EP2_TRADES_CTE = (
     "WITH RECURSIVE "
     + _EP2_FEED_CTE
     + """
@@ -509,7 +509,11 @@ _EP2_TRADER_SQL = (
                max(hour(ts) * 3600 + minute(ts) * 60
                    + CAST(second(ts) AS BIGINT)) AS sod
         FROM g6 GROUP BY company, feed_seq
-    ), filt AS (
+    ), filt AS MATERIALIZED (
+        -- MATERIALIZED: everything above re-derives the full feed-builder
+        -- pipeline; the recursive CTEs below would otherwise re-evaluate
+        -- it once PER RECURSION STEP (DuckDB inlines CTEs by default),
+        -- which turns the sf0.1 oracle from seconds into tens of minutes
         SELECT *, row_number() OVER (PARTITION BY company ORDER BY fs) AS rn
         FROM ticksq WHERE bp IS NOT NULL AND ap IS NOT NULL
     ), aug AS (
@@ -522,7 +526,7 @@ _EP2_TRADER_SQL = (
                ((r IS NOT NULL AND NOT isnan(r)
                  AND r >= -0.005 AND r <= 0.005) OR sod > 59340) AS closes
         FROM filt
-    ), ptr AS (
+    ), ptr AS MATERIALIZED (
         SELECT *,
                min(CASE WHEN trig THEN rn END) OVER (
                    PARTITION BY company ORDER BY rn
@@ -544,19 +548,25 @@ _EP2_TRADER_SQL = (
         JOIN ptr c ON c.company = t.company AND c.rn = t.close_rn + 1
         JOIN ptr s ON s.company = c.company AND s.rn = c.next_open
         WHERE t.close_rn IS NOT NULL
-    ), closed AS (
+    ), closed AS MATERIALIZED (
         SELECT t.company,
                row_number() OVER (PARTITION BY t.company ORDER BY t.open_rn)
                    - 1 AS trade_seq,
                CASE WHEN cl.tp THEN 'tp' ELSE 'mc' END AS close_type,
-               2.0 * (cl.bp / op.bp - cl.ap / op.ap) AS chg
+               (cl.bp / op.bp - cl.ap / op.ap) AS delta
         FROM trades t
         JOIN ptr op ON op.company = t.company AND op.rn = t.open_rn
         JOIN ptr cl ON cl.company = t.company AND cl.rn = t.close_rn
         WHERE t.close_rn IS NOT NULL
-    ), bal AS (
-        SELECT *,
-               1000.0 + coalesce(sum(chg) OVER (
+    )"""
+)
+
+_EP2_TRADER_SQL = (
+    _EP2_TRADES_CTE
+    + """
+    , bal AS (
+        SELECT *, 2.0 * delta AS chg,
+               1000.0 + coalesce(sum(2.0 * delta) OVER (
                    PARTITION BY company ORDER BY trade_seq
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
                    AS bal_before
@@ -565,6 +575,33 @@ _EP2_TRADER_SQL = (
     SELECT company, CAST(trade_seq AS INT) AS trade_seq, close_type,
            floor((chg / bal_before) * 1000000.0 + 0.5) / 1000000.0 AS roi
     FROM bal
+"""
+)
+
+# Percent sizing on the REAL EP2 feed — the reference's own run mode
+# (intra_day_arbitrage.ipynb:11122: trade_size=0.1, trade_size_percent=
+# True). Order size is 2·10%·balance at each open, so the ledger
+# compounds bal_k = bal_{k-1}·(1 + 0.2·delta_k); the recursion carries it
+# in trade order and bal_rel pins the compounded series itself.
+_EP2_PERCENT_SQL = (
+    _EP2_TRADES_CTE
+    + """
+    , ledg AS (
+        SELECT company, CAST(-1 AS BIGINT) AS trade_seq,
+               CAST(NULL AS VARCHAR) AS close_type,
+               CAST(1000.0 AS DOUBLE) AS bal, CAST(NULL AS DOUBLE) AS roi
+        FROM (SELECT DISTINCT company FROM closed)
+        UNION ALL
+        SELECT c.company, c.trade_seq, c.close_type,
+               l.bal * (1.0 + 0.2 * c.delta),
+               l.bal * (1.0 + 0.2 * c.delta) / l.bal - 1.0
+        FROM ledg l JOIN closed c
+          ON c.company = l.company AND c.trade_seq = l.trade_seq + 1
+    )
+    SELECT company, CAST(trade_seq AS INT) AS trade_seq, close_type,
+           floor(roi * 1000000.0 + 0.5) / 1000000.0 AS roi,
+           floor((bal / 1000.0) * 1000000.0 + 0.5) / 1000000.0 AS bal_rel
+    FROM ledg WHERE trade_seq >= 0
 """
 )
 
@@ -584,20 +621,8 @@ _EP2_TRADER_SQL = (
 )
 def ep2_trader_single_position(spark, sf_dir):
     from sparkwrangle.catalog import rf
-    from sparkwrangle.pipelines.intraday import build_intraday_feed
     from sparkwrangle.stateful.trader import backtest_trades
 
-    bars, fx, blocks, listings = _ep2_inputs(spark, sf_dir)
-    feed = build_intraday_feed(bars, fx, blocks, listings)
-    # both legs priced: drop ticks before the first close / FX rate of
-    # the block (the state machine would NaN-poison the ledger there;
-    # the oracle applies the identical filter)
-    w = Window.partitionBy("company", "feed_seq")
-    feed_f = (
-        feed.withColumn("_np", F.count("price").over(w))
-        .filter(F.col("_np") == 2)
-        .drop("_np")
-    )
     params = dict(
         bal=1000.0,
         min_deviation=0.02,
@@ -606,9 +631,59 @@ def ep2_trader_single_position(spark, sf_dir):
         trade_size=1.0,
         trade_size_percent=False,
     )
-    out = backtest_trades(feed_f, params)
+    out = backtest_trades(_ep2_restricted_feed(spark, sf_dir), params)
     return out.select(
         "company", "trade_seq", "close_type", rf(F.col("roi")).alias("roi")
+    )
+
+
+def _ep2_restricted_feed(spark, sf_dir):
+    """The real EP2 feed with both-legs-priced ticks only: drop ticks
+    before the first close / FX rate of the block (the state machine
+    would NaN-poison the ledger there; the oracle applies the identical
+    filter)."""
+    from sparkwrangle.pipelines.intraday import build_intraday_feed
+
+    bars, fx, blocks, listings = _ep2_inputs(spark, sf_dir)
+    feed = build_intraday_feed(bars, fx, blocks, listings)
+    w = Window.partitionBy("company", "feed_seq")
+    return (
+        feed.withColumn("_np", F.count("price").over(w))
+        .filter(F.col("_np") == 2)
+        .drop("_np")
+    )
+
+
+@register(
+    "ep2_trader_percent_ledger",
+    _EP2_PERCENT_SQL,
+    doc="EP2 lifecycle in the reference's OWN sizing mode "
+    "(intra_day_arbitrage.ipynb:11122: trade_size=0.1, percent=True), "
+    "externally verified: the real applyInPandas trader with percent "
+    "sizing on the real feed (restricted regime: unreachable SL), "
+    "against the feed-builder SQL + gaps-and-islands CTE + a recursive "
+    "ledger CTE compounding bal_k = bal_{k-1}·(1+0.2·Δ_k) in trade "
+    "order. bal_rel hash-checks the compounded balance series itself.",
+)
+def ep2_trader_percent_ledger(spark, sf_dir):
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.stateful.trader import backtest_trades_ledger
+
+    params = dict(
+        bal=1000.0,
+        min_deviation=0.02,
+        sl_percent=9.0,
+        trigger_range=0.005,
+        trade_size=0.1,
+        trade_size_percent=True,
+    )
+    out = backtest_trades_ledger(_ep2_restricted_feed(spark, sf_dir), params)
+    return out.select(
+        "company",
+        "trade_seq",
+        "close_type",
+        rf(F.col("roi")).alias("roi"),
+        rf(F.col("bal_after") / 1000.0).alias("bal_rel"),
     )
 
 

@@ -72,6 +72,7 @@ _PYTHON_OK = {
     "s2_trader_percent_ledger",  # same trader, percent sizing + ledger output
     "ep2_full_pipeline",
     "ep2_trader_single_position",  # same applyInPandas trader, restricted regime
+    "ep2_trader_percent_ledger",  # same trader, reference percent sizing
     "x_multimodal_features",
     "x_multimodal_bmp_decode",  # binary synth + real BMP parse, Arrow-batched
     "x_multimodal_wav_decode",  # binary synth + real RIFF/PCM parse
