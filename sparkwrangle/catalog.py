@@ -129,6 +129,46 @@ def a_rows_to_table(spark, sf_dir):
     )
 
 
+@register(
+    "a_plot_downsample",
+    """
+    WITH base AS (
+        SELECT event_type AS series, CAST(epoch(ts) AS BIGINT) AS x,
+               CAST(value AS DOUBLE) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), rng AS (SELECT min(x) AS xmin, max(x) AS xmax FROM base),
+    b AS (
+        SELECT series, y, (xmax - xmin + 1) AS span,
+               CAST(floor((x - xmin) * 64 / (xmax - xmin + 1)) AS BIGINT)
+                   AS bucket
+        FROM base, rng
+    )
+    SELECT series, bucket,
+           CAST(floor((bucket * span + floor(span / 2.0)) / 64.0) AS BIGINT)
+               AS x_off,
+           round(CAST(sum(CAST(y AS DECIMAL(25,8))) AS DOUBLE) / count(*), 6)
+               AS y_avg,
+           min(y) AS y_min, max(y) AS y_max, count(*) AS n
+    FROM b GROUP BY series, bucket, span
+    """,
+    doc="A5 report sink, distributed half: x-axis bucketing to a bounded "
+    "point set (≤ series × 64 rows regardless of input size) with "
+    "mean + min/max band per bucket — what feeds the dependency-free "
+    "SVG renderer (jobs/report.py) in place of the reference's eager "
+    "matplotlib charts (stock_arbitrage.ipynb:468 cell 8). One shuffle "
+    "on (series, bucket); floor-based bucket math is engine-exact; "
+    "offsets (not absolute epochs) keep the hash timezone-invariant.",
+)
+def a_plot_downsample(spark, sf_dir):
+    from sparkwrangle.jobs.report import downsample_series
+
+    ev = _t(spark, sf_dir, "events")
+    out = downsample_series(ev, "ts", "value", "event_type", max_points=64)
+    return out.select(
+        "series", "bucket", "x_off", "y_avg", "y_min", "y_max", "n"
+    )
+
+
 # ---------------------------------------------------------------------------
 # B. Projections / filters / predicates
 # ---------------------------------------------------------------------------
