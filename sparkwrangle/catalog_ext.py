@@ -309,6 +309,69 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     return lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
 
 
+@register(
+    "x_dedup_incremental",
+    _minhash_sql(16)
+    + f"""
+    , bands AS (
+        SELECT doc_id, b.band,
+               CASE b.band
+                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
+                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
+                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
+                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+               END AS bh
+        FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b FROM cand c
+    JOIN documents sa ON sa.doc_id = c.id_a
+    JOIN documents sb ON sb.doc_id = c.id_b
+    WHERE sa.source = 'src0' OR sb.source = 'src0'
+    """,
+    doc="Daily-ingest incremental dedup (ext.prepared.incremental_lsh_pairs "
+    "shape): src0 plays the NEW batch, everything else the prepared "
+    "corpus. Only batch bands probe the (corpus ∪ batch) band table, so "
+    "corpus×corpus pairs are never generated — cost scales with |batch| "
+    "× bucket hit rate, while the corpus contributes a columnar "
+    "signature scan (in production a read of minhash_sigs.parquet, not "
+    "a recompute). The oracle is the full self-join restricted to pairs "
+    "touching the batch — equality is the incremental-correctness "
+    "contract, also pinned batch-vs-full by test_ext.",
+)
+def x_dedup_incremental(spark, sf_dir):
+    from sparkwrangle.ext.dedup import band_explode, minhash_signatures, shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("source") == "src0")
+    corpus_docs = docs.filter(F.col("source") != "src0")
+    new_sigs = minhash_signatures(
+        shingles(new_docs, "doc_id", "text", 3, distinct=False), "doc_id", k=16
+    )
+    corpus_sigs = minhash_signatures(
+        shingles(corpus_docs, "doc_id", "text", 3, distinct=False), "doc_id", k=16
+    )
+    all_bands = band_explode(
+        corpus_sigs.union(new_sigs.select(corpus_sigs.columns)), "doc_id", 16, 4
+    )
+    new_bands = band_explode(new_sigs, "doc_id", 16, 4).select(
+        F.col("doc_id").alias("_nid"), "band", "bh"
+    )
+    hits = all_bands.join(F.broadcast(new_bands), ["band", "bh"]).filter(
+        F.col("doc_id") != F.col("_nid")
+    )
+    return (
+        hits.select(
+            F.least("doc_id", "_nid").alias("id_a"),
+            F.greatest("doc_id", "_nid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def _simhash_sql(bits: int = 32) -> str:
     sums = ",\n           ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
