@@ -1248,6 +1248,45 @@ def x_stratified_sample(spark, sf_dir):
     )
 
 
+@register(
+    "x_hash_split",
+    f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               {h60_sql("concat('split|', CAST(doc_id AS VARCHAR))")} % 100
+                   AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Deterministic train/val/test split (90/5/5) by salted content "
+    "hash: assignment is a pure per-row function of doc_id — stable "
+    "across runs, engines, repartitions and corpus growth (a doc never "
+    "migrates between splits when new docs arrive), embarrassingly "
+    "parallel, no RNG state to coordinate across 1000 executors. The "
+    "standard split primitive of a training-data pipeline; downstream "
+    "writers partition by the split column for pruned reads.",
+)
+def x_hash_split(spark, sf_dir):
+    from sparkwrangle.ext.hashing import h60
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = h60(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 _EST_TERMS = " + ".join(f"CAST(sa.mh{i} = sb.mh{i} AS INT)" for i in range(16))
 
 
