@@ -133,7 +133,10 @@ def a_rows_to_table(spark, sf_dir):
     "a_plot_downsample",
     """
     WITH base AS (
-        SELECT event_type AS series, CAST(epoch(ts) AS BIGINT) AS x,
+        -- floor(epoch()): DuckDB's epoch carries fractional seconds and
+        -- CAST..BIGINT rounds; Spark's unix_timestamp truncates. floor
+        -- matches it for the positive-epoch corpus.
+        SELECT event_type AS series, CAST(floor(epoch(ts)) AS BIGINT) AS x,
                CAST(value AS DOUBLE) AS y
         FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     ), rng AS (SELECT min(x) AS xmin, max(x) AS xmax FROM base),
