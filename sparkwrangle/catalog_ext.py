@@ -310,6 +310,30 @@ def x_dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "x_dedup_minhash_mapside",
+    _minhash_sql(16)
+    + """
+    SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+           mh8, mh9, mh10, mh11, mh12, mh13, mh14, mh15
+    FROM sigs
+    """,
+    doc="MinHash signatures with ZERO shuffles: per-row shingle-hash "
+    "array + k array_min folds (ext.dedup.mapside_minhash_sigs) — no "
+    "explode, no distinct, no groupBy. Bit-identical to the aggregate "
+    "form (same oracle as x_dedup_minhash_sigs), and the STATELESS "
+    "shape the streaming ingest path requires (a streaming groupBy is "
+    "unbounded state; see streaming/incremental.py). Locally ~2x the "
+    "aggregate form (interpreted HOF folds vs codegen agg) — the trade "
+    "is the corpus-wide shuffle it deletes and the streaming legality.",
+)
+def x_dedup_minhash_mapside(spark, sf_dir):
+    from sparkwrangle.ext.dedup import mapside_minhash_sigs
+
+    docs = _t(spark, sf_dir, "documents")
+    return mapside_minhash_sigs(docs, "doc_id", "text", n=3, k=16)
+
+
+@register(
     "x_dedup_incremental",
     _minhash_sql(16)
     + f"""

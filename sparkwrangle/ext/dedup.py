@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sparkwrangle.ext.hashing import h60, minhash_coeffs, universal_hash
+from sparkwrangle.ext.hashing import MERSENNE_P, h60, minhash_coeffs, universal_hash
 from sparkwrangle.ext.text import tokenize
 
 
@@ -100,12 +100,74 @@ def minhash_signatures(
     return base.groupBy(id_col).agg(*aggs)
 
 
-def band_explode(
-    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
+def shingle_hash_array(text_col: Column | str, n: int = 3) -> Column:
+    """Map-side n-gram shingle-hash ARRAY (no explode): h60 of the
+    space-joined n-token window at each start position — the same values
+    ``shingles()`` + ``h60`` produce long-format, as a per-row array.
+
+    Built from n zipped shifted slices (the shingles() shape, NOTES.md
+    CollapseProject trap): an index lambda doing per-element slice()
+    would get the tokenize regexp INLINED into it and re-run per
+    shingle — measured ~6× slower on this exact expression."""
+    toks = tokenize(text_col)
+    sz = F.size(toks)
+    shifted = [F.slice(toks, i + 1, sz - (n - 1)).alias(f"t{i}") for i in range(n)]
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: h60(F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def mapside_minhash_sigs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    seed: int = 7,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Long-format LSH banding of a signature table: (id, band, bh) with
-    bh = portable hash of the band's minhash row. The join key for
-    candidate generation, shared by full and incremental dedup."""
+    """MinHash signatures with ZERO shuffles: the shingle-hash array is
+    built map-side per row and each of the k permutation minima is an
+    ``array_min`` over a ``transform`` — no explode, no distinct, no
+    groupBy. Bit-identical to ``minhash_signatures(shingles(...))``
+    (pinned by test): min over the array multiset equals min over the
+    set, and the integer universal-hash arithmetic is the same.
+
+    This is the form a STREAMING ingest path requires (a streaming
+    groupBy is unbounded state; a per-row projection is stateless), and
+    on batch it trades the aggregate's shuffle for interpreted HOF
+    evaluation — measure per workload. Docs with fewer than n tokens are
+    dropped, matching the aggregate path (no shingles → no group).
+
+    ``keep_cols`` carries extra columns (e.g. the event-time column a
+    downstream watermark needs) through the projection.
+    """
+    arr = shingle_hash_array(F.col(text_col), n)
+    # own projection below the signature select: each of the k transforms
+    # references the array COLUMN, not the array-building expression
+    # (CollapseProject would inline tokenize+zip into every lambda)
+    base = df.select(
+        id_col, *(keep_cols or []), arr.alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    def perm(a: int, b: int):
+        # closure, not lambda default-args: PySpark derives HOF arity
+        # from the lambda's parameter count, defaults included
+        return lambda h: (F.lit(a) * (h % MERSENNE_P) + F.lit(b)) % MERSENNE_P
+
+    sigs = [
+        F.array_min(F.transform(F.col("_sh"), perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k, seed))
+    ]
+    return base.select(id_col, *(keep_cols or []), *sigs)
+
+
+def band_struct_array(k: int = 16, bands: int = 4) -> Column:
+    """Array of (band, bh) structs from the mh0..mh{k-1} columns — the
+    map-side banding expression shared by batch and streaming paths."""
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -113,8 +175,17 @@ def band_explode(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), h60(F.concat_ws("_", *cols)).alias("bh"))
         )
+    return F.array(*band_cols)
+
+
+def band_explode(
+    sigs: DataFrame, id_col: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Long-format LSH banding of a signature table: (id, band, bh) with
+    bh = portable hash of the band's minhash row. The join key for
+    candidate generation, shared by full and incremental dedup."""
     return sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+        F.col(id_col), F.explode(band_struct_array(k, bands)).alias("bb")
     ).select(id_col, "bb.band", "bb.bh")
 
 

@@ -34,9 +34,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparkwrangle.ext.dedup import normalize_text, shingles
+from sparkwrangle.ext.dedup import (
+    normalize_text,
+    shingle_hash_array,
+    shingles,
+)
 from sparkwrangle.ext.hashing import h60
-from sparkwrangle.ext.text import add_text_stats, redact_pii, tokenize
+from sparkwrangle.ext.text import add_text_stats, redact_pii
 
 
 def eval_shingle_hash_list(eval_docs: DataFrame, n: int = 8) -> list[int]:
@@ -52,24 +56,8 @@ def eval_shingle_hash_list(eval_docs: DataFrame, n: int = 8) -> list[int]:
     return sorted(r.shash for r in rows)
 
 
-def _shingle_hash_array(text_col, n: int):
-    """Map-side n-gram shingle-hash ARRAY (no explode): hash of the
-    space-joined n-token window at each start position.
-
-    Built from n zipped shifted slices (the shingles() shape, NOTES.md
-    CollapseProject trap): an index lambda doing per-element slice()
-    would get the tokenize regexp INLINED into it and re-run per
-    shingle — measured ~6× slower on this exact expression."""
-    toks = tokenize(text_col)
-    sz = F.size(toks)
-    shifted = [F.slice(toks, i + 1, sz - (n - 1)).alias(f"t{i}") for i in range(n)]
-    return F.when(
-        sz >= n,
-        F.transform(
-            F.arrays_zip(*shifted),
-            lambda s: h60(F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+# moved to ext.dedup (shared with the streaming incremental-dedup path)
+_shingle_hash_array = shingle_hash_array
 
 
 def curate_stream(

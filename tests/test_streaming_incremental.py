@@ -1,0 +1,122 @@
+"""Streaming incremental dedup: map-side signatures + stream-static
+band join (streaming/incremental.py).
+
+Two contracts:
+* the zero-shuffle map-side MinHash signature is bit-identical to the
+  aggregate form (min over the array multiset == min over the set);
+* the stream emits exactly the batch incremental path's new×corpus
+  candidate pairs, whatever the micro-batch split.
+"""
+
+from __future__ import annotations
+
+import os
+
+from conftest import SF_SMOKE
+from pyspark.sql import functions as F
+
+from sparkwrangle.io import load_table
+
+
+def test_mapside_sigs_match_aggregate(spark):
+    from sparkwrangle.ext.dedup import (
+        mapside_minhash_sigs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    agg = minhash_signatures(
+        shingles(docs, "doc_id", "text", 3, distinct=False), "doc_id", k=16
+    )
+    mapside = mapside_minhash_sigs(docs, "doc_id", "text", n=3, k=16)
+    a = sorted(tuple(r) for r in agg.collect())
+    b = sorted(tuple(r) for r in mapside.collect())
+    assert a == b and len(a) > 0
+
+
+def _expected_new_corpus_pairs(spark, docs):
+    """Full LSH candidate self-join restricted to pairs with EXACTLY one
+    side in the new batch (src0) — the streaming operator's contract."""
+    from sparkwrangle.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    sigs = minhash_signatures(
+        shingles(docs, "doc_id", "text", 3, distinct=False), "doc_id", k=16
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", k=16, bands=4)
+    src = docs.select("doc_id", "source")
+    out = (
+        cand.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .filter((F.col("sa") == "src0") != (F.col("sb") == "src0"))
+    )
+    return {(r.id_a, r.id_b) for r in out.select("id_a", "id_b").collect()}
+
+
+def test_incremental_pairs_stream_matches_batch(spark, tmp_path):
+    from sparkwrangle.ext.dedup import minhash_signatures, shingles
+    from sparkwrangle.streaming.incremental import (
+        corpus_band_table,
+        incremental_pairs_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = _expected_new_corpus_pairs(spark, docs)
+    assert want  # sf0.001 has cross-source near-dups by construction
+
+    corpus = docs.filter(F.col("source") != "src0")
+    corpus_bands = corpus_band_table(
+        minhash_signatures(
+            shingles(corpus, "doc_id", "text", 3, distinct=False), "doc_id", k=16
+        )
+    ).localCheckpoint()  # static side: materialized once, like the prepared table
+
+    new_docs = docs.filter(F.col("source") == "src0").withColumn(
+        "ts",
+        (F.lit(1704067200) + F.col("doc_id")).cast("timestamp"),
+    )
+
+    # batch form of the same operator (watermark no-op)
+    got_batch = {
+        (r.id_a, r.id_b)
+        for r in incremental_pairs_stream(new_docs, corpus_bands).collect()
+    }
+    assert got_batch == want
+
+    # stream the new batch in two files
+    d = str(tmp_path / "inc")
+    os.makedirs(d)
+    mid = new_docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    new_docs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        os.path.join(d, "b1")
+    )
+    new_docs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        os.path.join(d, "b2")
+    )
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, ts timestamp"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "*"))
+    )
+    out = incremental_pairs_stream(stream, corpus_bands)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.sql("SELECT id_a, id_b FROM inc_sink").collect()
+    }
+    assert got == want
