@@ -35,6 +35,41 @@ def test_mapside_sigs_match_aggregate(spark):
     assert a == b and len(a) > 0
 
 
+def test_mapside_sigs_edge_cases(spark):
+    """Equality holds on adversarial docs: empty text, fewer tokens than
+    n (both forms drop them), exactly n tokens, all-identical shingles
+    (multiset vs set), punctuation-only, unicode, very long repetition."""
+    from sparkwrangle.ext.dedup import (
+        mapside_minhash_sigs,
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "one two"),
+        (4, "one two three"),
+        (5, "a a a a a a a a"),  # one distinct shingle, many copies
+        (6, "!!! ... ??? ---"),  # tokenizes to nothing
+        (7, "héllo wörld çafe über naïve"),
+        (8, " ".join(["tok%d" % (i % 5) for i in range(500)])),
+        (9, "Mixed CASE Tokens mixed case tokens"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    agg = minhash_signatures(
+        shingles(docs, "doc_id", "text", 3, distinct=False), "doc_id", k=16
+    )
+    mapside = mapside_minhash_sigs(docs, "doc_id", "text", n=3, k=16)
+    a = sorted(tuple(r) for r in agg.collect())
+    b = sorted(tuple(r) for r in mapside.collect())
+    assert a == b
+    # docs 1, 2, 6 (and 3 if tokenizer yields <3) produce no signature
+    present = {t[0] for t in b}
+    assert 1 not in present and 2 not in present and 6 not in present
+    assert {4, 5, 7, 8, 9} <= present
+
+
 def _expected_new_corpus_pairs(spark, docs):
     """Full LSH candidate self-join restricted to pairs with EXACTLY one
     side in the new batch (src0) — the streaming operator's contract."""
