@@ -547,6 +547,127 @@ def x_knn_ivf_trained(spark, sf_dir):
     return out.select("query_id", "neighbor_id", r6("cos_sim").alias("cos_sim"), "rk")
 
 
+def _pq_oracle_sql(
+    m: int = 8,
+    d_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ext.similarity.pq_adc_topk: quantile-seeded
+    k-means codebooks (``iters`` Lloyd rounds unrolled as CTE pairs,
+    means r6-rounded each round), encode, broadcast-LUT ADC top-5."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {d_sub + 1}), i -> "
+        "(s.sv[i] - c.centroid[i]) * (s.sv[i] - c.centroid[i])))"
+    )
+
+    def means(name: str, src: str) -> str:
+        return f"""
+    {name} AS (
+        SELECT subspace, cell, list(c ORDER BY j) AS centroid FROM (
+            SELECT subspace, cell, j, round(avg(x), 6) AS c FROM (
+                SELECT a.subspace, a.cell, jj.j, a.sv[jj.j + 1] AS x
+                FROM {src} a, (SELECT unnest(range(0, {d_sub})) AS j) jj
+            ) GROUP BY subspace, cell, j
+        ) GROUP BY subspace, cell
+    )"""
+
+    def assign(name: str, cb: str) -> str:
+        return f"""
+    {name} AS (
+        SELECT vec_id, subspace, sv, cell FROM (
+            SELECT s.vec_id, s.subspace, s.sv, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                       ORDER BY {d2}, c.cell) AS rk
+            FROM subv s JOIN {cb} c USING (subspace)
+        ) WHERE rk = 1
+    )"""
+
+    parts = [
+        f"""
+    WITH dims AS (
+        SELECT vec_id,
+               unnest(range(0, {dim})) AS pos,
+               unnest(list_transform(range(1, {dim + 1}),
+                      i -> CAST(embedding[i] AS DOUBLE))) AS x
+        FROM embeddings
+    ), subv AS (
+        SELECT vec_id, pos // {d_sub} AS subspace, list(x ORDER BY pos) AS sv
+        FROM dims GROUP BY vec_id, pos // {d_sub}
+    ), a0 AS (
+        SELECT vec_id, subspace, sv,
+               CAST(((row_number() OVER (PARTITION BY subspace
+                                         ORDER BY sv[1], vec_id) - 1)
+                     * {k_codes})
+                    // (count(*) OVER (PARTITION BY subspace)) AS INT) AS cell
+        FROM subv
+    )"""
+    ]
+    prev = "a0"
+    for t in range(1, iters + 1):
+        parts.append("," + means(f"cb{t}", prev))
+        parts.append("," + assign(f"a{t}", f"cb{t}"))
+        prev = f"a{t}"
+    parts.append("," + means("cbf", prev))
+    parts.append(
+        f""",
+    enc AS (
+        SELECT vec_id, subspace, cell AS code FROM (
+            SELECT s.vec_id, s.subspace, c.cell,
+                   row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                       ORDER BY {d2}, c.cell) AS rk
+            FROM subv s JOIN cbf c USING (subspace)
+        ) WHERE rk = 1
+    ), lut AS (
+        SELECT s.vec_id AS query_id, s.subspace, c.cell AS code,
+               {d2} AS d2
+        FROM subv s JOIN cbf c USING (subspace)
+        WHERE s.vec_id < 5
+    ), scored AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.d2) AS adc
+        FROM enc e JOIN lut l ON l.subspace = e.subspace AND l.code = e.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+"""
+    )
+    return "".join(parts)
+
+
+_PQ_SQL = _pq_oracle_sql()
+
+
+@register(
+    "x_knn_pq_adc",
+    _PQ_SQL,
+    doc="North-star ANN compression: product quantization end to end — "
+    "8 contiguous 8-dim subspaces, per-subspace 16-entry codebooks by "
+    "deterministic k-means (quantile seed + 2 Lloyd rounds, means "
+    "r6-rounded each round so every discrete reassignment is engine-"
+    "identical), base encoded ONCE to 8 small codes (64 floats → 8 "
+    "ints), then asymmetric-distance top-5: per query a broadcast "
+    "(subspace, code) → distance LOOKUP TABLE; the base side is a "
+    "narrow scan of its codes + a groupBy sum, never the raw vectors — "
+    "the scan shape that makes 100 TB embedding ANN affordable. "
+    "Subspace distances are left-to-right folds of (a−b)·(a−b) on both "
+    "engines (no pow, no order-sensitive sums inside the fold).",
+)
+def x_knn_pq_adc(spark, sf_dir):
+    from sparkwrangle.ext.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "query_id", "neighbor_id", r6("adc_dist").alias("adc_dist"), "rk"
+    )
+
+
 def _lsh_planes():
     from sparkwrangle.ext.similarity import hyperplane_planes
 

@@ -436,3 +436,208 @@ def embedding_neardup_pairs(
         ),
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 100 TB ANN compression path
+# ---------------------------------------------------------------------------
+
+
+def _sub_l2sq(sv: Column, cent: Column) -> Column:
+    """Σ (svᵢ − centᵢ)² in a left-to-right fold — same sequential order as
+    the oracle's list_sum(list_transform(...)), so the per-subspace
+    distance is bit-identical across engines. Squaring is (a−b)·(a−b),
+    never pow() (libm ulp divergence)."""
+    return F.aggregate(
+        F.zip_with(
+            sv,
+            cent,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subspace_explode(df: DataFrame, id_col: str, vec_col: str, m: int, d_sub: int):
+    """(id, subspace, sv): the vector split into m contiguous d_sub-dim
+    subvectors — ONE map-side explode of an array of structs, no shuffle."""
+    parts = [
+        F.struct(
+            F.lit(s).alias("subspace"),
+            F.transform(
+                F.slice(F.col(vec_col), s * d_sub + 1, d_sub),
+                lambda x: x.cast("double"),
+            ).alias("sv"),
+        )
+        for s in range(m)
+    ]
+    return df.select(
+        F.col(id_col), F.explode(F.array(*parts)).alias("p")
+    ).select(id_col, "p.subspace", "p.sv")
+
+
+def _pq_means(assigned: DataFrame) -> DataFrame:
+    """(subspace, cell, centroid): per-dimension means of each cell's
+    subvectors, r6-rounded so every downstream DISCRETE step (assignment
+    argmin, encode) sees bit-identical centroids on both engines."""
+    dims = assigned.select(
+        "subspace", "cell", F.posexplode("sv").alias("j", "x")
+    )
+    per = dims.groupBy("subspace", "cell", "j").agg(
+        F.round(F.avg("x"), 6).alias("c")
+    )
+    return per.groupBy("subspace", "cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "c"))), lambda s: s.c
+        ).alias("centroid")
+    )
+
+
+def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    """Route each subvector to its nearest centroid by squared L2
+    (deterministic cell-id tiebreak); keeps sv for the next Lloyd step."""
+    scored = subs.join(F.broadcast(codebooks), "subspace").select(
+        id_col,
+        "subspace",
+        "sv",
+        "cell",
+        _sub_l2sq(F.col("sv"), F.col("centroid")).alias("d2"),
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "subspace", "sv", "cell")
+    )
+
+
+def pq_codebooks(
+    base: DataFrame,
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_codes: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-subspace PQ codebooks by deterministic k-means: seed each
+    subspace's k_codes cells from equal-frequency QUANTILES of the
+    subvector's first coordinate (a random-partition seed collapses every
+    centroid onto the global mean and Lloyd cannot recover), then run
+    ``iters`` Lloyd rounds (means r6-rounded each round so the discrete
+    reassignment is engine-identical; the same integer rank·k//n bucket
+    math on both sides). Output: (subspace, cell, centroid).
+
+    The seeding rank is a per-subspace global sort — train codebooks on a
+    SAMPLE at 100 TB (codebook training is always sample-based; encoding
+    and ADC scans below are the full-corpus paths and never sort).
+    """
+    subs = _subspace_explode(base, id_col, vec_col, m, d_sub)
+    w = Window.partitionBy("subspace").orderBy(
+        F.asc(F.col("sv")[0]), F.asc(id_col)
+    )
+    n = F.count("*").over(Window.partitionBy("subspace"))
+    assigned = subs.withColumn(
+        "cell",
+        F.floor(((F.row_number().over(w) - 1) * k_codes) / n).cast("int"),
+    )
+    for _ in range(iters):
+        cb = _pq_means(assigned)
+        assigned = _pq_assign(subs, cb, id_col)
+    return _pq_means(assigned)
+
+
+def pq_encode_long(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding, long format (id, subspace, code): each subvector maps
+    to its nearest codebook centroid by squared L2 (deterministic cell-id
+    tiebreak). The codebook broadcast is m × |cells| rows — trivially
+    driver-safe; the base side never shuffles (window partitions by
+    (id, subspace) over the broadcast-join fan-out of m·K rows/vector)."""
+    subs = _subspace_explode(vectors, id_col, vec_col, m, d_sub)
+    scored = subs.join(F.broadcast(codebooks), "subspace").select(
+        id_col,
+        "subspace",
+        "cell",
+        _sub_l2sq(F.col("sv"), F.col("centroid")).alias("d2"),
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "subspace", F.col("cell").alias("code"))
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes wide: (id, c0..c{m-1}) — m small ints replace the d-dim
+    float vector (the 8×: 64 floats → 8 codes here; the compression that
+    lets a 100 TB embedding corpus fit scan-speed ANN)."""
+    long = pq_encode_long(vectors, codebooks, m, d_sub, id_col, vec_col)
+    aggs = [
+        F.max(F.when(F.col("subspace") == s, F.col("code"))).alias(f"c{s}")
+        for s in range(m)
+    ]
+    return long.groupBy(id_col).agg(*aggs)
+
+
+def pq_adc_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_codes: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: train codebooks → encode
+    the base ONCE → per query, precompute the (subspace, code) → distance
+    LOOKUP TABLE (m·K rows per query) and broadcast it; the base side is
+    then a narrow scan of its codes joined to the LUT and a groupBy sum —
+    the raw base vectors are never touched at query time. This is the PQ
+    scan shape: query cost scales with |base|·m code rows, not |base|·d
+    floats. Output: (query_id, neighbor_id, adc_dist, rk), rk by
+    ascending quantized distance with neighbor-id tiebreak.
+
+    The product contract is shortlist + exact re-rank: ask for k = a few
+    × the final k and re-rank the shortlist with exact distances (the
+    recall test pins shortlist@4k recovering every brute-force
+    neighbor); ADC order alone is quantized and ties within a cell."""
+    cb = pq_codebooks(base, m, d_sub, id_col, vec_col, k_codes, iters)
+    codes = pq_encode_long(base, cb, m, d_sub, id_col, vec_col)
+    q_subs = _subspace_explode(queries, id_col, vec_col, m, d_sub)
+    lut = q_subs.join(F.broadcast(cb), "subspace").select(
+        F.col(id_col).alias("query_id"),
+        "subspace",
+        F.col("cell").alias("code"),
+        _sub_l2sq(F.col("sv"), F.col("centroid")).alias("d2"),
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rk")
+    )

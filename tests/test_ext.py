@@ -664,3 +664,46 @@ def test_decode_wav_roundtrip_and_errors():
     )
     with _pytest.raises(ValueError):
         decode_wav(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+
+
+def test_pq_adc_recall_and_codes(spark):
+    """Product quantization on clustered data: quantile-seeded k-means
+    codebooks stay in range, encode is 1 code per (vector, subspace),
+    and the PQ product contract holds — the ADC shortlist at 4x
+    over-fetch contains EVERY brute-force neighbor (exact re-rank then
+    recovers the true top-5), while raw ADC order keeps a reasonable
+    share despite 8 codes replacing 16 floats."""
+    from sparkwrangle.ext.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _clustered_embeddings(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    cb = pq_codebooks(emb, m=8, d_sub=2, k_codes=16, iters=2)
+    n_cb = cb.count()
+    assert 8 * 2 <= n_cb <= 8 * 16  # k-means may retire empty cells
+    codes = pq_encode(emb, cb, m=8, d_sub=2).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        for s in range(8):
+            assert 0 <= r[f"c{s}"] <= 15
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    shortlist = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(emb, queries, k=20, m=8, d_sub=2).collect()
+    }
+    assert truth <= shortlist  # shortlist@4k recovers every true neighbor
+    pq5 = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(emb, queries, k=5, m=8, d_sub=2).collect()
+    }
+    recall = len(pq5 & truth) / len(truth)
+    assert recall >= 0.4, f"PQ ADC recall {recall}"
