@@ -1644,6 +1644,102 @@ def x_data_quality_checks(spark, sf_dir):
 
 
 @register(
+    "x_feature_hashing",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tok_rows AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    tf AS (
+        SELECT doc_id, {h60_sql("tok")} % 32 AS bucket, count(*) AS tf
+        FROM tok_rows GROUP BY 1, 2
+    )
+    SELECT doc_id, bucket, CAST(tf AS BIGINT) AS tf,
+           round(tf / sqrt(sum(tf * tf) OVER (PARTITION BY doc_id)), 6) AS w
+    FROM tf
+    """,
+    doc="Hashing-trick vectorizer (sparse long form): token → h60 mod 32 "
+    "bucket, per-(doc, bucket) term frequency, L2-normalized weight — "
+    "the fixed-width featurizer that needs NO vocabulary pass, so it "
+    "streams and scales to any corpus (bucket count is the only knob; "
+    "collisions are the accepted trade). Integer tf² sums make the norm "
+    "bit-identical across engines. One explode + one combinable groupBy "
+    "+ one per-doc window.",
+)
+def x_feature_hashing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.hashing import h60
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tf = toks.groupBy(
+        "doc_id", (h60(F.col("tok")) % 32).alias("bucket")
+    ).agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("doc_id")
+    return tf.select(
+        "doc_id",
+        "bucket",
+        F.col("tf").cast("bigint").alias("tf"),
+        r6(
+            F.col("tf") / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w))
+        ).alias("w"),
+    )
+
+
+@register(
+    "x_bigram_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    big AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks WHERE len(t) >= 2
+    ), bc AS (SELECT bigram, count(*) AS n FROM big GROUP BY bigram),
+    uni AS (
+        SELECT split_part(bigram, ' ', 1) AS w1, sum(n) AS n1
+        FROM bc GROUP BY 1
+    )
+    SELECT bigram, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / n1, 6) AS p_cond
+    FROM (
+        SELECT b.bigram, b.n, u.n1,
+               row_number() OVER (ORDER BY b.n DESC, b.bigram) AS rk
+        FROM bc b JOIN uni u ON split_part(b.bigram, ' ', 1) = u.w1
+    ) WHERE rk <= 100
+    """,
+    doc="Bigram language-model statistics: corpus bigram counts and the "
+    "conditional probability p(w2|w1) = c(w1 w2) / Σ c(w1 ·), top-100 "
+    "by count with deterministic tiebreak — the n-gram analysis pass an "
+    "LM data pipeline runs for repetition/boilerplate diagnostics. "
+    "Bigrams come from the map-side zipped-slice shape (no token-table "
+    "shuffle); both aggregations are combinable; the denominator "
+    "aggregates the (much smaller) bigram count table, not the corpus.",
+)
+def x_bigram_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    big = shingles(docs, "doc_id", "text", n=2, distinct=False).select(
+        F.col("shingle").alias("bigram")
+    )
+    bc = big.groupBy("bigram").agg(F.count("*").alias("n"))
+    w1 = F.split(F.col("bigram"), " ")[0]
+    uni = bc.groupBy(w1.alias("w1")).agg(F.sum("n").alias("n1"))
+    top = (
+        bc.orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(100)
+        .join(uni, w1 == F.col("w1"))
+    )
+    return top.select(
+        "bigram",
+        F.col("n").cast("bigint").alias("n"),
+        r6(F.col("n").cast("double") / F.col("n1")).alias("p_cond"),
+    )
+
+
+@register(
     "x_vocab_topk",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
