@@ -14,12 +14,22 @@ from sparkwrangle.ext.hashing import h60, minhash_coeffs
 from sparkwrangle.ext.text import add_text_stats, language_id, tokenize
 from sparkwrangle.ext.dedup import (
     exact_dup_groups,
-    minhash_signatures,
     lsh_candidate_pairs,
+    lsh_verified_pairs,
+    mapside_minhash_sigs,
+    minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_hash_array,
     simhash,
 )
-from sparkwrangle.ext.similarity import cosine_topk, ivf_cosine_topk
+from sparkwrangle.ext.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    ivf_trained_topk,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+)
 
 __all__ = [
     "h60",
@@ -32,6 +42,13 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "lsh_verified_pairs",
+    "mapside_minhash_sigs",
+    "shingle_hash_array",
     "cosine_topk",
     "ivf_cosine_topk",
+    "ivf_trained_topk",
+    "pq_adc_topk",
+    "pq_codebooks",
+    "pq_encode",
 ]

@@ -618,8 +618,13 @@ def pq_adc_topk(
     The product contract is shortlist + exact re-rank: ask for k = a few
     × the final k and re-rank the shortlist with exact distances (the
     recall test pins shortlist@4k recovering every brute-force
-    neighbor); ADC order alone is quantized and ties within a cell."""
-    cb = pq_codebooks(base, m, d_sub, id_col, vec_col, k_codes, iters)
+    neighbor); ADC order alone is quantized and ties within a cell.
+
+    The codebook is materialized once (``localCheckpoint`` — m·K rows):
+    both consumers (base encode, query LUT) would otherwise re-run the
+    whole iterated training chain; at scale the codebook persists as a
+    table and this is a read."""
+    cb = pq_codebooks(base, m, d_sub, id_col, vec_col, k_codes, iters).localCheckpoint()
     codes = pq_encode_long(base, cb, m, d_sub, id_col, vec_col)
     q_subs = _subspace_explode(queries, id_col, vec_col, m, d_sub)
     lut = q_subs.join(F.broadcast(cb), "subspace").select(
