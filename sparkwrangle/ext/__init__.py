@@ -26,9 +26,11 @@ from sparkwrangle.ext.similarity import (
     cosine_topk,
     ivf_cosine_topk,
     ivf_trained_topk,
+    collect_codebooks,
     pq_adc_topk,
     pq_codebooks,
     pq_encode,
+    pq_encode_mapside,
 )
 
 __all__ = [
@@ -51,4 +53,6 @@ __all__ = [
     "pq_adc_topk",
     "pq_codebooks",
     "pq_encode",
+    "pq_encode_mapside",
+    "collect_codebooks",
 ]

@@ -646,3 +646,56 @@ def pq_adc_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rk")
     )
+
+
+def collect_codebooks(codebooks: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    """Bounded codebook collect (m·K rows — a training artifact, like the
+    decontamination eval set): {subspace: [(cell, centroid), ...]} sorted
+    by cell for deterministic literal construction."""
+    out: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebooks.collect():
+        out.setdefault(int(r["subspace"]), []).append(
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+        )
+    for s in out:
+        out[s].sort()
+    return out
+
+
+def pq_encode_mapside(
+    vectors: DataFrame,
+    codebook_rows: dict[int, list[tuple[int, list[float]]]],
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """PQ encoding as a PURE PROJECTION — the streaming-legal form: the
+    trained codebook inlines as literals and each subspace's code is
+    ``array_min`` over (d2, cell) structs — lexicographic struct
+    comparison IS the (d2 asc, cell asc) tiebreak — so a stream encodes
+    per micro-batch with no window, no join, no state
+    (``pq_encode_long``'s window argmin is illegal on a stream).
+    Bit-identical to the join+window form (pinned by test). Each d2
+    expression appears ONCE in the array (a chained when/otherwise
+    argmin re-references the running best per level and the expression
+    tree goes exponential in the cell count).
+    Output: (id, [keep_cols,] c0..c{m-1})."""
+    sub_cols = []
+    for s in range(m):
+        sv = F.transform(
+            F.slice(F.col(vec_col), s * d_sub + 1, d_sub),
+            lambda x: x.cast("double"),
+        )
+        cands = [
+            F.struct(
+                _sub_l2sq(sv, F.array(*[F.lit(float(c)) for c in cent])).alias(
+                    "d2"
+                ),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, cent in codebook_rows.get(s, [])
+        ]
+        sub_cols.append(F.array_min(F.array(*cands))["cell"].alias(f"c{s}"))
+    return vectors.select(F.col(id_col), *(keep_cols or []), *sub_cols)

@@ -707,3 +707,25 @@ def test_pq_adc_recall_and_codes(spark):
     }
     recall = len(pq5 & truth) / len(truth)
     assert recall >= 0.4, f"PQ ADC recall {recall}"
+
+
+def test_pq_encode_mapside_matches_join_form(spark):
+    """The streaming-legal literal-fold encoder is bit-identical to the
+    join+window argmin, including exact-tie cells (first strict
+    improvement in ascending cell order == (d2 asc, cell asc))."""
+    from sparkwrangle.ext.similarity import (
+        collect_codebooks,
+        pq_codebooks,
+        pq_encode,
+        pq_encode_mapside,
+    )
+
+    emb = _clustered_embeddings(spark)
+    cb = pq_codebooks(emb, m=8, d_sub=2, k_codes=16, iters=2).localCheckpoint()
+    want = sorted(tuple(r) for r in pq_encode(emb, cb, m=8, d_sub=2).collect())
+    rows = collect_codebooks(cb)
+    got = sorted(
+        tuple(r)
+        for r in pq_encode_mapside(emb, rows, m=8, d_sub=2).collect()
+    )
+    assert got == want and len(got) == emb.count()

@@ -155,3 +155,45 @@ def test_incremental_pairs_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT id_a, id_b FROM inc_sink").collect()
     }
     assert got == want
+
+
+def test_pq_encode_mapside_on_stream(spark, tmp_path):
+    """The literal-fold PQ encoder is a pure projection, so it runs on a
+    stream with no state — per-micro-batch codes equal the batch codes
+    whatever the file split."""
+    from sparkwrangle.ext.similarity import (
+        collect_codebooks,
+        pq_codebooks,
+        pq_encode_mapside,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = pq_codebooks(emb, m=8, d_sub=8).localCheckpoint()
+    rows = collect_codebooks(cb)
+    want = sorted(tuple(r) for r in pq_encode_mapside(emb, rows).collect())
+
+    d = str(tmp_path / "pqstream")
+    os.makedirs(d)
+    mid = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    emb.filter(F.col("vec_id") <= mid).coalesce(1).write.parquet(
+        os.path.join(d, "b1")
+    )
+    emb.filter(F.col("vec_id") > mid).coalesce(1).write.parquet(
+        os.path.join(d, "b2")
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "*"))
+    )
+    out = pq_encode_mapside(stream, rows)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pq_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM pq_sink").collect())
+    assert got == want
