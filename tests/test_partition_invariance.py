@@ -33,6 +33,13 @@ QUERIES = [
     "x_dedup_containment",      # df-capped directed shingle join
     "x_events_funnel",          # conditional-min funnel counts
     "x_dedup_lsh_recall_audit", # single-row audit ratios
+    "x_knn_pq_adc",             # iterated k-means + LUT ADC ranking
+    "x_dedup_minhash_mapside",  # zero-shuffle HOF signature path
+    "a_plot_downsample",        # integer bucket math + decimal mean
+    "x_dedup_incremental",      # batch-vs-corpus band probe
+    "s2_trader_percent_ledger", # sequential compounding ledger
+    "x_feature_hashing",        # hash-bucket tf + integer-exact L2 norm
+    "x_bigram_stats",           # global top-k with tiebreak
 ]
 
 
