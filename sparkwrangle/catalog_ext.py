@@ -553,6 +553,7 @@ def _pq_oracle_sql(
     k_codes: int = 16,
     iters: int = 2,
     dim: int = 64,
+    route: bool = False,
 ) -> str:
     """DuckDB twin of ext.similarity.pq_adc_topk: quantile-seeded
     k-means codebooks (``iters`` Lloyd rounds unrolled as CTE pairs,
@@ -627,6 +628,9 @@ def _pq_oracle_sql(
     ), scored AS (
         SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.d2) AS adc
         FROM enc e JOIN lut l ON l.subspace = e.subspace AND l.code = e.code
+        {"JOIN embeddings eb ON eb.vec_id = e.vec_id "
+         "JOIN embeddings ea ON ea.vec_id = l.query_id "
+         "AND ea.label = eb.label" if route else ""}
         WHERE e.vec_id <> l.query_id
         GROUP BY 1, 2
     )
@@ -663,6 +667,28 @@ def x_knn_pq_adc(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     out = pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "query_id", "neighbor_id", r6("adc_dist").alias("adc_dist"), "rk"
+    )
+
+
+@register(
+    "x_knn_ivfpq",
+    _pq_oracle_sql(route=True),
+    doc="faiss-IVFPQ composition: the coarse cell (label, the IVF "
+    "routing convention of x_knn_ivf_label) prunes the ADC scan to the "
+    "query's cell and PQ compresses what remains — the costs MULTIPLY "
+    "(cells× fewer candidate rows, each a code tuple instead of 64 "
+    "floats). Same codebooks, encode and broadcast-LUT machinery as "
+    "x_knn_pq_adc; the scan join just gains the route key.",
+)
+def x_knn_ivfpq(spark, sf_dir):
+    from sparkwrangle.ext.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, route_col="label"
+    )
     return out.select(
         "query_id", "neighbor_id", r6("adc_dist").alias("adc_dist"), "rk"
     )

@@ -605,6 +605,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     k_codes: int = 16,
     iters: int = 2,
+    route_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: train codebooks → encode
     the base ONCE → per query, precompute the (subspace, code) → distance
@@ -614,6 +615,11 @@ def pq_adc_topk(
     scan shape: query cost scales with |base|·m code rows, not |base|·d
     floats. Output: (query_id, neighbor_id, adc_dist, rk), rk by
     ascending quantized distance with neighbor-id tiebreak.
+
+    ``route_col`` names a coarse IVF cell column on both frames: the ADC
+    scan then touches only base codes in the query's cell — the faiss
+    IVFPQ composition (coarse quantizer prunes the scan, PQ compresses
+    what remains; costs multiply: cells× fewer rows, each 8× narrower).
 
     The product contract is shortlist + exact re-rank: ask for k = a few
     × the final k and re-rank the shortlist with exact distances (the
@@ -633,9 +639,19 @@ def pq_adc_topk(
         F.col("cell").alias("code"),
         _sub_l2sq(F.col("sv"), F.col("centroid")).alias("d2"),
     )
+    join_keys = ["subspace", "code"]
+    if route_col:
+        codes = codes.join(base.select(id_col, F.col(route_col).alias("route")), id_col)
+        lut = lut.join(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(route_col).alias("route")
+            ),
+            "query_id",
+        )
+        join_keys.append("route")
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(lut), ["subspace", "code"])
+        .join(F.broadcast(lut), join_keys)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").alias("adc_dist"))
