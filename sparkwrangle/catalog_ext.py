@@ -908,6 +908,49 @@ def x_multimodal_wav_decode(spark, sf_dir):
 
 
 @register(
+    "x_multimodal_png_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               3 + doc_id % 9 AS w,
+               2 + doc_id % 5 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, xx.x AS x, yy.y AS y
+        FROM dims,
+             unnest(range(0, w)) AS xx(x),
+             unnest(range(0, h)) AS yy(y)
+    ), sums AS (
+        SELECT doc_id, w, h,
+               sum((doc_id + 5*x + 11*y) % 256
+                   + (2*doc_id + 3*x) % 256
+                   + (x + 7*y + doc_id) % 256) AS psum
+        FROM px GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, 'image/png' AS media_type,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(psum AS DOUBLE) / (w * h * 3) AS px_mean
+    FROM sums
+    """,
+    doc="North-star multimodal decode, COMPRESSED image path: each doc "
+    "carries a synthesized 8-bit RGB PNG (closed-form pixels; every row "
+    "filtered with type y%5, the zlib stream split across two IDAT "
+    "chunks behind a tEXt chunk). decode_png (ext/multimodal.py) does "
+    "the real thing — chunk walk with CRC-32 verification, multi-IDAT "
+    "inflate via stdlib zlib, and spec-complete unfiltering of all five "
+    "filter types — so a reader that skips unfiltering, assumes one "
+    "IDAT, or reads fixed offsets fails the hash. Proof that image "
+    "decode is not container-blocked for PNG: zlib is the stdlib. "
+    "Integer pixel sums divide identically in both engines.",
+)
+def x_multimodal_png_decode(spark, sf_dir):
+    from sparkwrangle.ext.multimodal import attach_png_payload, decode_png_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_png_features(attach_png_payload(docs))
+
+
+@register(
     "x_dedup_pipeline_end_to_end",
     _minhash_sql(16)
     + f"""

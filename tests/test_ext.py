@@ -729,3 +729,50 @@ def test_pq_encode_mapside_matches_join_form(spark):
         for r in pq_encode_mapside(emb, rows, m=8, d_sub=2).collect()
     )
     assert got == want and len(got) == emb.count()
+
+
+def test_decode_png_roundtrip_and_errors():
+    """decode_png parses what encode_png_deterministic writes — all five
+    filter types, multi-IDAT, CRC-verified chunk walk — and refuses
+    corrupt or unsupported payloads."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from sparkwrangle.ext.multimodal import decode_png, encode_png_deterministic
+
+    for doc_id in [0, 1, 4, 9, 13, 42, 1000003]:
+        b = encode_png_deterministic(doc_id)
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        assert b.count(b"IDAT") == 2  # multi-IDAT exercised
+        w, h, psum, pcnt = decode_png(b)
+        assert (w, h) == (3 + doc_id % 9, 2 + doc_id % 5)
+        assert pcnt == w * h * 3
+        expected = sum(
+            (doc_id + 5 * x + 11 * y) % 256
+            + (2 * doc_id + 3 * x) % 256
+            + (x + 7 * y + doc_id) % 256
+            for x in range(w)
+            for y in range(h)
+        )
+        assert psum == expected
+    # at least one test doc has height 5+ -> every filter type 0..4 ran
+    assert max(2 + i % 5 for i in [0, 1, 4, 9, 13, 42, 1000003]) >= 5
+    with _pytest.raises(ValueError):
+        decode_png(b"definitely not a png")
+    # corrupt a byte inside the first IDAT body -> CRC failure
+    b = bytearray(encode_png_deterministic(8))
+    i = b.index(b"IDAT") + 4
+    b[i + 1] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png(bytes(b))
+    # unsupported color type (grayscale) refused
+    b2 = bytearray(encode_png_deterministic(8))
+    j = b2.index(b"IHDR") + 4
+    b2[j + 9] = 0  # color type byte inside IHDR body
+    body = bytes(b2[j : j + 4 + 13])[4:]
+    crc = zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    struct.pack_into(">I", b2, j + 4 + 13, crc)  # re-sign so CRC passes
+    with _pytest.raises(ValueError):
+        decode_png(bytes(b2))
