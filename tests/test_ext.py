@@ -776,3 +776,41 @@ def test_decode_png_roundtrip_and_errors():
     struct.pack_into(">I", b2, j + 4 + 13, crc)  # re-sign so CRC passes
     with _pytest.raises(ValueError):
         decode_png(bytes(b2))
+
+
+def test_pq_index_persistence_parity(spark, tmp_path):
+    """The persisted PQ index (tools/ann.py lifecycle: codebooks +
+    codes written to parquet, reloaded for querying) answers exactly
+    what the in-memory pq_adc_topk answers — the build-once/query-many
+    contract."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import ann
+    from conftest import SF_SMOKE
+
+    from sparkwrangle.ext.similarity import pq_adc_topk
+    from sparkwrangle.io import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "pqidx")
+    built = ann.build(spark, SF_SMOKE, idx)
+    assert built["n_vectors"] == emb.count()
+
+    qids = [0, 1, 2, 3, 4]
+    got = ann.query(spark, SF_SMOKE, idx, qids, k=5)["results"]
+    want_rows = pq_adc_topk(
+        emb, emb.filter(F.col("vec_id").isin(qids)), k=5
+    ).collect()
+    want = {
+        str(q): [
+            r["neighbor_id"]
+            for r in sorted(
+                (r for r in want_rows if r["query_id"] == q),
+                key=lambda r: r["rk"],
+            )
+        ]
+        for q in qids
+    }
+    assert got == want
