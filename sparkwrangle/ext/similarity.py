@@ -715,3 +715,54 @@ def pq_encode_mapside(
         ]
         sub_cols.append(F.array_min(F.array(*cands))["cell"].alias(f"c{s}"))
     return vectors.select(F.col(id_col), *(keep_cols or []), *sub_cols)
+
+
+def pq_rerank_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_codes: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """The recommended PQ query path: ADC SHORTLIST (cheap, quantized,
+    over-fetched ``shortlist`` candidates from the code scan) + EXACT
+    cosine re-rank of just those candidates. The expensive exact math
+    touches |Q|·shortlist vectors instead of |Q|·|base| — with the
+    shortlist recall pinned at 1.0 on clustered data, the final top-k
+    equals brute force at a fraction of the cost. Output:
+    (query_id, neighbor_id, cos_sim, rk)."""
+    short = pq_adc_topk(
+        base, queries, k=shortlist, m=m, d_sub=d_sub,
+        id_col=id_col, vec_col=vec_col, k_codes=k_codes, iters=iters,
+    ).select("query_id", "neighbor_id")
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("b_vec"),
+        _norm(F.col(vec_col)).alias("b_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    exact = short.join(F.broadcast(q), "query_id").join(b, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("q_vec"), F.col("b_vec"))
+            / (F.col("q_norm") * F.col("b_norm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

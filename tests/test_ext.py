@@ -814,3 +814,24 @@ def test_pq_index_persistence_parity(spark, tmp_path):
         for q in qids
     }
     assert got == want
+
+
+def test_pq_rerank_equals_brute_force_on_clustered_data(spark):
+    """With the shortlist containing every true neighbor (pinned above),
+    exact re-rank recovers brute-force top-5 EXACTLY — the PQ product
+    contract closed end to end."""
+    from sparkwrangle.ext.similarity import cosine_topk, pq_rerank_topk
+
+    emb = _clustered_embeddings(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in pq_rerank_topk(
+            emb, queries, k=5, shortlist=20, m=8, d_sub=2
+        ).collect()
+    )
+    assert got == want
