@@ -31,6 +31,7 @@ from sparkwrangle.ext.similarity import (
     pq_codebooks,
     pq_encode,
     pq_encode_mapside,
+    pq_rerank_topk,
 )
 
 __all__ = [
@@ -54,5 +55,6 @@ __all__ = [
     "pq_codebooks",
     "pq_encode",
     "pq_encode_mapside",
+    "pq_rerank_topk",
     "collect_codebooks",
 ]
