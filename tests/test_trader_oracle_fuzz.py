@@ -1,0 +1,144 @@
+"""Adversarial fuzz of the trade-ledger oracle twins.
+
+The driver regenerates testdata every round, so the restricted-regime
+trader oracles (recursive-CTE gaps-and-islands + compounding ledger)
+must agree with the REAL state machine on ANY value sequence — not just
+the current corpus. This suite runs both sides on synthetic event
+tables engineered for the edge cases a fresh generation could surface:
+no triggers at all, a trigger on the very last tick (position never
+closes), immediate take-profit, all-closing-time feeds, zero values,
+single-event companies, and seeded random sequences.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkwrangle.catalog import CATALOG
+
+_QUERIES = [
+    "s2_trader_single_position",
+    "s2_trader_percent_ledger",
+    # S1 twins read the same events table; ts spacing below spans days so
+    # the daily pairs scan sees a multi-day bar stream
+    "s1_daily_pairs_backtest",
+    "s1_compounded_return",
+]
+
+
+def _norm(cols, rows):
+    def cell(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.9g}"
+        return str(v)
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(cell(r[i]) for i in order) for r in rows)
+
+
+def _events_frame(rows):
+    """rows: list of (event_id, user_id, value) → full events schema."""
+    return pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            # 2-hour steps: spans days (S1's daily grain) while the S2
+            # twins ignore real ts entirely (synthesized NTZ ticks)
+            "ts": pd.to_datetime(
+                [1_704_067_200 + r[0] * 7200 for r in rows], unit="s"
+            ),
+            "user_id": [r[1] for r in rows],
+            "event_type": ["view" for _ in rows],
+            "value": [float(r[2]) for r in rows],
+            "props": ["{}" for _ in rows],
+        }
+    )
+
+
+def _check(spark, tmp_path, rows, label):
+    d = tmp_path / label
+    d.mkdir()
+    _events_frame(rows).to_parquet(d / "events.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    for name in _QUERIES:
+        spec = CATALOG[name]
+        sdf = spec.fn(spark, str(d))
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(spec.oracle)
+        dcols = [x[0] for x in res.description]
+        drows = res.fetchall()
+        assert sorted(sdf.columns) == sorted(dcols), (label, name)
+        assert _norm(sdf.columns, srows) == _norm(dcols, drows), (
+            label,
+            name,
+            len(srows),
+            len(drows),
+        )
+
+
+# value→regime map (catalog.py feed synth): r = (value−50)/200, so
+# trigger needs value > 70; TP band needs 48 ≤ value ≤ 52; the synthetic
+# second-of-day is 9h + (event_id·7919) % 28800 → closing iff
+# (event_id·7919) % 28800 > 26940.
+def _closing(eid: int) -> bool:
+    return (eid * 7919) % 28800 > 26940
+
+
+def _open_eid(start: int) -> int:
+    e = start
+    while _closing(e):
+        e += 1
+    return e
+
+
+def test_edge_case_feeds(spark, tmp_path):
+    cases = {}
+    # 1: no triggers ever (flat low values)
+    cases["no_trigger"] = [(i, 1, 30.0) for i in range(1, 40)]
+    # 2: trigger on the very LAST tick — position opens, never closes
+    e = _open_eid(500)
+    cases["open_at_end"] = [(i, 1, 30.0) for i in range(400, e)] + [(e, 1, 90.0)]
+    # 3: immediate TP: trigger then straight into the band
+    e1 = _open_eid(100)
+    e2 = _open_eid(e1 + 1)
+    cases["immediate_tp"] = [(e1, 1, 95.0), (e2, 1, 50.0), (e2 + 1, 1, 30.0)]
+    # 4: zero values (ANSI div hazards) and negatives mixed in
+    cases["zeros"] = [(i, 1, v) for i, v in zip(range(1, 30), [0.0, 80.0, 0.0, 49.0] * 7)]
+    # 5: single event per company, multiple companies
+    cases["singletons"] = [(1, 1, 90.0), (2, 2, 30.0), (3, 3, 50.0)]
+    # 6: everything in closing time (never opens)
+    closing_ids = [i for i in range(1, 4000) if _closing(i)][:30]
+    cases["all_closing"] = [(i, 1, 90.0) for i in closing_ids]
+    for label, rows in cases.items():
+        _check(spark, tmp_path, rows, label)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_random_feeds(spark, tmp_path, seed):
+    rng = np.random.RandomState(seed)
+    rows = []
+    eid = 1
+    for uid in (1, 2, 3):
+        n = int(rng.randint(10, 120))
+        for _ in range(n):
+            # mix regimes: mostly mid-range, spikes above trigger,
+            # dips into the TP band, occasional zeros
+            u = rng.rand()
+            if u < 0.15:
+                v = 70.0 + rng.rand() * 40.0
+            elif u < 0.35:
+                v = 48.0 + rng.rand() * 4.0
+            elif u < 0.40:
+                v = 0.0
+            else:
+                v = rng.rand() * 65.0
+            rows.append((eid, uid, round(float(v), 4)))
+            eid += int(rng.randint(1, 9))
+    _check(spark, tmp_path, rows, f"rand{seed}")
