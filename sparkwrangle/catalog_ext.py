@@ -1859,6 +1859,56 @@ def x_bigram_stats(spark, sf_dir):
 
 
 @register(
+    "x_bpe_pair_counts",
+    f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+    words AS (SELECT unnest(t) AS w FROM toks),
+    vocab AS (SELECT w, count(*) AS tf FROM words GROUP BY w),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                      i -> substr(w, i, 2))) AS pair,
+               tf
+        FROM vocab WHERE length(w) >= 2
+    ), agg AS (
+        SELECT pair, CAST(sum(tf) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n FROM (
+        SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+        FROM agg
+    ) WHERE rk <= 50
+    """,
+    doc="BPE tokenizer training, first merge step: corpus-weighted "
+    "adjacent character-pair counts — each DISTINCT word contributes "
+    "its pairs once, weighted by its term frequency (the standard BPE "
+    "trick: pair counting runs over the vocabulary, which is tiny, not "
+    "the corpus, which is 100 TB; the corpus is touched once for the "
+    "word counts). Top-50 by count with deterministic tiebreak = the "
+    "first merge candidates.",
+)
+def x_bpe_pair_counts(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("tf"))
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+            ).alias("pair"),
+            "tf",
+        )
+        .groupBy("pair")
+        .agg(F.sum("tf").cast("bigint").alias("n"))
+    )
+    top = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(50)
+    return top.select("pair", "n")
+
+
+@register(
     "x_vocab_topk",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
