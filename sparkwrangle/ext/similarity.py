@@ -496,7 +496,14 @@ def _pq_means(assigned: DataFrame) -> DataFrame:
 
 def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
     """Route each subvector to its nearest centroid by squared L2
-    (deterministic cell-id tiebreak); keeps sv for the next Lloyd step."""
+    (deterministic cell-id tiebreak); keeps sv for the next Lloyd step.
+
+    The argmin is ``min(struct(d2, cell))`` — lexicographic struct
+    comparison IS the (d2 asc, cell asc) tiebreak, and a groupBy-min
+    combines map-side (partial minima per partition), where a
+    row_number window would full-sort the |vectors|·K fan-out. ``sv``
+    is functionally determined by the group key, so any_value is
+    deterministic."""
     scored = subs.join(F.broadcast(codebooks), "subspace").select(
         id_col,
         "subspace",
@@ -504,11 +511,9 @@ def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
         "cell",
         _sub_l2sq(F.col("sv"), F.col("centroid")).alias("d2"),
     )
-    w = Window.partitionBy(id_col, "subspace").orderBy(F.asc("d2"), F.asc("cell"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, "subspace", "sv", "cell")
+    return scored.groupBy(id_col, "subspace").agg(
+        F.any_value("sv").alias("sv"),
+        F.min(F.struct("d2", "cell"))["cell"].alias("cell"),
     )
 
 
@@ -558,9 +563,9 @@ def pq_encode_long(
 ) -> DataFrame:
     """PQ encoding, long format (id, subspace, code): each subvector maps
     to its nearest codebook centroid by squared L2 (deterministic cell-id
-    tiebreak). The codebook broadcast is m × |cells| rows — trivially
-    driver-safe; the base side never shuffles (window partitions by
-    (id, subspace) over the broadcast-join fan-out of m·K rows/vector)."""
+    tiebreak via min(struct(d2, cell)) — a COMBINABLE groupBy with
+    map-side partial minima, not a sorting window). The codebook
+    broadcast is m × |cells| rows — trivially driver-safe."""
     subs = _subspace_explode(vectors, id_col, vec_col, m, d_sub)
     scored = subs.join(F.broadcast(codebooks), "subspace").select(
         id_col,
@@ -568,11 +573,8 @@ def pq_encode_long(
         "cell",
         _sub_l2sq(F.col("sv"), F.col("centroid")).alias("d2"),
     )
-    w = Window.partitionBy(id_col, "subspace").orderBy(F.asc("d2"), F.asc("cell"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, "subspace", F.col("cell").alias("code"))
+    return scored.groupBy(id_col, "subspace").agg(
+        F.min(F.struct("d2", "cell"))["cell"].alias("code")
     )
 
 
