@@ -169,6 +169,16 @@ def assign_cells(
             "cos"
         ),
     )
+    if n_best == 1:
+        # index routing (the full-base scan): argmax as a COMBINABLE
+        # groupBy max(struct(cos, −cell)) — same (cos desc, cell asc)
+        # tiebreak as the window, but partial maxima combine map-side
+        # instead of full-sorting the |vectors|·K fan-out
+        return (
+            scored.groupBy(id_col)
+            .agg(F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("m"))
+            .select(id_col, (-F.col("m.nc")).alias("cell"), F.lit(1).alias("cell_rk"))
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell"))
     return (
         scored.withColumn("cell_rk", F.row_number().over(w))
