@@ -1193,11 +1193,15 @@ def x_ivf_assign(spark, sf_dir):
             "cos"
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cand"))
+    # combinable argmax: max(struct(cos, −cand)) == (cos desc, cand asc)
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("cand").alias("assigned_cell"), r6("cos").alias("cos"))
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cand")).alias("nc"))).alias("m"))
+        .select(
+            "vec_id",
+            (-F.col("m.nc")).alias("assigned_cell"),
+            r6(F.col("m.cos")).alias("cos"),
+        )
     )
 
 
@@ -1338,17 +1342,14 @@ def x_corpus_stats(spark, sf_dir):
     "just group counts.",
 )
 def x_dedup_exact_keep_first(spark, sf_dir):
-    from pyspark.sql import Window
-
     from sparkwrangle.ext.dedup import exact_dup_groups
 
     docs = _t(spark, sf_dir, "documents")
     hashed = exact_dup_groups(docs).select("doc_id", "text_hash")
-    w = Window.partitionBy("text_hash").orderBy("doc_id")
-    return (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text_hash")
+    # keep='first' == min(doc_id) per hash — a combinable groupBy-min,
+    # not a sorting window over every group
+    return hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "text_hash"
     )
 
 
