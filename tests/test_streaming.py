@@ -54,7 +54,7 @@ def _run_stream(spark, feed_dir, n_files, sink):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     return spark.sql(f"SELECT * FROM {sink}")
 
 
@@ -111,7 +111,7 @@ def test_streaming_parity_multi_batch(spark, feed_df, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600)
     got = spark.sql("SELECT * FROM stream_two").toPandas()
     _assert_same_trades(batch, got)
 
@@ -154,7 +154,7 @@ def test_streaming_parity_split_mid_tick(spark, feed_df, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600)
     got = spark.sql("SELECT * FROM stream_midtick").toPandas()
     _assert_same_trades(batch, got)
 
@@ -336,7 +336,7 @@ def test_checkpoint_recovery_preserves_state(spark, feed_df, tmp_path):
         )
 
     q1 = start()
-    q1.awaitTermination(120)  # drains batch 1, commits state, stops
+    assert q1.awaitTermination(600)  # drains batch 1, commits state, stops
     n_after_first = spark.read.parquet(sink).count()
 
     # second half arrives while the query is DOWN; restart from checkpoint
@@ -344,7 +344,7 @@ def test_checkpoint_recovery_preserves_state(spark, feed_df, tmp_path):
         os.path.join(d, "p2")
     )
     q2 = start()
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600)
     got = spark.read.parquet(sink).toPandas()
     assert len(got) >= n_after_first
     _assert_same_trades(batch, got)
@@ -379,7 +379,7 @@ def test_kafka_shaped_replay_parity_with_checkpoint(spark, feed_df, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600)
     got = spark.read.parquet(sink).toPandas()
     _assert_same_trades(batch, got)
 
@@ -446,7 +446,7 @@ def test_transform_with_state_parity(spark, feed_df, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600)
         got = spark.sql("SELECT * FROM tws_sink").toPandas()
         _assert_same_trades(batch, got)
     finally:
@@ -476,7 +476,7 @@ def test_streaming_balances_parity(spark, feed_df, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     got = spark.sql("SELECT * FROM bal_sink").toPandas()
     assert len(got) == len(batch)
     b = batch.sort_values(["company", "ts"]).reset_index(drop=True)
@@ -532,7 +532,7 @@ def test_stream_stream_interval_join_parity(spark, tmp_path):
     out = interval_join(so, sf, "company", 0, 180)
     q = (out.writeStream.format("memory").queryName("ssj")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     got = {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
     assert got == want
 
@@ -568,7 +568,7 @@ def test_custom_python_datasource_replay(spark, feed_df, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     batch = backtest_trades(feed_df, TRADER_PARAMS).toPandas()
     stream_pdf = spark.sql("SELECT * FROM pyds_sink").toPandas()
     _assert_same_trades(batch, stream_pdf)

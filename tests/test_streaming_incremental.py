@@ -149,7 +149,7 @@ def test_incremental_pairs_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     got = {
         (r.id_a, r.id_b)
         for r in spark.sql("SELECT id_a, id_b FROM inc_sink").collect()
@@ -194,6 +194,6 @@ def test_pq_encode_mapside_on_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM pq_sink").collect())
     assert got == want

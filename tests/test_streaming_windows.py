@@ -121,7 +121,7 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(600)
     got = spark.sql("SELECT * FROM dedup_sink").collect()
     assert len(got) == 3  # 4 input rows, one dropped as duplicate
     assert sorted(r.value for r in got) == [1.0, 2.0, 3.0]
@@ -144,7 +144,7 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(600)
     rows = {r.value: r.tier for r in spark.sql("SELECT * FROM enrich_sink").collect()}
     assert rows == {1.0: "low", 2.0: "high"}
 
@@ -218,7 +218,7 @@ def test_session_windows_stream_equals_batch(spark, tmp_path):
         out.writeStream.format("memory").queryName("sess_sink")
         .outputMode("complete").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     got = {tuple(r) for r in spark.sql("SELECT * FROM sess_sink").collect()}
     assert got == want
 
@@ -277,7 +277,7 @@ def test_curate_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     got = spark.sql("SELECT * FROM curate_sink").collect()
     got_ids = sorted(r.doc_id for r in got)
     # first arrival (doc 2) wins the dedup key in arrival order
@@ -343,7 +343,7 @@ def test_curate_stream_dedup_state_bounded_by_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     got_ids = sorted(
         r.doc_id for r in spark.sql("SELECT doc_id FROM curate_wm_sink").collect()
     )
