@@ -87,6 +87,9 @@ def decode_features(media: DataFrame) -> DataFrame:
                 elif mt == "audio/wav":
                     n, _, ssum, ch = decode_wav(bytes(b))
                     means.append(ssum / (n * ch) if n else None)
+                elif mt == "image/png":
+                    _, _, psum, pcnt = decode_png(bytes(b))
+                    means.append(psum / pcnt if pcnt else None)
                 else:
                     means.append(sum(b) / len(b))
             out = pd.DataFrame(

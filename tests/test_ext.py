@@ -835,3 +835,37 @@ def test_pq_rerank_equals_brute_force_on_clustered_data(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_decode_features_mixed_media_dispatch(spark):
+    """One decode_features pass over a MIXED media table routes each row
+    to its real decoder (BMP channel mean, WAV sample mean, PNG pixel
+    mean) with the generic byte-mean fallback for unknown types."""
+    from sparkwrangle.ext.multimodal import (
+        decode_bmp,
+        decode_features,
+        decode_png,
+        decode_wav,
+        encode_bmp_deterministic,
+        encode_png_deterministic,
+        encode_wav_deterministic,
+    )
+
+    payloads = [
+        (1, "image/bmp", encode_bmp_deterministic(7)),
+        (2, "audio/wav", encode_wav_deterministic(7)),
+        (3, "image/png", encode_png_deterministic(7)),
+        (4, "application/unknown", b"abcd"),
+    ]
+    media = spark.createDataFrame(
+        [(i, mt, len(b), bytearray(b)) for i, mt, b in payloads],
+        "doc_id long, media_type string, n_bytes long, payload binary",
+    )
+    got = {r.doc_id: r.byte_mean for r in decode_features(media).collect()}
+    _, _, s, c = decode_bmp(payloads[0][2])
+    assert abs(got[1] - s / c) < 1e-9
+    n, _, ssum, ch = decode_wav(payloads[1][2])
+    assert abs(got[2] - ssum / (n * ch)) < 1e-9
+    _, _, ps, pc = decode_png(payloads[2][2])
+    assert abs(got[3] - ps / pc) < 1e-9
+    assert abs(got[4] - sum(b"abcd") / 4) < 1e-9
