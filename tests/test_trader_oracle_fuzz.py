@@ -142,3 +142,70 @@ def test_random_feeds(spark, tmp_path, seed):
             rows.append((eid, uid, round(float(v), 4)))
             eid += int(rng.randint(1, 9))
     _check(spark, tmp_path, rows, f"rand{seed}")
+
+
+# Every oracle query whose inputs derive solely from the events table —
+# discovered by running the whole catalog against a synthetic dir. Each
+# must hash-match its DuckDB oracle on data the driver never generated:
+# the generalization guard for testdata regeneration.
+_EVENTS_ONLY = [
+    "a_plot_downsample", "b_eligibility_filter", "b_ffill_gaps",
+    "b_time_of_day_band", "b_time_range_projection", "c_asof_forward",
+    "c_asof_nearest", "c_asof_union_ffill", "c_block_range_join",
+    "c_positional_join", "d_compounded_return", "d_conditional_trade_stats",
+    "d_corr_stats", "d_day_of_month_quirk", "d_exceedance_share",
+    "d_final_above_share", "d_first_last_span", "d_per_day_portfolio_total",
+    "d_percentiles", "ep2_feed_builder", "ep2_trader_percent_ledger",
+    "ep2_trader_single_position", "f_topk_per_group", "g_dedup_by_key",
+    "g_pivot_wide", "h_datetime_suite", "h_null_semantics",
+    "k6_faithful_ticker_share", "q_rank_family", "q_salted_skew_agg",
+    "q_scd2_intervals", "q_set_ops", "r_balance_report", "r_trade_report",
+    "s1_compounded_return", "s1_daily_pairs_backtest",
+    "s1_prepared_pair_math", "w_business_days", "w_minmax_normalize",
+    "w_pct_change_log_returns", "w_range_frame", "w_rel_to_base",
+    "w_rolling_mean", "w_running_interval_sum", "w_sessionize_gaps",
+    "w_tumbling_window_agg", "x_events_funnel", "x_events_retention",
+    "x_zorder_layout",
+]
+
+
+def test_events_only_queries_generalize_to_synthetic_feed(spark, tmp_path):
+    """49 oracle queries over the events table hash-match DuckDB on a
+    seeded random feed the driver never generated — operator semantics
+    hold for the DATA CLASS, not one corpus instance."""
+    rng = np.random.RandomState(9)
+    rows = []
+    eid = 1
+    for uid in (1, 2, 3):
+        for _ in range(60):
+            rows.append((eid, uid, float(round(rng.rand() * 100, 4))))
+            eid += int(rng.randint(1, 9))
+    d = tmp_path / "gen"
+    d.mkdir()
+    frame = _events_frame(rows)
+    # vary event_type deterministically (the fixed fuzz cases keep 'view')
+    frame["event_type"] = [
+        np.random.RandomState(e).choice(
+            ["view", "click", "error", "purchase", "signup"]
+        )
+        for e in frame["event_id"]
+    ]
+    frame["props"] = '{"k":1}'
+    frame.to_parquet(d / "events.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    bad = []
+    for name in _EVENTS_ONLY:
+        spec = CATALOG[name]
+        sdf = spec.fn(spark, str(d))
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(spec.oracle)
+        dcols = [x[0] for x in res.description]
+        drows = res.fetchall()
+        if sorted(sdf.columns) != sorted(dcols) or _norm(
+            sdf.columns, srows
+        ) != _norm(dcols, drows):
+            bad.append(name)
+    assert not bad, f"synthetic-feed mismatches: {bad}"
