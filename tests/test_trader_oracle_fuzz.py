@@ -209,3 +209,92 @@ def test_events_only_queries_generalize_to_synthetic_feed(spark, tmp_path):
         ) != _norm(dcols, drows):
             bad.append(name)
     assert not bad, f"synthetic-feed mismatches: {bad}"
+
+
+_DOCS_EMB_ONLY = [
+    "x_bigram_stats", "x_bm25_search", "x_boilerplate_prune",
+    "x_bpe_pair_counts", "x_corpus_stats", "x_cross_source_dup_matrix",
+    "x_curation_pipeline_end_to_end", "x_decontaminate",
+    "x_dedup_cc_clusters", "x_dedup_cc_keep", "x_dedup_containment",
+    "x_dedup_exact", "x_dedup_exact_keep_first", "x_dedup_incremental",
+    "x_dedup_lsh_recall_audit", "x_dedup_minhash_lsh",
+    "x_dedup_minhash_mapside", "x_dedup_minhash_sigs",
+    "x_dedup_ngram_jaccard", "x_dedup_pipeline_end_to_end",
+    "x_dedup_simhash", "x_doc_chunking", "x_doc_fingerprint",
+    "x_embedding_neardup", "x_embedding_normalize", "x_embedding_quantize",
+    "x_epoch_shuffle", "x_feature_hashing", "x_frame_sampling",
+    "x_hash_split", "x_ivf_assign", "x_ivf_centroids", "x_knn_cosine_brute",
+    "x_knn_ivf_label", "x_knn_ivf_trained", "x_knn_ivfpq",
+    "x_knn_lsh_hyperplane", "x_knn_pq_adc", "x_knn_pq_rerank", "x_lang_id",
+    "x_length_histogram", "x_minhash_jaccard_est", "x_multimodal_bmp_decode",
+    "x_multimodal_features", "x_multimodal_meta", "x_multimodal_png_decode",
+    "x_multimodal_wav_decode", "x_pii_redact", "x_quality_prune",
+    "x_quality_score", "x_repetition_stats", "x_semantic_dedup",
+    "x_sequence_packing", "x_source_blocklist", "x_source_mixing_weights",
+    "x_stratified_sample", "x_stream_curation_batch_twin", "x_text_normalize",
+    "x_text_stats", "x_tfidf_top_terms", "x_token_count_bpe",
+    "x_unigram_logprob", "x_vocab_topk",
+]
+
+
+def test_llm_pipeline_queries_generalize_to_synthetic_corpus(spark, tmp_path):
+    """63 LLM-pipeline oracle queries (the whole dedup / ANN / text /
+    multimodal x_ family) hash-match DuckDB on a fully SYNTHETIC corpus —
+    random multilingual word salad with planted near-dups and random
+    embeddings the driver never generated."""
+    rng = np.random.RandomState(11)
+    words = [
+        "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta",
+        "kappa", "lambda", "sigma", "the", "and", "of", "to", "in", "der",
+        "und", "von", "el", "la", "que", "le", "pour", "data", "spark",
+    ]
+    rows = []
+    for i in range(120):
+        n = rng.randint(3, 60)
+        text = " ".join(rng.choice(words, size=n))
+        if i % 7 == 0 and i > 0:
+            prev = rows[i - 7][1].split()
+            prev[min(2, len(prev) - 1)] = "changed"
+            text = " ".join(prev)  # planted near-dup
+        rows.append((i, text))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": [["en", "de", "es", "fr"][i % 4] for i in range(120)],
+            "source": [f"src{i % 5}" for i in range(120)],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet", index=False)
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(80),
+            "embedding": [
+                np.round(rng.randn(64), 4).astype(np.float32).tolist()
+                for _ in range(80)
+            ],
+            "label": np.int32(rng.randint(0, 10, 80)),
+        }
+    )
+    emb.to_parquet(d / "embeddings.parquet", index=False)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    bad = []
+    for name in _DOCS_EMB_ONLY:
+        spec = CATALOG[name]
+        sdf = spec.fn(spark, str(d))
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(spec.oracle)
+        dcols = [x[0] for x in res.description]
+        drows = res.fetchall()
+        if sorted(sdf.columns) != sorted(dcols) or _norm(
+            sdf.columns, srows
+        ) != _norm(dcols, drows):
+            bad.append(name)
+    assert not bad, f"synthetic-corpus mismatches: {bad}"
