@@ -3285,3 +3285,129 @@ def x_length_histogram(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n").cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic sketches (ext/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def _cms_probe_arms(width: int = 256, depth: int = 4, seed: int = 7) -> str:
+    """Per-depth probe arms over the topk CTE (carries h) for the CMS oracle."""
+    return "\n        UNION ALL ".join(
+        f"SELECT item, exact_cnt, rk, {d} AS d, "
+        f"({universal_hash_sql('h', a, b)}) % {width} AS bucket FROM topk"
+        for d, (a, b) in enumerate(minhash_coeffs(depth, seed))
+    )
+
+
+def _cms_oracle() -> str:
+    from sparkwrangle.ext.sketches import cms_sketch_sql
+
+    return f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+    {cms_sketch_sql("ev", "item")},
+    exact AS (SELECT item, count(*) AS exact_cnt FROM ev GROUP BY item),
+    topk AS (
+        SELECT item, exact_cnt, rk, {h60_sql("item")} AS h
+        FROM (SELECT item, exact_cnt,
+                     row_number() OVER (ORDER BY exact_cnt DESC, item) AS rk
+              FROM exact) r
+        WHERE rk <= 20
+    ),
+    probe AS ({_cms_probe_arms()})
+    SELECT p.item, p.exact_cnt, p.rk,
+           min(s.cnt) AS cms_est,
+           min(s.cnt) - p.exact_cnt AS overcount
+    FROM probe p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+    GROUP BY p.item, p.exact_cnt, p.rk
+    """
+
+
+@register(
+    "x_countmin_heavy_hitters",
+    _cms_oracle(),
+    doc="Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005): "
+    "build the depth=4 × width=256 counter table in ONE map-side-"
+    "combinable aggregation (constant-size output however large the "
+    "stream), then point-query the 20 most frequent users — est = min "
+    "over rows, guaranteed ≥ the true count. The sketch side of the "
+    "probe join is ≤ 1024 rows → broadcast. White-box relational twin "
+    "of what an opaque streaming heavy-hitter service computes; every "
+    "intermediate is a table the DuckDB oracle replays exactly "
+    "(portable h60 + exact int64 universal hashing).",
+)
+def x_countmin_heavy_hitters(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.sketches import cms_estimates, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    items = ev.select(F.col("user_id").cast("string").alias("item"))
+    sketch = cms_sketch(items, "item")
+    exact = items.groupBy("item").agg(F.count("*").alias("exact_cnt"))
+    # Global top-k over the ALREADY-AGGREGATED (bounded-cardinality) user
+    # table; at 100 TB the candidate set would itself come from the sketch.
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc("item"))
+    topk = (
+        exact.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    )
+    est = cms_estimates(topk, sketch, "item")
+    return est.select(
+        "item",
+        "exact_cnt",
+        "rk",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def _hll_oracle() -> str:
+    from sparkwrangle.ext.sketches import hll_sql
+
+    return f"""
+    WITH src AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item FROM events),
+    {hll_sql("src", "item", keys="event_type")},
+    exact AS (SELECT event_type, count(DISTINCT item) AS exact_users
+              FROM src GROUP BY event_type)
+    SELECT e.event_type, e.exact_users, h.v_empty,
+           {rf_sql("h.hll_raw")} AS hll_est,
+           {rf_sql("(h.hll_raw - e.exact_users) / e.exact_users")} AS rel_err
+    FROM exact e JOIN hest h ON h.event_type = e.event_type
+    """
+
+
+@register(
+    "x_hll_distinct_users",
+    _hll_oracle(),
+    doc="White-box HyperLogLog (Flajolet et al. 2007): per-event-type "
+    "approximate distinct users from a 256-register table built by a "
+    "map-side-combinable MAX — the constant-state form of "
+    "COUNT(DISTINCT) that survives a 100 TB stream (Spark's own "
+    "approx_count_distinct is the opaque version; this one's registers "
+    "are a table the oracle replays). The leading-1 position uses "
+    "integer/string ops only (length of the minimal binary "
+    "representation), no float log2; small-range linear counting "
+    "correction included on both engines; exact count joined alongside "
+    "for the honesty column.",
+)
+def x_hll_distinct_users(spark, sf_dir):
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.ext.sketches import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    items = ev.select("event_type", F.col("user_id").cast("string").alias("item"))
+    regs = hll_registers(items, "item", ["event_type"])
+    est = hll_estimate(regs, ["event_type"])
+    exact = items.groupBy("event_type").agg(
+        F.countDistinct("item").alias("exact_users")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        "v_empty",
+        rf(F.col("hll_raw")).alias("hll_est"),
+        rf((F.col("hll_raw") - F.col("exact_users")) / F.col("exact_users")).alias(
+            "rel_err"
+        ),
+    )

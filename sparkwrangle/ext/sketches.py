@@ -1,0 +1,179 @@
+"""Distributed probabilistic sketches: Count-Min and HyperLogLog.
+
+The 100 TB rationale: both sketches reduce an arbitrarily large input to a
+CONSTANT-size summary (depth×width counters / m registers) via a single
+map-side-combinable aggregation — the canonical way to get heavy hitters
+and distinct counts out of a corpus that cannot be grouped exactly. Spark
+ships an opaque HLL (``approx_count_distinct``); these are the white-box
+relational forms whose every intermediate is a table, so the DuckDB oracle
+can replay them bit-for-bit (portable md5-derived h60 hashing, exact int64
+universal-hash mixing — ext/hashing.py).
+
+Cormode & Muthukrishnan (J. Algorithms 2005) for CMS; Flajolet et al.
+(AofA 2007) for HLL. No counterpart in the reference (its pandas engine
+holds everything in memory); north-star §2.J scale-analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkwrangle.ext.hashing import (
+    h60,
+    h60_sql,
+    minhash_coeffs,
+    universal_hash,
+    universal_hash_sql,
+)
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_buckets(item: Column, depth: int, width: int, seed: int = 7) -> Column:
+    """Array of ``depth`` bucket ids for one item (row d uses hash_d)."""
+    h = h60(item)
+    return F.array(
+        *[universal_hash(h, a, b) % width for a, b in minhash_coeffs(depth, seed)]
+    )
+
+
+def cms_sketch(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 256, seed: int = 7
+) -> DataFrame:
+    """Build the (d, bucket, cnt) counter table — ONE map-side-combinable
+    aggregation over depth×|input| tiny rows; output is ≤ depth·width rows
+    regardless of input size (the whole point at 100 TB)."""
+    return (
+        df.select(
+            F.posexplode(cms_buckets(F.col(item_col), depth, width, seed)).alias(
+                "d", "bucket"
+            )
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    items: DataFrame,
+    sketch: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: est = min over
+    rows d of counter[d][bucket_d(item)]. CMS guarantees est ≥ true count.
+    The sketch side is ≤ depth·width rows → broadcast join, no shuffle of
+    the probe side beyond its own groupBy."""
+    probes = items.select(
+        "*",
+        F.posexplode(cms_buckets(F.col(item_col), depth, width, seed)).alias(
+            "d", "bucket"
+        ),
+    )
+    keep = [c for c in items.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(*keep)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def cms_sketch_sql(
+    src: str, item_expr: str, depth: int = 4, width: int = 256, seed: int = 7
+) -> str:
+    """DuckDB twin of cms_sketch as a CTE body (yields d, bucket, cnt)."""
+    h = h60_sql(item_expr)
+    arms = "\n        UNION ALL ".join(
+        f"SELECT {d} AS d, ({universal_hash_sql('h', a, b)}) % {width} AS bucket "
+        f"FROM hsrc"
+        for d, (a, b) in enumerate(minhash_coeffs(depth, seed))
+    )
+    return (
+        f"hsrc AS (SELECT {h} AS h FROM {src}),\n"
+        f"    allb AS ({arms}),\n"
+        f"    sketch AS (SELECT d, bucket, count(*) AS cnt FROM allb GROUP BY d, bucket)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # 2^8 registers
+# alpha_m for m >= 128 (Flajolet et al. §4) — computed once in Python and
+# inlined as the SAME literal on both engines.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_rho(h: Column) -> Column:
+    """Position of the leftmost 1-bit (1-based) in the 52 bits that remain
+    after the 8 register-index bits: integer/string ops only (length of the
+    minimal binary representation — identical in Spark and DuckDB), no
+    float log2 anywhere."""
+    rem = F.shiftright(h, 8)
+    return F.when(rem == 0, F.lit(53)).otherwise(53 - F.length(F.bin(rem)))
+
+
+def hll_registers(df: DataFrame, item_col: str, keys: list[str] | None = None) -> DataFrame:
+    """(keys..., reg, mx): per-register max leading-1 position — a
+    map-side-combinable MAX, ≤ m rows per key group."""
+    h = h60(F.col(item_col))
+    base = df.select(*(keys or []), (h % HLL_M).alias("reg"), hll_rho(h).alias("rho"))
+    return base.groupBy(*(keys or []), "reg").agg(F.max("rho").alias("mx"))
+
+
+def hll_estimate(registers: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Harmonic-mean estimate with the small-range correction
+    (E ≤ 2.5m and empty registers → linear counting m·ln(m/V)).
+    Empty registers contribute 2⁰ = 1 to the harmonic sum.
+
+    The harmonic sum Σ2^−Mj is accumulated as the INTEGER Σ2^(53−Mj)
+    (max 256·2^52 < 2^61, exact in int64) and divided by 2^53 once —
+    bitwise order-invariant under any partitioning, where a float sum
+    of mixed-magnitude powers of two is not."""
+    keys = keys or []
+    m = F.lit(HLL_M)
+    agg = registers.groupBy(*keys).agg(
+        F.count("*").alias("present"),
+        F.sum(F.pow(F.lit(2.0), 53 - F.col("mx")).cast("bigint")).alias("sum_i"),
+    )
+    v = m - F.col("present")
+    sum_present = F.col("sum_i").cast("double") / F.lit(float(2**53))
+    raw = F.lit(HLL_ALPHA) * m * m / (sum_present + v.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0), m.cast("double") * F.log(m / v.cast("double"))
+    ).otherwise(raw)
+    return agg.select(*keys, v.alias("v_empty"), est.alias("hll_raw"))
+
+
+def hll_sql(src: str, item_expr: str, keys: str = "") -> str:
+    """DuckDB twin as CTE bodies (yields keys..., v_empty, hll_raw)."""
+    h = h60_sql(item_expr)
+    ksel = f"{keys}, " if keys else ""
+    kgrp = f"GROUP BY {keys}" if keys else ""
+    kgrp_reg = f"GROUP BY {ksel}reg" if keys else "GROUP BY reg"
+    return f"""hsrc AS (SELECT {ksel}{h} AS h FROM {src}),
+    rho AS (SELECT {ksel}h % {HLL_M} AS reg,
+                   CASE WHEN (h >> 8) = 0 THEN 53
+                        ELSE 53 - length(bin(h >> 8)) END AS rho
+            FROM hsrc),
+    regs AS (SELECT {ksel}reg, max(rho) AS mx FROM rho {kgrp_reg}),
+    hagg AS (SELECT {ksel}count(*) AS present,
+                    CAST(sum(CAST(pow(2.0, 53 - mx) AS BIGINT)) AS DOUBLE)
+                    / {float(2**53)!r} AS sum_present
+             FROM regs {kgrp}),
+    hest AS (SELECT {ksel}{HLL_M} - present AS v_empty,
+                    CASE WHEN (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                               / (sum_present + CAST({HLL_M} - present AS DOUBLE)))
+                              <= CAST({2.5 * HLL_M} AS DOUBLE)
+                          AND ({HLL_M} - present) > 0
+                         THEN {HLL_M} * ln({HLL_M} / CAST({HLL_M} - present AS DOUBLE))
+                         ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                              / (sum_present + CAST({HLL_M} - present AS DOUBLE))
+                    END AS hll_raw
+             FROM hagg)"""

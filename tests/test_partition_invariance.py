@@ -40,6 +40,8 @@ QUERIES = [
     "s2_trader_percent_ledger", # sequential compounding ledger
     "x_feature_hashing",        # hash-bucket tf + integer-exact L2 norm
     "x_bigram_stats",           # global top-k with tiebreak
+    "x_countmin_heavy_hitters", # combinable sketch counters + broadcast probe
+    "x_hll_distinct_users",     # combinable register MAX + float-sum estimate
 ]
 
 
