@@ -3411,3 +3411,56 @@ def x_hll_distinct_users(spark, sf_dir):
             "rel_err"
         ),
     )
+
+
+@register(
+    "x_span_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    pg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 6),
+                      i -> struct_pack(pos := i - 1,
+                                       gh := {h60_sql("array_to_string(list_slice(t, i, i + 7), ' ')")}
+                      ))) AS s
+        FROM toks WHERE len(t) >= 8
+    ),
+    g AS (SELECT doc_id, s.pos AS pos, s.gh AS gh FROM pg),
+    dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS occ FROM g
+        ) WHERE occ >= 2
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+           max(pos) + 8 - min(pos) AS span_tokens,
+           count(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="Substring-granular exact dedup (Lee et al. 2022, 'Deduplicating "
+    "Training Data Makes Language Models Better'): token positions whose "
+    "8-gram repeats anywhere in the corpus, merged into maximal per-"
+    "document duplicate spans by gaps-and-islands — the span list a "
+    "remove-repeated-substrings pass consumes, where doc-level dedup "
+    "(exact/MinHash) can't see a copied paragraph inside an otherwise "
+    "unique page. One corpus-wide shuffle on the gram CONTENT hash "
+    "(even spread by construction), then per-document windows on the "
+    "small duplicated-position set; all-integer output.",
+)
+def x_span_dedup(spark, sf_dir):
+    from sparkwrangle.ext.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", n=8, min_count=2)

@@ -571,3 +571,64 @@ def lsh_verified_pairs(
     sh_c = sh.join(F.broadcast(cdocs), id_col, "left_semi").distinct()
     jac = ngram_jaccard_pairs(sh_c, id_col, threshold=threshold)
     return cand.join(jac, ["id_a", "id_b"], "inner").select("id_a", "id_b")
+
+
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Word n-gram shingles WITH start positions: (id, pos, shingle),
+    pos = 0-based token offset of the gram's first word. Same
+    projection-barrier + zipped-slice shape as shingles() (tokenize in
+    its own projection below the Generate; no per-gram slice allocation);
+    posexplode supplies the offset for free."""
+    t1 = df.select(id_col, tokenize(F.col(text_col)).alias("_t"))
+    sz = F.size("_t")
+    shifted = [
+        F.slice(F.col("_t"), i + 1, sz - (n - 1)).alias(f"t{i}") for i in range(n)
+    ]
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t1.select(id_col, F.posexplode(grams).alias("pos", "shingle"))
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Substring-granular exact dedup (the Lee et al. 2022 'Deduplicating
+    Training Data' class, re-expressed relationally): find every token
+    position whose n-gram occurs ≥ min_count times ANYWHERE in the corpus
+    (within- or cross-document), then merge overlapping/adjacent duplicate
+    grams into maximal spans per document via gaps-and-islands.
+
+    Plan shape: map-side positional shingles → ONE corpus-wide window on
+    the gram hash (the only big shuffle, keyed by content hash so it
+    spreads evenly) → per-document windows on the (much smaller)
+    duplicated-position set. All-integer output — no float hazard.
+    Returns (id, span_start, span_end, span_tokens, n_dup_grams) where
+    span_end is exclusive (span covers tokens [span_start, span_end))."""
+    from pyspark.sql import Window
+
+    g = positional_shingles(df, id_col, text_col, n)
+    g = g.select(id_col, "pos", h60(F.col("shingle")).alias("gh"))
+    occ = F.count("*").over(Window.partitionBy("gh"))
+    dup = g.withColumn("occ", occ).filter(F.col("occ") >= min_count)
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(wd).isNull() | (F.col("pos") > F.lag("pos").over(wd) + n),
+        1,
+    ).otherwise(0)
+    isl = dup.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n).alias("span_end"),
+        (F.max("pos") + n - F.min("pos")).alias("span_tokens"),
+        F.count("*").alias("n_dup_grams"),
+    ).drop("island")

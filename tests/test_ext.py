@@ -922,3 +922,37 @@ def test_hll_estimate_within_tolerance(spark):
     }
     for et, n in exact.items():
         assert abs(est[et] - n) / n < 0.20, (et, est[et], n)
+
+
+def test_duplicate_spans_semantics(spark):
+    """Planted duplicate paragraph: an identical 12-token run inside two
+    otherwise-unique docs yields exactly one maximal span per doc covering
+    those 12 tokens; a doc repeating its own 8-gram is caught too
+    (within-document repetition counts toward min_count)."""
+    from sparkwrangle.ext.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    u1 = " ".join(f"u{i}" for i in range(10))
+    u2 = " ".join(f"v{i}" for i in range(10))
+    rep = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{u1} {shared}"),
+            (2, f"{shared} {u2}"),
+            (3, f"{rep} filler {rep}"),
+            (4, "totally unique words only here nothing repeats at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans: dict[int, list] = {}
+    for r in duplicate_spans(docs, "doc_id", "text", n=8).collect():
+        spans.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.span_tokens)
+        )
+    # doc 1: shared run occupies tokens [10, 22); doc 2: [0, 12)
+    assert spans[1] == [(10, 22, 12)]
+    assert spans[2] == [(0, 12, 12)]
+    # doc 3: both copies flagged; starts 0 and 9 are 9 > n apart → two
+    # separate maximal spans, not one merged one
+    assert sorted(spans[3]) == [(0, 8, 8), (9, 17, 8)]
+    assert 4 not in spans

@@ -42,6 +42,7 @@ QUERIES = [
     "x_bigram_stats",           # global top-k with tiebreak
     "x_countmin_heavy_hitters", # combinable sketch counters + broadcast probe
     "x_hll_distinct_users",     # combinable register MAX + float-sum estimate
+    "x_span_dedup",             # content-hash window + gaps-and-islands merge
 ]
 
 
