@@ -3464,3 +3464,113 @@ def x_span_dedup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return duplicate_spans(docs, "doc_id", "text", n=8, min_count=2)
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round over v{r-1} → best{r}, v{r} (DuckDB)."""
+    p = r - 1
+    return f""",
+    pe{r} AS (
+        SELECT w, tf,
+               unnest(list_transform(range(1, len(syms) + 1),
+                      i -> struct_pack(pos := i, sym := syms[i]))) AS s
+        FROM v{p}
+    ),
+    pr{r} AS (
+        SELECT w, tf, s.pos AS pos, s.sym AS sym,
+               lead(s.sym) OVER (PARTITION BY w ORDER BY s.pos) AS nxt
+        FROM pe{r}
+    ),
+    pc{r} AS (
+        SELECT sym AS l, nxt AS rr, CAST(sum(tf) AS BIGINT) AS n
+        FROM pr{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ),
+    best{r} AS (
+        SELECT l, rr, n FROM (
+            SELECT l, rr, n, row_number() OVER (ORDER BY n DESC, l, rr) AS rk
+            FROM pc{r}
+        ) WHERE rk = 1
+    ),
+    mm{r} AS (
+        SELECT p.w, p.pos FROM pr{r} p, best{r} b
+        WHERE p.sym = b.l AND p.nxt = b.rr
+    ),
+    im{r} AS (
+        SELECT w, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY w ORDER BY pos) IS NULL
+                      OR pos > lag(pos) OVER (PARTITION BY w ORDER BY pos) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM mm{r}
+    ),
+    il{r} AS (
+        SELECT w, pos, sum(brk) OVER (PARTITION BY w ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS island
+        FROM im{r}
+    ),
+    kp{r} AS (
+        SELECT w, pos FROM (
+            SELECT w, pos,
+                   row_number() OVER (PARTITION BY w, island ORDER BY pos) AS rnk
+            FROM il{r}
+        ) WHERE rnk % 2 = 1
+    ),
+    rb{r} AS (
+        SELECT p.w, p.tf, p.pos,
+               CASE WHEN k.pos IS NOT NULL THEN p.sym || p.nxt
+                    ELSE p.sym END AS sym
+        FROM pr{r} p
+        LEFT JOIN kp{r} k ON k.w = p.w AND k.pos = p.pos
+        LEFT JOIN kp{r} s ON s.w = p.w AND s.pos = p.pos - 1
+        WHERE s.pos IS NULL
+    ),
+    v{r} AS (
+        SELECT w, tf, list(sym ORDER BY pos) AS syms
+        FROM rb{r} GROUP BY w, tf
+    )"""
+
+
+def _bpe_merges_oracle(rounds: int = 3) -> str:
+    parts = [
+        f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+    wrds AS (SELECT unnest(t) AS w FROM toks),
+    vocab AS (SELECT w, count(*) AS tf FROM wrds GROUP BY w),
+    v0 AS (
+        SELECT w, tf,
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, i, 1)) AS syms
+        FROM vocab
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(_bpe_round_sql(r))
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, l AS left_sym, rr AS right_sym, "
+        f"n AS pair_count FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append("\n    " + finals)
+    return "".join(parts)
+
+
+@register(
+    "x_bpe_train_merges",
+    _bpe_merges_oracle(3),
+    doc="Canonical ITERATIVE BPE tokenizer training (Sennrich et al. "
+    "2016), first 3 merges end to end: corpus-weighted pair counts over "
+    "the vocabulary, argmax with deterministic (count desc, pair asc) "
+    "tiebreak, GREEDY-LEFTMOST merge application ('a a a' under (a,a) "
+    "→ 'aa a', not 'a aa' — runs of overlapping matches keep odd ranks "
+    "via gaps-and-islands, the relational form of the sequential scan), "
+    "then recount on the merged symbol sequences. Extends "
+    "x_bpe_pair_counts (one static count) to the real training LOOP. "
+    "All per-round windows and the rebuild share the word partition "
+    "key; pair tables are vocabulary-bounded; the corpus is touched "
+    "once for word counts — the standard reason BPE training is cheap "
+    "even on a 100 TB corpus.",
+)
+def x_bpe_train_merges(spark, sf_dir):
+    from sparkwrangle.ext.text import bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, rounds=3)

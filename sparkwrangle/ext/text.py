@@ -239,3 +239,100 @@ def prune_boilerplate(
         )
         .filter(F.col("n_blocks") > F.col("n_dropped"))
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """Canonical iterative BPE training (Sennrich et al. 2016), first
+    ``rounds`` merges: count corpus-weighted adjacent symbol pairs over
+    the VOCABULARY (tiny — the corpus is touched once for word counts),
+    take the argmax pair (count desc, pair asc tiebreak), apply the merge
+    greedily leftmost within every word, repeat. Returns one row per
+    merge: (merge_rank, left_sym, right_sym, pair_count).
+
+    Greedy-leftmost on overlapping matches is the canonical subtlety
+    ('a a a' under merge (a,a) → 'aa a', not 'a aa'): match positions are
+    grouped into runs of consecutive positions (gaps-and-islands) and
+    only ODD ranks within a run merge — the relational form of the
+    sequential left-to-right scan, no UDF.
+
+    Every per-round window and the rebuild groupBy share the word
+    partition key, so each round is one vocabulary-sized exchange plus
+    a broadcast of the single best-pair row. The pair-count argmax runs
+    over the aggregated pair table (bounded by vocabulary size).
+
+    Per round, the single best pair is COLLECTED (one bounded row — a
+    training artifact, same contract as collect_codebooks) and re-injected
+    as literals, and the rebuilt symbol table is localCheckpoint'ed: both
+    break the otherwise O(rounds²) recursive lineage where round r's
+    argmax would re-derive every earlier round's rebuild. At scale the
+    symbol table is vocabulary-bounded, so the per-round checkpoint is a
+    vocabulary-sized write, never a corpus-sized one.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    words = docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("tf"))
+    v = vocab.select(
+        "w",
+        "tf",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias(
+            "syms"
+        ),
+    ).localCheckpoint()
+    wd = Window.partitionBy("w").orderBy("pos")
+    merges = []
+    for rank in range(1, rounds + 1):
+        e = v.select("w", "tf", F.posexplode("syms").alias("pos", "sym"))
+        pr = e.withColumn("nxt", F.lead("sym").over(wd))
+        pc = (
+            pr.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("rr"))
+            .agg(F.sum("tf").cast("bigint").alias("n"))
+        )
+        top = pc.orderBy(F.desc("n"), F.asc("l"), F.asc("rr")).limit(1).collect()
+        if not top:
+            break
+        bl, br, n = top[0]["l"], top[0]["rr"], top[0]["n"]
+        merges.append((rank, bl, br, n))
+        # apply greedy-leftmost: runs of consecutive match positions keep
+        # odd ranks. All windows share the hash(w) clustering (the extra
+        # partition keys only subdivide w groups), so after pr's one sort
+        # no further exchange is inserted.
+        match = F.coalesce(
+            (F.col("sym") == F.lit(bl)) & (F.col("nxt") == F.lit(br)), F.lit(False)
+        )
+        d = pr.withColumn("match", match).withColumn(
+            "mrn",
+            F.row_number().over(Window.partitionBy("w", "match").orderBy("pos")),
+        )
+        d = d.withColumn(
+            "krn",
+            F.row_number().over(
+                Window.partitionBy("w", "match", F.col("pos") - F.col("mrn")).orderBy(
+                    "pos"
+                )
+            ),
+        )
+        d = d.withColumn(
+            "kept", F.col("match") & (F.col("krn") % 2 == 1)
+        ).withColumn("swallowed", F.lag("kept", 1, False).over(wd))
+        rb = d.filter(~F.col("swallowed")).select(
+            "w",
+            "tf",
+            "pos",
+            F.when(F.col("kept"), F.concat(F.col("sym"), F.col("nxt")))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        v = rb.groupBy("w", "tf").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))), lambda s: s.sym
+            ).alias("syms")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        [(r, l, rt, int(n)) for r, l, rt, n in merges],
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )

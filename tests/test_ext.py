@@ -956,3 +956,30 @@ def test_duplicate_spans_semantics(spark):
     # separate maximal spans, not one merged one
     assert sorted(spans[3]) == [(0, 8, 8), (9, 17, 8)]
     assert 4 not in spans
+
+
+def test_bpe_train_merges_canonical(spark):
+    """Sennrich-style merges on a hand corpus, including the greedy-
+    leftmost subtlety and the lexicographic argmax tiebreak."""
+    from sparkwrangle.ext.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest newer newer wider")],
+        "doc_id bigint, text string",
+    )
+    got = [tuple(r) for r in bpe_train_merges(docs, rounds=4).collect()]
+    # (l,o)=5 ties (o,w)=5 → lexicographic; then (lo,w)=5; (e,r)=4 from
+    # lower+newer*2+wider; then (e,w)=2 ties (n,e)=2 → lexicographic
+    assert got == [
+        (1, "l", "o", 5),
+        (2, "lo", "w", 5),
+        (3, "e", "r", 4),
+        (4, "e", "w", 2),
+    ]
+    # greedy leftmost: 'aaaa' → (a,a) counts every adjacent pair (3 per
+    # word), merge produces 'aa aa', second round merges (aa,aa)
+    docs2 = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa bb")], "doc_id bigint, text string"
+    )
+    got2 = [tuple(r) for r in bpe_train_merges(docs2, rounds=3).collect()]
+    assert got2 == [(1, "a", "a", 9), (2, "aa", "aa", 3), (3, "b", "b", 1)]

@@ -43,6 +43,7 @@ QUERIES = [
     "x_countmin_heavy_hitters", # combinable sketch counters + broadcast probe
     "x_hll_distinct_users",     # combinable register MAX + float-sum estimate
     "x_span_dedup",             # content-hash window + gaps-and-islands merge
+    "x_bpe_train_merges",       # iterative argmax + greedy merge rounds
 ]
 
 
