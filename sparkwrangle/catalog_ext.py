@@ -3574,3 +3574,97 @@ def x_bpe_train_merges(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_train_merges(docs, rounds=3)
+
+
+def _bloom_probe_arms() -> str:
+    from sparkwrangle.ext.sketches import BLOOM_K, BLOOM_M
+
+    return "\n        UNION ALL ".join(
+        f"SELECT doc_id, shash, ({universal_hash_sql('shash', a, b)}) % {BLOOM_M} "
+        f"AS bp FROM tr"
+        for a, b in minhash_coeffs(BLOOM_K, 7)
+    )
+
+
+def _bloom_oracle() -> str:
+    from sparkwrangle.ext.sketches import BLOOM_K, BLOOM_WORD, bloom_bitmap_sql
+
+    return f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               {h60_sql("unnest(list_transform(range(0, greatest(len(t) - 2, 0)), "
+                        "i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))")}
+               AS shash
+        FROM toks
+    ),
+    ev AS (SELECT DISTINCT shash AS sh FROM sh WHERE source = 'src0'),
+    {bloom_bitmap_sql("ev", "sh")},
+    tr AS (SELECT DISTINCT doc_id, shash FROM sh WHERE source <> 'src0'),
+    probe AS ({_bloom_probe_arms()}),
+    chk AS (
+        SELECT p.doc_id, p.shash,
+               sum(CASE WHEN (coalesce(b.bits, 0)
+                              & (CAST(1 AS BIGINT) << CAST(p.bp % {BLOOM_WORD} AS INT)))
+                             <> 0 THEN 1 ELSE 0 END) AS nset
+        FROM probe p LEFT JOIN bmap b ON b.word_idx = p.bp // {BLOOM_WORD}
+        GROUP BY p.doc_id, p.shash
+    ),
+    we AS (
+        SELECT c.doc_id, (c.nset = {BLOOM_K}) AS bloom_hit,
+               (e.sh IS NOT NULL) AS ex
+        FROM chk c LEFT JOIN ev e ON e.sh = c.shash
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+           CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+           (sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0) AS bloom_flagged,
+           (sum(CASE WHEN ex THEN 1 ELSE 0 END) > 0) AS exact_flagged
+    FROM we GROUP BY doc_id
+    """
+
+
+@register(
+    "x_bloom_decontaminate",
+    _bloom_oracle(),
+    doc="Decontamination through a white-box BLOOM FILTER: the eval set's "
+    "3-gram hashes are folded into a 2^20-bit bitmap (<= 32k packed "
+    "int64 rows, ~0.5 MB — ONE map-side-combinable bit_or aggregation) "
+    "and the training corpus probes the broadcast bitmap with k=3 "
+    "derived positions per shingle — the membership-summary shape used "
+    "when the exact eval key set is too large to ship to every "
+    "executor. Reports per-doc bloom vs exact hit counts side by side: "
+    "bloom_hits >= exact_hits ALWAYS (no false negatives — the Bloom "
+    "guarantee), the overshoot is the measured false-positive rate.",
+)
+def x_bloom_decontaminate(spark, sf_dir):
+    from sparkwrangle.ext.dedup import shingles
+    from sparkwrangle.ext.hashing import h60
+    from sparkwrangle.ext.sketches import bloom_bitmap, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = (
+        shingles(docs.filter(F.col("source") == "src0"), "doc_id", "text", 3)
+        .select(h60(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    bitmap = bloom_bitmap(ev, "sh")
+    tr = (
+        shingles(docs.filter(F.col("source") != "src0"), "doc_id", "text", 3)
+        .select("doc_id", h60(F.col("shingle")).alias("shash"))
+        .distinct()
+    )
+    probed = bloom_probe(tr, "shash", bitmap)
+    pe = probed.join(
+        F.broadcast(ev.withColumn("ex", F.lit(1))),
+        probed.shash == F.col("sh"),
+        "left",
+    )
+    return pe.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("bloom_hits"),
+        F.sum(F.coalesce(F.col("ex"), F.lit(0))).alias("exact_hits"),
+        (F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)) > 0).alias("bloom_flagged"),
+        (F.sum(F.coalesce(F.col("ex"), F.lit(0))) > 0).alias("exact_flagged"),
+    )

@@ -177,3 +177,81 @@ def hll_sql(src: str, item_expr: str, keys: str = "") -> str:
                               / (sum_present + CAST({HLL_M} - present AS DOUBLE))
                     END AS hll_raw
              FROM hagg)"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 20  # bits (~10× the sf0.1 eval shingle count → fp ≈ 0.1%;
+#                    the packed bitmap is ≤ 32k rows / ~0.5 MB — broadcast-safe)
+BLOOM_WORD = 32  # bits packed per bitmap row (1 << 31 stays positive in int64
+#                 on both engines; DuckDB overflow-checks 1 << 63)
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_positions(h: Column, seed: int = 7) -> list[Column]:
+    return [
+        universal_hash(h, a, b) % BLOOM_M
+        for a, b in minhash_coeffs(BLOOM_K, seed)
+    ]
+
+
+def bloom_bitmap(df: DataFrame, hash_col: str, seed: int = 7) -> DataFrame:
+    """(word_idx, bits): BLOOM_M-bit Bloom filter over the int64 hash
+    column, packed BLOOM_WORD bits per row — ≤ m/WORD rows total from any
+    input size, built by ONE map-side-combinable bit_or aggregation. The
+    constant-size membership summary that replaces broadcasting an exact
+    key set when the set itself is too big to ship."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(hash_col), seed))).alias("p")
+    exploded = df.select(pos)
+    word = F.floor(F.col("p") / BLOOM_WORD).cast("bigint")
+    # SQL-form shiftleft: the Python API wants a literal shift count
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD} AS INT))")
+    return (
+        exploded.select(word.alias("word_idx"), bit.alias("b"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, hash_col: str, bitmap: DataFrame, seed: int = 7
+) -> DataFrame:
+    """Adds ``bloom_hit``: true iff ALL k bit positions of hash_col are set
+    in the (broadcast) bitmap. Bloom guarantee: every true member hits
+    (no false negatives); non-members hit with p ≈ (1−e^{−kn/m})^k.
+    The probe is k narrow lookups against ≤ m/WORD broadcast rows — no
+    shuffle of the probe side."""
+    probes = df.select(
+        "*", F.posexplode(F.array(*_bloom_positions(F.col(hash_col), seed))).alias("j", "p")
+    )
+    word = F.floor(F.col("p") / BLOOM_WORD).cast("bigint")
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD} AS INT))")
+    hit = (
+        probes.select(*df.columns, word.alias("word_idx"), bit.alias("b"))
+        .join(F.broadcast(bitmap), "word_idx", "left")
+        .select(
+            *df.columns,
+            ((F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("b"))) != 0).alias(
+                "_set"
+            ),
+        )
+    )
+    return hit.groupBy(*df.columns).agg(
+        (F.sum(F.when(F.col("_set"), 1).otherwise(0)) == BLOOM_K).alias("bloom_hit")
+    )
+
+
+def bloom_bitmap_sql(src: str, hash_expr: str, seed: int = 7) -> str:
+    """DuckDB twin as a CTE body (yields word_idx, bits)."""
+    arms = "\n        UNION ALL ".join(
+        f"SELECT ({universal_hash_sql(hash_expr, a, b)}) % {BLOOM_M} AS p FROM {src}"
+        for a, b in minhash_coeffs(BLOOM_K, seed)
+    )
+    return (
+        f"bpos AS ({arms}),\n"
+        f"    bmap AS (SELECT p // {BLOOM_WORD} AS word_idx,\n"
+        f"                    bit_or(CAST(1 AS BIGINT) << CAST(p % {BLOOM_WORD} AS INT)) AS bits\n"
+        f"             FROM bpos GROUP BY p // {BLOOM_WORD})"
+    )

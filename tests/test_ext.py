@@ -983,3 +983,22 @@ def test_bpe_train_merges_canonical(spark):
     )
     got2 = [tuple(r) for r in bpe_train_merges(docs2, rounds=3).collect()]
     assert got2 == [(1, "a", "a", 9), (2, "aa", "aa", 3), (3, "b", "b", 1)]
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom guarantee on the driver corpus: every exact eval-shingle hit
+    is also a Bloom hit for every document (bloom_hits >= exact_hits and
+    exact_flagged → bloom_flagged), and the false-positive overshoot at
+    m=2^20 stays small relative to the probe count."""
+    from sparkwrangle.catalog import CATALOG
+    from conftest import SF_ORACLE
+
+    rows = CATALOG["x_bloom_decontaminate"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    total_grams = sum(r.n_grams for r in rows)
+    total_fp = sum(r.bloom_hits - r.exact_hits for r in rows)
+    for r in rows:
+        assert r.bloom_hits >= r.exact_hits, r
+        if r.exact_flagged:
+            assert r.bloom_flagged, r
+    assert total_fp / total_grams < 0.05, (total_fp, total_grams)

@@ -44,6 +44,7 @@ QUERIES = [
     "x_hll_distinct_users",     # combinable register MAX + float-sum estimate
     "x_span_dedup",             # content-hash window + gaps-and-islands merge
     "x_bpe_train_merges",       # iterative argmax + greedy merge rounds
+    "x_bloom_decontaminate",    # bit_or bitmap + broadcast probe counts
 ]
 
 
