@@ -3668,3 +3668,121 @@ def x_bloom_decontaminate(spark, sf_dir):
         (F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)) > 0).alias("bloom_flagged"),
         (F.sum(F.coalesce(F.col("ex"), F.lit(0))) > 0).alias("exact_flagged"),
     )
+
+
+def _pagerank_round_sql(t: int) -> str:
+    p = t - 1
+    return f""",
+    c{t} AS (
+        SELECT e.dst,
+               floor((r.rank / d.deg) * 1e15 + 0.5) / 1e15 AS contrib
+        FROM edges e
+        JOIN r{p} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+    ),
+    s{t} AS (
+        SELECT dst, CAST(sum(CAST(contrib AS DECIMAL(38,18))) AS DOUBLE) AS s
+        FROM c{t} GROUP BY dst
+    ),
+    dg{t} AS (
+        SELECT coalesce(CAST(sum(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE),
+                        CAST(0.0 AS DOUBLE)) AS dmass
+        FROM r{p} r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL
+    ),
+    r{t} AS (
+        SELECT n.node,
+               floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE)
+                        * (coalesce(s.s, CAST(0.0 AS DOUBLE))
+                           + dg.dmass / nn.n)) * 1e12 + 0.5) / 1e12 AS rank
+        FROM nodes n
+        LEFT JOIN s{t} s ON s.dst = n.node, nn, dg{t} dg
+    )"""
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    rounds = "".join(_pagerank_round_sql(t) for t in range(1, iters + 1))
+    return f"""
+    WITH e0 AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+    ),
+    edges AS (
+        SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM e0
+        UNION ALL
+        SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0
+    ),
+    nodes AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+        UNION ALL
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn)
+    {rounds}
+    SELECT node, rank AS pagerank, rk FROM (
+        SELECT node, rank,
+               row_number() OVER (ORDER BY rank DESC, node) AS rk
+        FROM r{iters}
+    ) WHERE rk <= 20
+    """
+
+
+@register(
+    "x_pagerank_centrality",
+    _pagerank_oracle(3),
+    doc="Link-analysis centrality (the corpus-quality signal CommonCrawl-"
+    "derived pipelines rank candidate pages with): 3 PageRank power "
+    "iterations with damping 0.85 and dangling-mass redistribution over "
+    "the undirected customer-supplier co-order graph (both edge "
+    "directions of the distinct orders x lineitem pairs). Each round is "
+    "one (edges JOIN ranks) + groupBy-dst — the edge table partitions "
+    "once by src and every round reuses it; the node count and dangling "
+    "mass stay in-plan as broadcast 1-row aggregates. Determinism: "
+    "contributions floor-rounded at 1e-15, DECIMAL(38,18) accumulator "
+    "(order-insensitive), ranks floor-rounded at 1e-12 per round — the "
+    "PQ-codebook recipe applied to a graph loop. Top-20 with "
+    "deterministic tiebreak.",
+)
+def x_pagerank_centrality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    # recent-window co-order graph: the date predicate pushes down to the
+    # orders scan, scoping the edge build without changing the operator
+    e0 = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cnode = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    snode = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    # materialize the edge list once: deg and every power-iteration round
+    # consume it, and each would otherwise replay the orders x lineitem
+    # join + distinct (the 100 TB shape is the same — the edge table is
+    # built once and partitioned by src, the iterations only move ranks)
+    edges = (
+        e0.select(cnode.alias("src"), snode.alias("dst"))
+        .unionAll(e0.select(snode.alias("src"), cnode.alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    ).unionAll(
+        supp.select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    ranks = pagerank(edges, nodes, iters=3)
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        ranks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("node", F.col("rank").alias("pagerank"), "rk")
+    )

@@ -1002,3 +1002,26 @@ def test_bloom_no_false_negatives(spark):
         if r.exact_flagged:
             assert r.bloom_flagged, r
     assert total_fp / total_grams < 0.05, (total_fp, total_grams)
+
+
+def test_pagerank_star_graph_and_mass_conservation(spark):
+    """Star graph: the hub out-ranks every leaf; an isolated (dangling)
+    node ranks below the leaves but above zero; total mass stays ~1
+    through damping + dangling redistribution."""
+    from sparkwrangle.ext.graph import pagerank
+
+    leaves = [f"l{i}" for i in range(5)]
+    edges = spark.createDataFrame(
+        [("hub", leaf) for leaf in leaves] + [(leaf, "hub") for leaf in leaves],
+        "src string, dst string",
+    )
+    nodes = spark.createDataFrame(
+        [("hub",)] + [(leaf,) for leaf in leaves] + [("isolated",)],
+        "node string",
+    )
+    got = {r.node: r.rank for r in pagerank(edges, nodes, iters=5).collect()}
+    assert got["hub"] > max(got[leaf] for leaf in leaves)
+    leaf_ranks = {got[leaf] for leaf in leaves}
+    assert len(leaf_ranks) == 1  # symmetry
+    assert 0 < got["isolated"] < min(leaf_ranks)
+    assert abs(sum(got.values()) - 1.0) < 1e-6

@@ -45,6 +45,7 @@ QUERIES = [
     "x_span_dedup",             # content-hash window + gaps-and-islands merge
     "x_bpe_train_merges",       # iterative argmax + greedy merge rounds
     "x_bloom_decontaminate",    # bit_or bitmap + broadcast probe counts
+    "x_pagerank_centrality",    # decimal-accumulated power iteration
 ]
 
 
