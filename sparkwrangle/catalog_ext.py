@@ -3786,3 +3786,45 @@ def x_pagerank_centrality(spark, sf_dir):
         .filter(F.col("rk") <= 20)
         .select("node", F.col("rank").alias("pagerank"), "rk")
     )
+
+
+def _bpe_segment_oracle(rounds: int = 3) -> str:
+    chain = "".join(_bpe_round_sql(r) for r in range(1, rounds + 1))
+    return f"""
+    WITH dtoks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    toks AS (SELECT t FROM dtoks),
+    wrds AS (SELECT unnest(t) AS w FROM toks),
+    vocab AS (SELECT w, count(*) AS tf FROM wrds GROUP BY w),
+    v0 AS (
+        SELECT w, tf,
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, i, 1)) AS syms
+        FROM vocab
+    ){chain},
+    docw AS (SELECT doc_id, unnest(t) AS w FROM dtoks)
+    SELECT d.doc_id,
+           count(*) AS n_ws_tokens,
+           CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(length(d.w)) AS DOUBLE) / sum(len(v.syms)), 6)
+               AS chars_per_bpe_token
+    FROM docw d JOIN v{rounds} v ON v.w = d.w
+    GROUP BY d.doc_id
+    """
+
+
+@register(
+    "x_bpe_segment",
+    _bpe_segment_oracle(3),
+    doc="The tokenizer's ENCODE step, corpus side: apply the 3 trained "
+    "BPE merges (x_bpe_train_merges) and report per-document whitespace "
+    "vs BPE token counts and chars-per-BPE-token — the compression "
+    "metric context-window budgeting reads. The trained word → symbols "
+    "table is vocabulary-sized and broadcasts; the corpus is scanned "
+    "once and joined map-side, so encode cost is corpus-linear with "
+    "zero corpus-wide shuffles beyond the per-doc aggregate.",
+)
+def x_bpe_segment(spark, sf_dir):
+    from sparkwrangle.ext.text import bpe_segment_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_segment_counts(docs, rounds=3)

@@ -241,9 +241,9 @@ def prune_boilerplate(
     )
 
 
-def bpe_train_merges(
+def bpe_train(
     docs: DataFrame, text_col: str = "text", rounds: int = 3
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Canonical iterative BPE training (Sennrich et al. 2016), first
     ``rounds`` merges: count corpus-weighted adjacent symbol pairs over
     the VOCABULARY (tiny — the corpus is touched once for word counts),
@@ -332,7 +332,43 @@ def bpe_train_merges(
                 F.array_sort(F.collect_list(F.struct("pos", "sym"))), lambda s: s.sym
             ).alias("syms")
         ).localCheckpoint()
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         [(r, l, rt, int(n)) for r, l, rt, n in merges],
         "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    return merges_df, v
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """The merge table alone — see ``bpe_train`` (which also returns the
+    final word → symbol-sequence table for segmentation)."""
+    return bpe_train(docs, text_col, rounds)[0]
+
+
+def bpe_segment_counts(
+    docs: DataFrame, text_col: str = "text", rounds: int = 3
+) -> DataFrame:
+    """APPLY the trained merges: per-document BPE token counts from the
+    trained word → symbols table (the tokenizer's encode step, corpus
+    side). Per doc: whitespace token count, BPE symbol count after
+    ``rounds`` merges, and chars-per-BPE-token — the compression metric a
+    tokenizer budget decision reads. The vocabulary join broadcasts (it
+    is vocabulary-sized); per-word symbol counts come map-side from the
+    trained table, so the corpus is scanned once."""
+    _, v = bpe_train(docs, text_col, rounds)
+    words = docs.select(
+        "doc_id", F.explode(tokenize(F.col(text_col))).alias("w")
+    )
+    seg = words.join(
+        F.broadcast(v.select("w", F.size("syms").alias("nsym"), F.length("w").alias("nchr"))),
+        "w",
+    )
+    return seg.groupBy("doc_id").agg(
+        F.count("*").alias("n_ws_tokens"),
+        F.sum("nsym").cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("nchr").cast("double") / F.sum("nsym").cast("double"), 6
+        ).alias("chars_per_bpe_token"),
     )

@@ -1025,3 +1025,19 @@ def test_pagerank_star_graph_and_mass_conservation(spark):
     assert len(leaf_ranks) == 1  # symmetry
     assert 0 < got["isolated"] < min(leaf_ranks)
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_bpe_segment_counts_hand_corpus(spark):
+    """Encode with trained merges: after enough rounds on a one-word
+    corpus, every 'low' collapses to a single symbol; chars-per-BPE-token
+    rises accordingly, and the invariant n_bpe_tokens <= chars holds."""
+    from sparkwrangle.ext.text import bpe_segment_counts
+
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "low")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in bpe_segment_counts(docs, rounds=2).collect()}
+    # merges: (l,o) then (lo,w) → 'low' is ONE symbol
+    assert rows[1].n_ws_tokens == 3 and rows[1].n_bpe_tokens == 3
+    assert rows[2].n_ws_tokens == 1 and rows[2].n_bpe_tokens == 1
+    assert abs(rows[1].chars_per_bpe_token - 3.0) < 1e-9

@@ -46,6 +46,7 @@ QUERIES = [
     "x_bpe_train_merges",       # iterative argmax + greedy merge rounds
     "x_bloom_decontaminate",    # bit_or bitmap + broadcast probe counts
     "x_pagerank_centrality",    # decimal-accumulated power iteration
+    "x_bpe_segment",            # trained-vocab broadcast encode counts
 ]
 
 

@@ -214,7 +214,8 @@ def test_events_only_queries_generalize_to_synthetic_feed(spark, tmp_path):
 _DOCS_EMB_ONLY = [
     "x_bigram_stats", "x_bloom_decontaminate", "x_bm25_search",
     "x_boilerplate_prune",
-    "x_bpe_pair_counts", "x_bpe_train_merges", "x_corpus_stats",
+    "x_bpe_pair_counts", "x_bpe_segment", "x_bpe_train_merges",
+    "x_corpus_stats",
     "x_cross_source_dup_matrix",
     "x_curation_pipeline_end_to_end", "x_decontaminate",
     "x_dedup_cc_clusters", "x_dedup_cc_keep", "x_dedup_containment",
