@@ -75,3 +75,48 @@ def session_counts(
         "n",
         "sum_value",
     )
+
+
+def windowed_hll_registers(
+    stream: DataFrame,
+    item_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str | None = "10 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming white-box HLL: per event-time window (and keys), the
+    256-register table for approximate COUNT(DISTINCT item) — built by a
+    single MAX aggregation, which is exactly the shape streaming state
+    wants: the register value is monotone and mergeable, so state per
+    (window, keys) is 256 small ints regardless of stream volume, and
+    late data folds in with the same MAX. Finalize with
+    ``sparkwrangle.ext.sketches.hll_estimate`` on the sink contents (the
+    read-side step — chaining the estimate aggregation into the same
+    streaming query would be a second stateful operator).
+
+    Works identically on batch frames (watermark is a no-op there)."""
+    from sparkwrangle.ext.hashing import h60
+    from sparkwrangle.ext.sketches import HLL_M, hll_rho
+
+    w = F.window(ts_col, window)
+    src = (
+        stream.withWatermark(ts_col, watermark)
+        if (watermark and stream.isStreaming)
+        else stream
+    )
+    h = h60(F.col(item_col))
+    base = src.select(
+        F.col(ts_col), *(keys or []), (h % HLL_M).alias("reg"), hll_rho(h).alias("rho")
+    )
+    return (
+        base.groupBy(w, *(keys or []), "reg")
+        .agg(F.max("rho").alias("mx"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(keys or []),
+            "reg",
+            "mx",
+        )
+    )

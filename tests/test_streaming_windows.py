@@ -348,3 +348,66 @@ def test_curate_stream_dedup_state_bounded_by_watermark(spark, tmp_path):
         r.doc_id for r in spark.sql("SELECT doc_id FROM curate_wm_sink").collect()
     )
     assert got_ids == [10, 12, 14], got_ids
+
+
+def test_windowed_hll_stream_equals_batch(spark, tmp_path):
+    """Streaming HLL registers (availableNow over two files, complete
+    mode) match the batch registers exactly, and the finalized per-window
+    distinct estimates land within the HLL error band of the true
+    distinct counts."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.ext.sketches import hll_estimate
+    from sparkwrangle.streaming.windows import windowed_hll_registers
+
+    base = pd.Timestamp("2024-03-04 09:00:00")
+    rows = pd.DataFrame(
+        {
+            "user": [f"u{i % 37}" for i in range(200)],
+            "ts": [base + pd.Timedelta(minutes=i % 170) for i in range(200)],
+            "value": [float(i) for i in range(200)],
+        }
+    )
+    bdf = spark.createDataFrame(rows)
+    batch = windowed_hll_registers(bdf, "user", window="1 hour")
+    want = {tuple(r) for r in batch.collect()}
+    assert want
+
+    d = str(tmp_path / "hll")
+    spark.createDataFrame(rows.iloc[:120]).write.parquet(f"{d}/p0")
+    spark.createDataFrame(rows.iloc[120:]).write.parquet(f"{d}/p1")
+    stream = (
+        spark.readStream.schema("user string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = windowed_hll_registers(stream, "user", window="1 hour", watermark=None)
+    q = (
+        out.writeStream.format("memory").queryName("hll_sink")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(600)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM hll_sink").collect()}
+    assert got == want
+
+    # read-side finalize: estimates within the ±3σ band of exact
+    regs = spark.sql("SELECT * FROM hll_sink")
+    est = {
+        (r.window_start, r.window_end): r.hll_raw
+        for r in hll_estimate(regs, ["window_start", "window_end"]).collect()
+    }
+    exact = {
+        (r.window_start, r.window_end): r.n
+        for r in bdf.groupBy(F.window("ts", "1 hour"))
+        .agg(F.countDistinct("user").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.25, (k, est[k], n)
