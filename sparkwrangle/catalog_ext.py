@@ -3828,3 +3828,115 @@ def x_bpe_segment(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_segment_counts(docs, rounds=3)
+
+
+@register(
+    "x_frequent_pairs",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    supp AS (SELECT pk, count(*) AS s FROM b GROUP BY pk),
+    nb AS (SELECT count(DISTINCT ok) AS n FROM b),
+    pairs AS (
+        SELECT a.pk AS part_a, c.pk AS part_b, count(*) AS support
+        FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        GROUP BY a.pk, c.pk
+    ),
+    ranked AS (
+        SELECT part_a, part_b, support,
+               row_number() OVER (ORDER BY support DESC, part_a, part_b) AS rk
+        FROM pairs
+    )
+    SELECT r.part_a, r.part_b, r.support, r.rk,
+           round(CAST(r.support AS DOUBLE) * nb.n
+                 / (sa.s * CAST(sb.s AS DOUBLE)), 6) AS lift
+    FROM ranked r
+    JOIN supp sa ON sa.pk = r.part_a
+    JOIN supp sb ON sb.pk = r.part_b, nb
+    WHERE r.rk <= 20
+    """,
+    doc="Market-basket frequent pairs with LIFT (the white-box core of "
+    "FP-growth / apriori association mining): distinct order baskets "
+    "from lineitem, within-basket self-join co-partitioned on the order "
+    "key (pair fan-out bounded by basket size squared, never corpus "
+    "squared), support counts, and lift = P(a,b)/(P(a)P(b)) from the "
+    "broadcast item-support table. Top-20 with full deterministic "
+    "tiebreak. The same shape mines co-occurring n-grams or co-cited "
+    "sources in a corpus pipeline.",
+)
+def x_frequent_pairs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    supp = b.groupBy("pk").agg(F.count("*").alias("s"))
+    nb = F.broadcast(b.agg(F.countDistinct("ok").alias("n")))
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.ok") == F.col("c.ok")) & (F.col("a.pk") < F.col("c.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("c.pk").alias("part_b"))
+        .agg(F.count("*").alias("support"))
+    )
+    w = Window.orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    sa = supp.select(F.col("pk").alias("part_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("pk").alias("part_b"), F.col("s").alias("sb"))
+    return (
+        ranked.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(nb)
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "rk",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n")
+                / (F.col("sa") * F.col("sb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "x_token_entropy",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           {rf_sql("(ln(CAST(sum(c) AS DOUBLE)) - CAST(sum(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) / sum(c)) / ln(2.0)")}
+               AS entropy_bits
+    FROM tc GROUP BY doc_id
+    """,
+    doc="Per-document Shannon entropy of the token distribution in bits "
+    "— the lexical-diversity quality feature (a Gopher-style repetition "
+    "signal: word-salad scores near log2(n_distinct), a one-token loop "
+    "near 0). Computed as ln(n) − Σc·ln(c)/n over per-(doc,token) "
+    "counts: ln only ever sees INTEGER counts (identical inputs both "
+    "engines) and the Σ uses the DECIMAL(38,18) accumulator, so no "
+    "float aggregation order can differ; floor-rounded at 1e-6. Two "
+    "combinable aggregations, token-explode bounded by document length.",
+)
+def x_token_entropy(spark, sf_dir):
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    clnc = (F.col("c") * F.log(F.col("c").cast("double"))).cast("decimal(38,18)")
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        rf(
+            (
+                F.log(F.sum("c").cast("double"))
+                - F.sum(clnc).cast("double") / F.sum("c")
+            )
+            / F.log(F.lit(2.0))
+        ).alias("entropy_bits"),
+    )

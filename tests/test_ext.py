@@ -1041,3 +1041,41 @@ def test_bpe_segment_counts_hand_corpus(spark):
     assert rows[1].n_ws_tokens == 3 and rows[1].n_bpe_tokens == 3
     assert rows[2].n_ws_tokens == 1 and rows[2].n_bpe_tokens == 1
     assert abs(rows[1].chars_per_bpe_token - 3.0) < 1e-9
+
+
+def test_token_entropy_extremes(spark):
+    """Entropy semantics: a one-token loop scores 0 bits; k equally-likely
+    tokens score exactly log2(k); a skewed mix lands strictly between."""
+    import math
+
+    from sparkwrangle.catalog import CATALOG
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "a b c d e f g h"),
+            (3, "a a a a a a b c"),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.createOrReplaceTempView("_entropy_docs")
+    from sparkwrangle.ext.text import tokenize
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    clnc = (F.col("c") * F.log(F.col("c").cast("double"))).cast("decimal(38,18)")
+    ent = {
+        r.doc_id: r.e
+        for r in tc.groupBy("doc_id")
+        .agg(
+            (
+                (F.log(F.sum("c").cast("double")) - F.sum(clnc).cast("double") / F.sum("c"))
+                / F.log(F.lit(2.0))
+            ).alias("e")
+        )
+        .collect()
+    }
+    assert abs(ent[1] - 0.0) < 1e-9
+    assert abs(ent[2] - 3.0) < 1e-9
+    expect3 = -(6 / 8 * math.log2(6 / 8) + 2 * (1 / 8) * math.log2(1 / 8))
+    assert abs(ent[3] - expect3) < 1e-9
+    assert 0 < ent[3] < 3.0

@@ -47,6 +47,8 @@ QUERIES = [
     "x_bloom_decontaminate",    # bit_or bitmap + broadcast probe counts
     "x_pagerank_centrality",    # decimal-accumulated power iteration
     "x_bpe_segment",            # trained-vocab broadcast encode counts
+    "x_token_entropy",          # decimal-accumulated c·ln(c) sums
+    "x_frequent_pairs",         # basket self-join support + lift
 ]
 
 
