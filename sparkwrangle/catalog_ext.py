@@ -3940,3 +3940,81 @@ def x_token_entropy(spark, sf_dir):
             / F.log(F.lit(2.0))
         ).alias("entropy_bits"),
     )
+
+
+def _hist_quantile_oracle() -> str:
+    from sparkwrangle.ext.sketches import HIST_BINS
+
+    ex_arms = "\n        UNION ALL ".join(
+        f"SELECT CAST({p} AS DOUBLE) AS p, quantile_cont(value, {p}) AS exq FROM v"
+        for p in ("0.5", "0.9", "0.99")
+    )
+    return f"""
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    st AS (SELECT min(value) AS mn, max(value) AS mx, count(*) AS n FROM v),
+    b AS (
+        SELECT least(CAST(floor(
+                   (CASE WHEN st.mx > st.mn
+                         THEN (value - st.mn) / (st.mx - st.mn)
+                         ELSE CAST(0.0 AS DOUBLE) END) * {HIST_BINS})
+               AS BIGINT), {HIST_BINS - 1}) AS bin
+        FROM v, st
+    ),
+    hist AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+    cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin
+                                            ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist),
+    ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+    cand AS (SELECT p, bin, cnt, cum FROM ps, cum, st WHERE cum >= p * st.n),
+    pick AS (
+        SELECT p, bin, cnt, cum FROM (
+            SELECT p, bin, cnt, cum,
+                   row_number() OVER (PARTITION BY p ORDER BY bin) AS rk
+            FROM cand
+        ) WHERE rk = 1
+    ),
+    eq AS (
+        SELECT k.p,
+               st.mn + (k.bin + (k.p * st.n - (k.cum - k.cnt)) / k.cnt)
+                       * (st.mx - st.mn) / {HIST_BINS} AS est
+        FROM pick k, st
+    ),
+    ex AS ({ex_arms})
+    SELECT e.p, {rf_sql("e.est")} AS hist_q, {rf_sql("x.exq")} AS exact_q,
+           {rf_sql("abs(e.est - x.exq)")} AS abs_err
+    FROM eq e JOIN ex x ON x.p = e.p
+    """
+
+
+@register(
+    "x_histogram_quantiles",
+    _hist_quantile_oracle(),
+    doc="Quantile estimation from a fixed 256-bin equi-width histogram — "
+    "the one-pass constant-state sketch that replaces a global sort "
+    "when the input can't be ordered (bounds + bin counts are two "
+    "map-side-combinable aggregations; Spark's own approx_percentile is "
+    "the opaque version). Estimates for p50/p90/p99 linearly "
+    "interpolate inside the first bin whose cumulative count reaches "
+    "p*n, reported next to the EXACT sort-based percentile with the "
+    "absolute error — the honesty column that shows what the sketch "
+    "trades for its single pass.",
+)
+def x_histogram_quantiles(spark, sf_dir):
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.ext.sketches import histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    ps = [0.5, 0.9, 0.99]
+    est = histogram_quantiles(ev, "value", ps)
+    v = ev.select(F.col("value").alias("v")).filter(F.col("v").isNotNull())
+    exq = v.agg(F.expr("percentile(v, array(0.5D, 0.9D, 0.99D))").alias("q"))
+    ex = exq.select(F.posexplode("q").alias("i", "exq")).select(
+        F.element_at(F.array(*[F.lit(p) for p in ps]), F.col("i") + 1).alias("p"),
+        "exq",
+    )
+    return est.join(ex, "p").select(
+        "p",
+        rf(F.col("est")).alias("hist_q"),
+        rf(F.col("exq")).alias("exact_q"),
+        rf(F.abs(F.col("est") - F.col("exq"))).alias("abs_err"),
+    )

@@ -255,3 +255,57 @@ def bloom_bitmap_sql(src: str, hash_expr: str, seed: int = 7) -> str:
         f"                    bit_or(CAST(1 AS BIGINT) << CAST(p % {BLOOM_WORD} AS INT)) AS bits\n"
         f"             FROM bpos GROUP BY p // {BLOOM_WORD})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantiles
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+
+
+def histogram_quantiles(
+    df: DataFrame, value_col: str, ps: list[float]
+) -> DataFrame:
+    """Quantile estimates from a fixed 256-bin equi-width histogram —
+    the one-pass, constant-state alternative to an exact sort when the
+    input can't be globally ordered: bounds + bin counts are two
+    map-side-combinable aggregations; the estimate linearly interpolates
+    inside the first bin whose cumulative count reaches p·n. Returns
+    (p, est) per requested quantile. Bin membership and interpolation
+    are the same IEEE expressions on both engines."""
+    from pyspark.sql import Window
+
+    v = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    st = F.broadcast(
+        v.agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.count("*").alias("n"),
+        )
+    )
+    ratio = F.when(
+        F.col("mx") > F.col("mn"),
+        (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+    ).otherwise(F.lit(0.0))
+    b = v.crossJoin(st).select(
+        F.least(F.floor(ratio * HIST_BINS), F.lit(HIST_BINS - 1))
+        .cast("bigint")
+        .alias("bin")
+    )
+    hist = b.groupBy("bin").agg(F.count("*").alias("cnt"))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc))
+    pdf = df.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
+    cand = (
+        pdf.crossJoin(cum)
+        .crossJoin(st)
+        .filter(F.col("cum") >= F.col("p") * F.col("n"))
+    )
+    pick = cand.groupBy("p").agg(
+        F.min(F.struct("bin", "cnt", "cum", "mn", "mx", "n")).alias("s")
+    )
+    s = F.col("s")
+    frac = (s["n"] * F.col("p") - (s["cum"] - s["cnt"])) / s["cnt"]
+    est = s["mn"] + (s["bin"] + frac) * (s["mx"] - s["mn"]) / HIST_BINS
+    return pick.select("p", est.alias("est"))

@@ -120,3 +120,43 @@ def windowed_hll_registers(
             "mx",
         )
     )
+
+
+def windowed_cms_counters(
+    stream: DataFrame,
+    item_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str | None = "10 minutes",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming Count-Min: per event-time window, the depth×width counter
+    table for heavy-hitter queries — a single COUNT aggregation (counts
+    are sum-mergeable, so state per window is ≤ depth·width small ints
+    however large the stream; late data folds in additively). Point
+    estimates finalize read-side with ``ext.sketches.cms_estimates``
+    against the sink contents. Works identically on batch frames."""
+    from sparkwrangle.ext.sketches import cms_buckets
+
+    w = F.window(ts_col, window)
+    src = (
+        stream.withWatermark(ts_col, watermark)
+        if (watermark and stream.isStreaming)
+        else stream
+    )
+    base = src.select(
+        F.col(ts_col),
+        F.posexplode(cms_buckets(F.col(item_col), depth, width)).alias("d", "bucket"),
+    )
+    return (
+        base.groupBy(w, "d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "d",
+            "bucket",
+            "cnt",
+        )
+    )

@@ -1079,3 +1079,19 @@ def test_token_entropy_extremes(spark):
     expect3 = -(6 / 8 * math.log2(6 / 8) + 2 * (1 / 8) * math.log2(1 / 8))
     assert abs(ent[3] - expect3) < 1e-9
     assert 0 < ent[3] < 3.0
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark):
+    """The equi-width histogram estimate can never be off by more than one
+    bin width: |est − exact| ≤ (max−min)/256 on the driver's events."""
+    from sparkwrangle.catalog import CATALOG
+    from sparkwrangle.io import load_table
+    from conftest import SF_ORACLE
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    mn, mx = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    bin_w = (mx - mn) / 256
+    rows = CATALOG["x_histogram_quantiles"].fn(spark, SF_ORACLE).collect()
+    assert {r.p for r in rows} == {0.5, 0.9, 0.99}
+    for r in rows:
+        assert r.abs_err <= bin_w + 1e-9, (r.p, r.abs_err, bin_w)

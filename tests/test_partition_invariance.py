@@ -49,6 +49,7 @@ QUERIES = [
     "x_bpe_segment",            # trained-vocab broadcast encode counts
     "x_token_entropy",          # decimal-accumulated c·ln(c) sums
     "x_frequent_pairs",         # basket self-join support + lift
+    "x_histogram_quantiles",    # combinable bin counts + interpolation
 ]
 
 

@@ -411,3 +411,59 @@ def test_windowed_hll_stream_equals_batch(spark, tmp_path):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) / n < 0.25, (k, est[k], n)
+
+
+def test_windowed_cms_stream_equals_batch(spark, tmp_path):
+    """Streaming CMS counters (availableNow, complete mode) equal the
+    batch counters exactly; finalized point estimates never undercount
+    the true per-window item frequencies."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.streaming.windows import windowed_cms_counters
+
+    base = pd.Timestamp("2024-03-04 09:00:00")
+    rows = pd.DataFrame(
+        {
+            "user": [f"u{i % 23}" for i in range(200)],
+            "ts": [base + pd.Timedelta(minutes=i % 170) for i in range(200)],
+            "value": [float(i) for i in range(200)],
+        }
+    )
+    bdf = spark.createDataFrame(rows)
+    want = {tuple(r) for r in windowed_cms_counters(bdf, "user", window="1 hour").collect()}
+    assert want
+
+    d = str(tmp_path / "cms")
+    spark.createDataFrame(rows.iloc[:100]).write.parquet(f"{d}/p0")
+    spark.createDataFrame(rows.iloc[100:]).write.parquet(f"{d}/p1")
+    stream = (
+        spark.readStream.schema("user string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = windowed_cms_counters(stream, "user", window="1 hour", watermark=None)
+    q = (
+        out.writeStream.format("memory").queryName("cms_sink")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(600)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM cms_sink").collect()}
+    assert got == want
+
+    # read-side finalize for one window: estimates >= exact counts
+    from sparkwrangle.ext.sketches import cms_estimates
+
+    regs = spark.sql("SELECT * FROM cms_sink")
+    first_win = regs.agg(F.min("window_start")).collect()[0][0]
+    sketch = regs.filter(F.col("window_start") == first_win).select("d", "bucket", "cnt")
+    exact = (
+        bdf.filter(
+            (F.col("ts") >= F.lit(first_win))
+            & (F.col("ts") < F.lit(first_win) + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy(F.col("user").alias("item"))
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    est = cms_estimates(exact, sketch, "item").collect()
+    assert est and all(r.cms_est >= r.exact_cnt for r in est)
