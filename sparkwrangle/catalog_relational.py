@@ -1559,3 +1559,180 @@ def h_struct_map_suite(spark, sf_dir):
         stats.getField("cnt").alias("n_events"),
         stats.getField("tot").alias("sum_value"),
     )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_DSUM.format(expr='volume')} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE n1.n_name <> n2.n_name
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1999-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 volume shipping: the canonical 6-way join-reordering "
+    "benchmark — lineitem fact joined through orders/customer/supplier "
+    "to TWO broadcast copies of the nation dimension with a cross-"
+    "nation predicate, aggregated by nation pair and ship year. Both "
+    "nation sides broadcast; the date filter pushes to the fact scan; "
+    "revenue uses the exact decimal accumulator.",
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    shipping = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("nk1") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("nk2") == F.col("c_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    return shipping.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        dsum(F.col("volume")).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q21_shape_return_blame",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 plan shape (adapted to this schema's columns: "
+    "l_returnflag = 'R' stands in for late receipt, which the trimmed "
+    "lineitem lacks): for finished orders, blame the supplier whose "
+    "line was returned when OTHER suppliers participated in the order "
+    "(EXISTS → left-semi self-join) but NONE of the others had returns "
+    "(NOT EXISTS → left-anti self-join). The classic double "
+    "correlated-subquery decorrelation exercise — both subqueries "
+    "rewrite to hash joins on the already-partitioned order key.",
+)
+def tpch_q21_shape_return_blame(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    l1 = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = l.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    other_r = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    blamed = (
+        l1.join(
+            other,
+            (F.col("ok2") == F.col("l_orderkey")) & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_r,
+            (F.col("ok3") == F.col("l_orderkey")) & (F.col("sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_shape_idle_customers",
+    """
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS numcust,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(25,8))) AS DOUBLE), 6)
+               AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 plan shape (nation key stands in for the trimmed "
+    "schema's missing phone prefix): customers with above-average "
+    "positive balance and no orders in the recent window (the Q22 "
+    "'7 years idle' predicate) — a scalar subquery (1-row broadcast) feeding a filter plus a left-anti join against "
+    "the orders fact, grouped by nation. The canonical 'prospect "
+    "analysis' anti-join exercise.",
+)
+def tpch_q22_shape_idle_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    )
+    return (
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ).select(F.col("o_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(dsum(F.col("c_acctbal")), 6).alias("totacctbal"),
+        )
+    )
