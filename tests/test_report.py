@@ -84,3 +84,28 @@ def test_write_report_svg_end_to_end(spark, tmp_path):
     one = ev.limit(1)
     svg1 = write_report_svg(one, str(tmp_path / "one.svg"), "ts", "value")
     assert svg1.count("<polyline") == 1
+
+
+def test_profile_table_cli_shape(spark):
+    """One-pass sketch profiler: plausible HLL cardinalities (events has
+    exactly 5 event types, ~150 users at sf0.001-scale fixtures), bin
+    quantiles for numeric columns, CMS top-10 with est >= exact."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from profile_table import profile_table
+
+    from conftest import SF_ORACLE
+
+    out = profile_table(spark, SF_ORACLE, "events", "user_id")
+    assert out["n_rows"] > 0
+    et = out["columns"]["event_type"]["approx_distinct"]
+    assert abs(et - 5) / 5 < 0.25
+    uid = out["columns"]["user_id"]["approx_distinct"]
+    exact_uid = 150
+    assert abs(uid - exact_uid) / exact_uid < 0.25
+    assert "quantiles" in out["columns"]["value"]
+    hh = out["heavy_hitters"]["top"]
+    assert len(hh) == 10
+    assert all(h["cms_est"] >= h["exact"] for h in hh)
