@@ -304,3 +304,119 @@ def test_llm_pipeline_queries_generalize_to_synthetic_corpus(spark, tmp_path):
         ) != _norm(dcols, drows):
             bad.append(name)
     assert not bad, f"synthetic-corpus mismatches: {bad}"
+
+
+_TPCH_ONLY = [
+    "a_scan_pushdown", "b_div0_inf_replace", "c_conditional_convert",
+    "c_join_delta", "g_unpivot_long", "h_scalar_suite", "h_string_suite",
+    "q_anti_semi_join", "q_cdc_upsert", "q_rollup_revenue",
+    "tpch_q13_order_distribution", "tpch_q14_promo_share",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
+    "tpch_q1_pricing_summary", "tpch_q21_shape_return_blame",
+    "tpch_q22_shape_idle_customers", "tpch_q3_shipping_priority",
+    "tpch_q4_priority_exists", "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping", "x_data_quality_checks",
+    "x_frequent_pairs", "x_pagerank_centrality",
+]
+
+
+def test_tpch_family_generalizes_to_synthetic_star_schema(spark, tmp_path):
+    """The 24 oracle queries that read only the TPC-H star schema
+    hash-match DuckDB on a fully SYNTHETIC seeded schema the driver never
+    generated — covering the relational family (joins, subquery shapes,
+    rollup, CDC), pagerank, and frequent pairs for the data CLASS, the
+    same protection the events/documents guards give those families."""
+    rng = np.random.RandomState(17)
+    d = tmp_path / "star"
+    d.mkdir()
+
+    region = pd.DataFrame(
+        {"r_regionkey": np.arange(5, dtype=np.int32),
+         "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]}
+    )
+    nation = pd.DataFrame(
+        {"n_nationkey": np.arange(10, dtype=np.int32),
+         "n_name": [f"NATION_{i}" for i in range(10)],
+         "n_regionkey": np.int32(rng.randint(0, 5, 10))}
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": np.arange(60),
+         "c_name": [f"Customer#{i}" for i in range(60)],
+         "c_nationkey": np.int32(rng.randint(0, 10, 60)),
+         "c_acctbal": np.round(rng.uniform(-500, 8000, 60), 2),
+         "c_mktsegment": rng.choice(
+             ["BUILDING", "MACHINERY", "HOUSEHOLD", "AUTOMOBILE", "FURNITURE"], 60
+         )}
+    )
+    supplier = pd.DataFrame(
+        {"s_suppkey": np.arange(8),
+         "s_name": [f"Supplier#{i}" for i in range(8)],
+         "s_nationkey": np.int32(rng.randint(0, 10, 8)),
+         "s_acctbal": np.round(rng.uniform(-200, 5000, 8), 2)}
+    )
+    part = pd.DataFrame(
+        {"p_partkey": np.arange(30),
+         "p_name": rng.choice(["small ring", "red widget", "blue bolt"], 30),
+         "p_brand": rng.choice(["Brand#1", "Brand#2", "Brand#17"], 30),
+         "p_type": rng.choice(["PROMO", "ECONOMY", "SMALL", "LARGE BRASS"], 30),
+         "p_size": np.int32(rng.randint(1, 50, 30)),
+         "p_retailprice": np.round(900 + rng.uniform(0, 100, 30), 2)}
+    )
+    base = pd.Timestamp("1995-01-01")
+    n_ord = 300
+    orders = pd.DataFrame(
+        {"o_orderkey": np.arange(n_ord),
+         "o_custkey": rng.randint(0, 55, n_ord),  # a few custkeys 55-59 stay idle
+         "o_orderstatus": rng.choice(["F", "O", "P"], n_ord, p=[0.5, 0.4, 0.1]),
+         "o_totalprice": np.round(rng.uniform(1000, 300000, n_ord), 2),
+         "o_orderdate": pd.Series(
+             [base + pd.Timedelta(days=int(x))
+              for x in rng.randint(0, 2400, n_ord)]
+         ).astype("datetime64[us]"),
+         "o_orderpriority": rng.choice(
+             ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], n_ord
+         )}
+    )
+    n_li = 900
+    ok = rng.randint(0, n_ord, n_li)
+    lineitem = pd.DataFrame(
+        {"l_orderkey": ok,
+         "l_partkey": rng.randint(0, 30, n_li),
+         "l_suppkey": rng.randint(0, 8, n_li),
+         "l_linenumber": np.int32(rng.randint(1, 7, n_li)),
+         "l_quantity": np.float64(rng.randint(1, 51, n_li)),
+         "l_extendedprice": np.round(rng.uniform(900, 90000, n_li), 2),
+         "l_discount": np.round(rng.choice([0.0, 0.02, 0.05, 0.1], n_li), 2),
+         "l_tax": np.round(rng.choice([0.0, 0.04, 0.08], n_li), 2),
+         "l_returnflag": rng.choice(["R", "N", "A"], n_li),
+         "l_linestatus": rng.choice(["F", "O"], n_li),
+         "l_shipdate": pd.Series(
+             [base + pd.Timedelta(days=int(x))
+              for x in rng.randint(1, 2450, n_li)]
+         ).astype("datetime64[us]")}
+    )
+    # plant a divide-by-zero row for b_div0_inf_replace's /0 path
+    lineitem.loc[0, "l_discount"] = 1.0
+
+    frames = {"region": region, "nation": nation, "customer": customer,
+              "supplier": supplier, "part": part, "orders": orders,
+              "lineitem": lineitem}
+    con = duckdb.connect()
+    for t, frame in frames.items():
+        frame.to_parquet(d / f"{t}.parquet", index=False)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    bad = []
+    for name in _TPCH_ONLY:
+        spec = CATALOG[name]
+        sdf = spec.fn(spark, str(d))
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(spec.oracle)
+        dcols = [x[0] for x in res.description]
+        drows = res.fetchall()
+        if sorted(sdf.columns) != sorted(dcols) or _norm(
+            sdf.columns, srows
+        ) != _norm(dcols, drows):
+            bad.append(name)
+    assert not bad, f"synthetic-star-schema mismatches: {bad}"
