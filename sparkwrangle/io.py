@@ -85,9 +85,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view for the SQL surface."""
+    """Register every testdata table as a temp view for the SQL surface.
+    Tables whose parquet file is absent from ``sf_dir`` are skipped —
+    partial datasets (a feed-only or star-schema-only directory) still
+    get a working SQL surface for the tables they do carry."""
+    from pathlib import Path
+
     for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        if (Path(sf_dir) / f"{name}.parquet").exists():
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def write_table(

@@ -149,7 +149,7 @@ def test_random_feeds(spark, tmp_path, seed):
 # must hash-match its DuckDB oracle on data the driver never generated:
 # the generalization guard for testdata regeneration.
 _EVENTS_ONLY = [
-    "a_plot_downsample", "b_eligibility_filter", "b_ffill_gaps",
+    "a_plot_downsample", "a_rows_to_table", "b_eligibility_filter", "b_ffill_gaps",
     "b_time_of_day_band", "b_time_range_projection", "c_asof_forward",
     "c_asof_nearest", "c_asof_union_ffill", "c_block_range_join",
     "c_positional_join", "d_compounded_return", "d_conditional_trade_stats",
@@ -157,7 +157,9 @@ _EVENTS_ONLY = [
     "d_final_above_share", "d_first_last_span", "d_per_day_portfolio_total",
     "d_percentiles", "ep2_feed_builder", "ep2_trader_percent_ledger",
     "ep2_trader_single_position", "f_topk_per_group", "g_dedup_by_key",
-    "g_pivot_wide", "h_datetime_suite", "h_null_semantics",
+    "g_pivot_wide", "h_datetime_suite", "h_json_extract", "h_null_semantics",
+    "h_struct_map_suite", "q_array_zip_aggregate", "q_global_sort_limit",
+    "q_percent_format",
     "k6_faithful_ticker_share", "q_rank_family", "q_salted_skew_agg",
     "q_scd2_intervals", "q_set_ops", "r_balance_report", "r_trade_report",
     "s1_compounded_return", "s1_daily_pairs_backtest",
@@ -171,7 +173,7 @@ _EVENTS_ONLY = [
 
 
 def test_events_only_queries_generalize_to_synthetic_feed(spark, tmp_path):
-    """49 oracle queries over the events table hash-match DuckDB on a
+    """58 oracle queries over the events table hash-match DuckDB on a
     seeded random feed the driver never generated — operator semantics
     hold for the DATA CLASS, not one corpus instance."""
     rng = np.random.RandomState(9)
@@ -244,7 +246,7 @@ _DOCS_EMB_ONLY = [
 
 
 def test_llm_pipeline_queries_generalize_to_synthetic_corpus(spark, tmp_path):
-    """63 LLM-pipeline oracle queries (the whole dedup / ANN / text /
+    """68 LLM-pipeline oracle queries (the whole dedup / ANN / text /
     multimodal x_ family) hash-match DuckDB on a fully SYNTHETIC corpus —
     random multilingual word salad with planted near-dups and random
     embeddings the driver never generated."""
@@ -315,13 +317,13 @@ _TPCH_ONLY = [
     "tpch_q1_pricing_summary", "tpch_q21_shape_return_blame",
     "tpch_q22_shape_idle_customers", "tpch_q3_shipping_priority",
     "tpch_q4_priority_exists", "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping", "x_data_quality_checks",
-    "x_frequent_pairs", "x_pagerank_centrality",
+    "tpch_q7_volume_shipping", "sql_surface_shared_dialect",
+    "x_data_quality_checks", "x_frequent_pairs", "x_pagerank_centrality",
 ]
 
 
 def test_tpch_family_generalizes_to_synthetic_star_schema(spark, tmp_path):
-    """The 24 oracle queries that read only the TPC-H star schema
+    """The 25 oracle queries that read the TPC-H star schema
     hash-match DuckDB on a fully SYNTHETIC seeded schema the driver never
     generated — covering the relational family (joins, subquery shapes,
     rollup, CDC), pagerank, and frequent pairs for the data CLASS, the
@@ -402,6 +404,12 @@ def test_tpch_family_generalizes_to_synthetic_star_schema(spark, tmp_path):
               "supplier": supplier, "part": part, "orders": orders,
               "lineitem": lineitem}
     con = duckdb.connect()
+    # sql_surface_shared_dialect also reads events — give it a small feed
+    ev = _events_frame([(i, 1 + i % 3, float(i % 97)) for i in range(1, 61)])
+    ev.to_parquet(d / "events.parquet", index=False)
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
     for t, frame in frames.items():
         frame.to_parquet(d / f"{t}.parquet", index=False)
         con.execute(
