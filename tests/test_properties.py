@@ -178,3 +178,185 @@ def test_connected_components_invariants(spark):
     )
     again = {tuple(r) for r in connected_components(star, ids_df, "doc_id").collect()}
     assert again == base
+
+
+def _bpe_reference(word_counts: dict[str, int], rounds: int):
+    """Independent pure-Python BPE (Sennrich alg. 1): per round, count
+    adjacent symbol pairs weighted by word frequency, take the argmax
+    with (count desc, pair asc) tiebreak, merge greedily left-to-right
+    within every word. Returns [(rank, left, right, count)]."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            tf = word_counts[w]
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + tf
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (bl, br), n = best
+        merges.append((rank, bl, br, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                    out.append(bl + br)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_matches_independent_reference(spark, words):
+    """The relational BPE trainer (run-parity windows for greedy-leftmost)
+    equals a sequential pure-Python Sennrich implementation on arbitrary
+    2-letter-alphabet corpora — the alphabet maximizes overlapping-match
+    runs ('aaaa'), the exact case the window form could get wrong."""
+    from sparkwrangle.ext.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string"
+    )
+    got = [tuple(r) for r in bpe_train_merges(docs, rounds=3).collect()]
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    want = _bpe_reference(counts, 3)
+    assert got == want, (words, got, want)
+
+
+def _pagerank_reference(edges, nodes, iters=3, damping=0.85):
+    """Independent Python power iteration mirroring the engine's
+    determinism recipe (rf15 contributions, exact decimal accumulation,
+    rf12 ranks)."""
+    from decimal import Decimal
+
+    def rf(x, d):
+        s = float(10**d)
+        return math.floor(x * s + 0.5) / s
+
+    deg: dict[str, int] = {}
+    for s_, _ in edges:
+        deg[s_] = deg.get(s_, 0) + 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        acc: dict[str, Decimal] = {}
+        for s_, d_ in edges:
+            c = rf(rank[s_] / deg[s_], 15)
+            acc[d_] = acc.get(d_, Decimal(0)) + round(Decimal(c), 18)
+        dmass = float(
+            sum(
+                (round(Decimal(rank[v]), 18) for v in nodes if v not in deg),
+                Decimal(0),
+            )
+        )
+        rank = {
+            v: rf(
+                (1.0 - damping) / n
+                + damping * (float(acc.get(v, Decimal(0))) + dmass / n),
+                12,
+            )
+            for v in nodes
+        }
+    return rank
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pagerank_matches_independent_reference(spark, raw_edges):
+    """Engine PageRank equals a sequential Python power iteration with
+    the same rounding recipe on arbitrary small digraphs (self-loops
+    dropped, parallel edges kept — they weight the contribution, exactly
+    as a multigraph should)."""
+    from sparkwrangle.ext.graph import pagerank
+
+    edges = [(f"n{a}", f"n{b}") for a, b in raw_edges if a != b]
+    nodes = [f"n{i}" for i in range(10)]
+    if not edges:
+        return
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node string")
+    got = {r.node: r.rank for r in pagerank(edf, ndf, iters=3).collect()}
+    want = _pagerank_reference(edges, nodes, iters=3)
+    assert set(got) == set(want)
+    for v in nodes:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def _spans_reference(docs: dict[int, list[str]], n=3, min_count=2):
+    """Independent Python span-dedup: positions of n-grams occurring
+    >= min_count times corpus-wide, merged when next_start <= prev + n."""
+    grams: dict[tuple, int] = {}
+    pos_by_doc: dict[int, list[int]] = {}
+    for did, toks in docs.items():
+        for i in range(len(toks) - n + 1):
+            g = tuple(toks[i : i + n])
+            grams[g] = grams.get(g, 0) + 1
+    out = {}
+    for did, toks in docs.items():
+        hits = [
+            i
+            for i in range(len(toks) - n + 1)
+            if grams[tuple(toks[i : i + n])] >= min_count
+        ]
+        spans = []
+        for p in hits:
+            # merge when this start overlaps/adjoins the previous gram:
+            # p <= prev_start + n
+            if spans and p <= spans[-1][2] + n:
+                spans[-1] = (spans[-1][0], p + n, p, spans[-1][3] + 1)
+            else:
+                spans.append((p, p + n, p, 1))
+        out[did] = [(s, e, c) for (s, e, _, c) in spans]
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=14),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_duplicate_spans_matches_independent_reference(spark, tok_lists):
+    """Relational span dedup (window count + gaps-and-islands) equals a
+    sequential Python scan on arbitrary tiny-alphabet corpora — the
+    alphabet forces heavy overlapping repeats, the stress case for the
+    span-merge window."""
+    from sparkwrangle.ext.dedup import duplicate_spans
+
+    docs = {i: toks for i, toks in enumerate(tok_lists)}
+    sdf = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id bigint, text string",
+    )
+    got: dict[int, list] = {}
+    for r in duplicate_spans(sdf, "doc_id", "text", n=3).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_dup_grams)
+        )
+    for k in got:
+        got[k].sort()
+    want = {k: v for k, v in _spans_reference(docs, n=3).items() if v}
+    assert got == want, (tok_lists, got, want)
