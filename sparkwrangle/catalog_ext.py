@@ -4018,3 +4018,95 @@ def x_histogram_quantiles(spark, sf_dir):
         rf(F.col("exq")).alias("exact_q"),
         rf(F.abs(F.col("est") - F.col("exq"))).alias("abs_err"),
     )
+
+
+def _grouped_quantile_oracle() -> str:
+    from sparkwrangle.ext.sketches import HIST_BINS
+
+    ex_arms = "\n        UNION ALL ".join(
+        f"SELECT event_type, CAST({p} AS DOUBLE) AS p, "
+        f"quantile_cont(value, {p}) AS exq FROM v GROUP BY event_type"
+        for p in ("0.5", "0.95")
+    )
+    return f"""
+    WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    st AS (SELECT event_type, min(value) AS mn, max(value) AS mx,
+                  count(*) AS n
+           FROM v GROUP BY event_type),
+    b AS (
+        SELECT v.event_type,
+               least(CAST(floor(
+                   (CASE WHEN st.mx > st.mn
+                         THEN (v.value - st.mn) / (st.mx - st.mn)
+                         ELSE CAST(0.0 AS DOUBLE) END) * {HIST_BINS})
+               AS BIGINT), {HIST_BINS - 1}) AS bin
+        FROM v JOIN st ON st.event_type = v.event_type
+    ),
+    hist AS (SELECT event_type, bin, count(*) AS cnt
+             FROM b GROUP BY event_type, bin),
+    cum AS (SELECT event_type, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist),
+    ps AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS p),
+    cand AS (
+        SELECT c.event_type, ps.p, c.bin, c.cnt, c.cum, st.mn, st.mx, st.n
+        FROM ps, cum c JOIN st ON st.event_type = c.event_type
+        WHERE c.cum >= ps.p * st.n
+    ),
+    pick AS (
+        SELECT event_type, p, bin, cnt, cum, mn, mx, n FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type, p
+                                         ORDER BY bin) AS rk
+            FROM cand
+        ) WHERE rk = 1
+    ),
+    eq AS (
+        SELECT event_type, p,
+               mn + (bin + (p * n - (cum - cnt)) / cnt) * (mx - mn)
+                    / {HIST_BINS} AS est
+        FROM pick
+    ),
+    ex AS ({ex_arms})
+    SELECT e.event_type, e.p, {rf_sql("e.est")} AS hist_q,
+           {rf_sql("x.exq")} AS exact_q
+    FROM eq e JOIN ex x ON x.event_type = e.event_type AND x.p = e.p
+    """
+
+
+@register(
+    "x_grouped_quantiles",
+    _grouped_quantile_oracle(),
+    doc="GROUPED histogram quantiles: per-event-type p50/p95 from "
+    "per-key 256-bin histograms (<= 256 bins of state per key, the "
+    "cumulative window partitions by key — parallelism scales with key "
+    "count), reported beside the exact per-group percentile. The "
+    "per-domain length/score quantile profile every corpus curation "
+    "report contains, in one pass.",
+)
+def x_grouped_quantiles(spark, sf_dir):
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.ext.sketches import histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    ps = [0.5, 0.95]
+    est = histogram_quantiles(ev, "value", ps, keys=["event_type"])
+    v = ev.select("event_type", F.col("value").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    ex = (
+        v.groupBy("event_type")
+        .agg(F.expr("percentile(v, array(0.5D, 0.95D))").alias("q"))
+        .select("event_type", F.posexplode("q").alias("i", "exq"))
+        .select(
+            "event_type",
+            F.element_at(F.array(*[F.lit(p) for p in ps]), F.col("i") + 1).alias("p"),
+            "exq",
+        )
+    )
+    return est.join(ex, ["event_type", "p"]).select(
+        "event_type",
+        "p",
+        rf(F.col("est")).alias("hist_q"),
+        rf(F.col("exq")).alias("exact_q"),
+    )

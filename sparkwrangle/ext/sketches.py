@@ -265,47 +265,55 @@ HIST_BINS = 256
 
 
 def histogram_quantiles(
-    df: DataFrame, value_col: str, ps: list[float]
+    df: DataFrame, value_col: str, ps: list[float], keys: list[str] | None = None
 ) -> DataFrame:
     """Quantile estimates from a fixed 256-bin equi-width histogram —
     the one-pass, constant-state alternative to an exact sort when the
     input can't be globally ordered: bounds + bin counts are two
     map-side-combinable aggregations; the estimate linearly interpolates
     inside the first bin whose cumulative count reaches p·n. Returns
-    (p, est) per requested quantile. Bin membership and interpolation
-    are the same IEEE expressions on both engines."""
+    (keys..., p, est) per requested quantile. Bin membership and
+    interpolation are the same IEEE expressions on both engines.
+
+    ``keys`` gives the GROUPED form (per-key bounds, bins, and
+    estimates — ≤ 256 bins of state per key); parallelism scales with
+    key count and the cumulative window partitions by key."""
     from pyspark.sql import Window
 
-    v = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
-    st = F.broadcast(
-        v.agg(
-            F.min("v").alias("mn"),
-            F.max("v").alias("mx"),
-            F.count("*").alias("n"),
-        )
+    keys = keys or []
+    v = df.select(*keys, F.col(value_col).alias("v")).filter(
+        F.col("v").isNotNull()
     )
+    st = v.groupBy(*keys).agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    joined = v.join(F.broadcast(st), keys) if keys else v.crossJoin(F.broadcast(st))
     ratio = F.when(
         F.col("mx") > F.col("mn"),
         (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")),
     ).otherwise(F.lit(0.0))
-    b = v.crossJoin(st).select(
+    b = joined.select(
+        *keys,
         F.least(F.floor(ratio * HIST_BINS), F.lit(HIST_BINS - 1))
         .cast("bigint")
-        .alias("bin")
+        .alias("bin"),
     )
-    hist = b.groupBy("bin").agg(F.count("*").alias("cnt"))
-    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    hist = b.groupBy(*keys, "bin").agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy(*keys).orderBy("bin") if keys else Window.orderBy("bin")
+    ).rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("cnt").over(wc))
     pdf = df.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
     cand = (
-        pdf.crossJoin(cum)
-        .crossJoin(st)
+        pdf.crossJoin(cum.join(F.broadcast(st), keys) if keys else cum.crossJoin(F.broadcast(st)))
         .filter(F.col("cum") >= F.col("p") * F.col("n"))
     )
-    pick = cand.groupBy("p").agg(
+    pick = cand.groupBy(*keys, "p").agg(
         F.min(F.struct("bin", "cnt", "cum", "mn", "mx", "n")).alias("s")
     )
     s = F.col("s")
     frac = (s["n"] * F.col("p") - (s["cum"] - s["cnt"])) / s["cnt"]
     est = s["mn"] + (s["bin"] + frac) * (s["mx"] - s["mn"]) / HIST_BINS
-    return pick.select("p", est.alias("est"))
+    return pick.select(*keys, "p", est.alias("est"))
