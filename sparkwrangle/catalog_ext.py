@@ -4110,3 +4110,110 @@ def x_grouped_quantiles(spark, sf_dir):
         rf(F.col("est")).alias("hist_q"),
         rf(F.col("exq")).alias("exact_q"),
     )
+
+
+def _hll_setops_oracle() -> str:
+    from sparkwrangle.ext.sketches import HLL_ALPHA, HLL_M
+
+    def est(src: str) -> str:
+        return f"""(SELECT CASE WHEN (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                 / (sp + CAST({HLL_M} - pres AS DOUBLE)))
+                <= CAST({2.5 * HLL_M} AS DOUBLE)
+            AND ({HLL_M} - pres) > 0
+           THEN {HLL_M} * ln({HLL_M} / CAST({HLL_M} - pres AS DOUBLE))
+           ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                / (sp + CAST({HLL_M} - pres AS DOUBLE)) END
+    FROM (SELECT count(*) AS pres,
+                 CAST(sum(CAST(pow(2.0, 53 - mx) AS BIGINT)) AS DOUBLE)
+                 / {float(2**53)!r} AS sp
+          FROM {src}))"""
+
+    return f"""
+    WITH src AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+               CAST(user_id AS VARCHAR) AS item
+        FROM events
+    ),
+    h AS (SELECT grp, CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS hv
+          FROM src),
+    rho AS (SELECT grp, hv % {HLL_M} AS reg,
+                   CASE WHEN (hv >> 8) = 0 THEN 53
+                        ELSE 53 - length(bin(hv >> 8)) END AS rho
+            FROM h),
+    ra AS (SELECT reg, max(rho) AS mx FROM rho WHERE grp = 'A' GROUP BY reg),
+    rb AS (SELECT reg, max(rho) AS mx FROM rho WHERE grp = 'B' GROUP BY reg),
+    ru AS (SELECT reg, max(mx) AS mx FROM (
+               SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY reg),
+    ex AS (
+        SELECT count(DISTINCT CASE WHEN grp = 'A' THEN item END) AS na,
+               count(DISTINCT CASE WHEN grp = 'B' THEN item END) AS nb,
+               count(DISTINCT item) AS nu
+        FROM src
+    )
+    SELECT {rf_sql(est("ra"))} AS est_a,
+           {rf_sql(est("rb"))} AS est_b,
+           {rf_sql(est("ru"))} AS est_union,
+           {rf_sql(est("ra") + " + " + est("rb") + " - " + est("ru"))}
+               AS est_intersection,
+           ex.na AS exact_a, ex.nb AS exact_b, ex.nu AS exact_union,
+           ex.na + ex.nb - ex.nu AS exact_intersection
+    FROM ex
+    """
+
+
+@register(
+    "x_hll_set_ops",
+    _hll_setops_oracle(),
+    doc="HLL set algebra — the MERGEABILITY property that makes sketches "
+    "composable at 100 TB: the union's register table is the register-"
+    "wise MAX of the two sides' tables (no rescan of either input — "
+    "merge two 256-int summaries), and the intersection estimate is "
+    "inclusion-exclusion over the three estimates. Audience-overlap "
+    "analysis (even vs odd user cohorts here) with the exact counts "
+    "alongside. Rho stays integer/string ops; harmonic sums stay "
+    "int64-exact.",
+)
+def x_hll_set_ops(spark, sf_dir):
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.ext.sketches import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    regs = hll_registers(src, "item", ["grp"])
+    ra = regs.filter(F.col("grp") == "A").select("reg", "mx")
+    rb = regs.filter(F.col("grp") == "B").select("reg", "mx")
+    ru = ra.unionAll(rb).groupBy("reg").agg(F.max("mx").alias("mx"))
+
+    def est(r):
+        return hll_estimate(r).select(F.col("hll_raw"))
+
+    ea = est(ra).select(F.col("hll_raw").alias("est_a_raw"))
+    eb = est(rb).select(F.col("hll_raw").alias("est_b_raw"))
+    eu = est(ru).select(F.col("hll_raw").alias("est_u_raw"))
+    ex = src.agg(
+        F.countDistinct(F.when(F.col("grp") == "A", F.col("item"))).alias("exact_a"),
+        F.countDistinct(F.when(F.col("grp") == "B", F.col("item"))).alias("exact_b"),
+        F.countDistinct("item").alias("exact_union"),
+    )
+    return (
+        ex.crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            rf(F.col("est_a_raw")).alias("est_a"),
+            rf(F.col("est_b_raw")).alias("est_b"),
+            rf(F.col("est_u_raw")).alias("est_union"),
+            rf(
+                F.col("est_a_raw") + F.col("est_b_raw") - F.col("est_u_raw")
+            ).alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).alias(
+                "exact_intersection"
+            ),
+        )
+    )

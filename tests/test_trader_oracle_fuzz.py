@@ -168,7 +168,7 @@ _EVENTS_ONLY = [
     "w_rolling_mean", "w_running_interval_sum", "w_sessionize_gaps",
     "w_tumbling_window_agg", "x_countmin_heavy_hitters", "x_events_funnel",
     "x_events_retention", "x_grouped_quantiles", "x_histogram_quantiles",
-    "x_hll_distinct_users",
+    "x_hll_distinct_users", "x_hll_set_ops",
     "x_zorder_layout",
 ]
 
