@@ -3346,12 +3346,12 @@ def x_countmin_heavy_hitters(spark, sf_dir):
     items = ev.select(F.col("user_id").cast("string").alias("item"))
     sketch = cms_sketch(items, "item")
     exact = items.groupBy("item").agg(F.count("*").alias("exact_cnt"))
-    # Global top-k over the ALREADY-AGGREGATED (bounded-cardinality) user
-    # table; at 100 TB the candidate set would itself come from the sketch.
+    # Distributed top-k (TakeOrderedAndProject) over the aggregated user
+    # table, then the rank window runs over 20 rows; at 100 TB the
+    # candidate set would itself come from the sketch.
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("item")).limit(20)
     w = Window.orderBy(F.desc("exact_cnt"), F.asc("item"))
-    topk = (
-        exact.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
-    )
+    topk = top.withColumn("rk", F.row_number().over(w))
     est = cms_estimates(topk, sketch, "item")
     return est.select(
         "item",
@@ -3780,11 +3780,11 @@ def x_pagerank_centrality(spark, sf_dir):
         supp.select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
     )
     ranks = pagerank(edges, nodes, iters=3)
+    # distributed top-k over the vertex table, then rank the 20 rows
+    top = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
-    return (
-        ranks.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("node", F.col("rank").alias("pagerank"), "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "node", F.col("rank").alias("pagerank"), "rk"
     )
 
 
@@ -3877,8 +3877,14 @@ def x_frequent_pairs(spark, sf_dir):
         .groupBy(F.col("a.pk").alias("part_a"), F.col("c.pk").alias("part_b"))
         .agg(F.count("*").alias("support"))
     )
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition heaps,
+    # no single-partition sort of the corpus-scale pair table), then the
+    # rank window runs over 20 rows
+    top = pairs.orderBy(
+        F.desc("support"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
     w = Window.orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
-    ranked = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    ranked = top.withColumn("rk", F.row_number().over(w))
     sa = supp.select(F.col("pk").alias("part_a"), F.col("s").alias("sa"))
     sb = supp.select(F.col("pk").alias("part_b"), F.col("s").alias("sb"))
     return (
