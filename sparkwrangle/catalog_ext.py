@@ -3885,11 +3885,14 @@ def x_frequent_pairs(spark, sf_dir):
     ).limit(20)
     w = Window.orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
     ranked = top.withColumn("rk", F.row_number().over(w))
+    # no broadcast hints: the ranked side's limit(20) gives Catalyst a
+    # maxRows bound, so IT becomes the broadcast side of both joins — the
+    # item-support table is distinct-part-sized and must never ship whole
     sa = supp.select(F.col("pk").alias("part_a"), F.col("s").alias("sa"))
     sb = supp.select(F.col("pk").alias("part_b"), F.col("s").alias("sb"))
     return (
-        ranked.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        ranked.join(sa, "part_a")
+        .join(sb, "part_b")
         .crossJoin(nb)
         .select(
             "part_a",

@@ -77,12 +77,14 @@ def pagerank(
     )
     ranks = vtab.withColumn("rank", F.lit(1.0) / F.col("n_nodes"))
     for _ in range(iters):
+        # NO forced broadcast: the rank vector is vertex-sized, which on a
+        # real graph can be billions of rows — AQE broadcasts it when it
+        # is actually small and shuffles it onto the src-partitioned edge
+        # table otherwise (the Pregel message exchange).
         contrib = edges.join(
-            F.broadcast(
-                ranks.filter(F.col("deg").isNotNull()).select(
-                    F.col(node_col).alias(src),
-                    _rf(F.col("rank") / F.col("deg"), RF_CONTRIB).alias("contrib"),
-                )
+            ranks.filter(F.col("deg").isNotNull()).select(
+                F.col(node_col).alias(src),
+                _rf(F.col("rank") / F.col("deg"), RF_CONTRIB).alias("contrib"),
             ),
             src,
         ).select(F.col(dst), "contrib")
