@@ -1736,3 +1736,84 @@ def tpch_q22_shape_idle_customers(spark, sf_dir):
             F.round(dsum(F.col("c_acctbal")), 6).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT {_DSUM.format(expr='l_extendedprice * l_discount')} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24.0
+    """,
+    doc="TPC-H Q6 forecast revenue change: the pure-scan benchmark — "
+    "every predicate (date range, discount band, quantity cap) pushes "
+    "into the parquet scan, the aggregate is a single map-side-"
+    "combinable decimal sum; the query that measures scan + pushdown "
+    "throughput with zero join or shuffle cost beyond one partial-agg "
+    "exchange.",
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           round(CAST(any_value(c.c_acctbal) AS DOUBLE), 2) AS c_acctbal
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 returned-item reporting: which customers returned the "
+    "most revenue last quarter — fact-to-fact join (orders x lineitem) "
+    "with a broadcast nation dimension, grouped per customer, "
+    "distributed top-20 by revenue (TakeOrderedAndProject, not a "
+    "global sort). any_value(c_acctbal) is deterministic: it is "
+    "functionally dependent on the c_custkey group key.",
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+        )
+        .join(l.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.round(F.any_value("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -324,7 +324,7 @@ _TPCH_ONLY = [
 
 
 def test_tpch_family_generalizes_to_synthetic_star_schema(spark, tmp_path):
-    """The 25 oracle queries that read the TPC-H star schema
+    """The 27 oracle queries that read the TPC-H star schema
     hash-match DuckDB on a fully SYNTHETIC seeded schema the driver never
     generated — covering the relational family (joins, subquery shapes,
     rollup, CDC), pagerank, and frequent pairs for the data CLASS, the
