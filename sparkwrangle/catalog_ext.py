@@ -4226,3 +4226,70 @@ def x_hll_set_ops(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "x_weighted_sample",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+    stats AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                    / length(text) END AS punct_ratio,
+               CASE WHEN len(t) > 0 THEN
+                    CAST(len(list_filter(t, x -> x IN {_EN_STOP})) AS DOUBLE) / len(t)
+                    END AS stop_ratio
+        FROM toks
+    ),
+    q AS (
+        SELECT doc_id,
+               round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                     + least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS w
+        FROM stats
+    ),
+    keyed AS (
+        SELECT doc_id, w,
+               floor(pow(CAST({h60_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                         / 1152921504606846976.0,
+                         1.0 / w) * 1e12 + 0.5) / 1e12 AS k
+        FROM q WHERE w > 0
+    )
+    SELECT doc_id, w AS weight, k AS sample_key, rk FROM (
+        SELECT doc_id, w, k,
+               row_number() OVER (ORDER BY k DESC, doc_id) AS rk
+        FROM keyed
+    ) WHERE rk <= 50
+    """,
+    doc="Deterministic WEIGHTED sampling without replacement (Efraimidis-"
+    "Spirakis A-ES): key = u^(1/w) with u derived from the portable "
+    "60-bit hash (u = h60/2^60 — reproducible 'randomness', no RNG "
+    "state to version) and w = the quality score; the top-k keys ARE "
+    "the weighted sample, so higher-quality documents are "
+    "proportionally more likely to survive — the quality-weighted "
+    "corpus subsampling step of a data-mixing pipeline. Keys floor-"
+    "round at 1e-12 (pow is the one libm call) with doc_id tiebreak; "
+    "top-50 via distributed TakeOrderedAndProject.",
+)
+def x_weighted_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.catalog import rf
+    from sparkwrangle.ext.hashing import h60
+    from sparkwrangle.ext.text import add_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    q = add_text_stats(docs).select("doc_id", r6("quality").alias("w"))
+    u = h60(F.col("doc_id").cast("string")).cast("double") / F.lit(float(1 << 60))
+    keyed = q.filter(F.col("w") > 0).select(
+        "doc_id", "w", rf(F.pow(u, 1.0 / F.col("w")), 12).alias("k")
+    )
+    top = keyed.orderBy(F.desc("k"), F.asc("doc_id")).limit(50)
+    w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        F.col("w").alias("weight"),
+        F.col("k").alias("sample_key"),
+        "rk",
+    )

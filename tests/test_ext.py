@@ -1095,3 +1095,22 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark):
     assert {r.p for r in rows} == {0.5, 0.9, 0.99}
     for r in rows:
         assert r.abs_err <= bin_w + 1e-9, (r.p, r.abs_err, bin_w)
+
+
+def test_weighted_sample_biases_toward_quality(spark):
+    """A-ES weighted sampling oversamples high-quality docs: the sampled
+    mean quality exceeds the corpus mean, and every weight is positive."""
+    from sparkwrangle.catalog import CATALOG
+    from sparkwrangle.ext.text import add_text_stats
+    from sparkwrangle.io import load_table
+    from conftest import SF_ORACLE
+
+    rows = CATALOG["x_weighted_sample"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 50
+    assert all(r.weight > 0 for r in rows)
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    docs = load_table(spark, SF_ORACLE, "documents")
+    corpus_mean = (
+        add_text_stats(docs).agg(F.avg("quality")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
