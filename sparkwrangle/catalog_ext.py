@@ -4293,3 +4293,64 @@ def x_weighted_sample(spark, sf_dir):
         F.col("k").alias("sample_key"),
         "rk",
     )
+
+
+@register(
+    "x_negative_sampling",
+    f"""
+    WITH nt AS (
+        SELECT doc_id,
+               {h60_sql("trim(regexp_replace(regexp_replace(lower(text), "
+                        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS th
+        FROM documents
+    ),
+    anchors AS (SELECT doc_id AS anchor_id, th AS ath FROM nt WHERE doc_id < 20),
+    scored AS (
+        SELECT a.anchor_id, c.doc_id AS neg_id,
+               {h60_sql("concat(CAST(a.anchor_id AS VARCHAR), '_', "
+                        "CAST(c.doc_id AS VARCHAR))")} AS k
+        FROM anchors a JOIN nt c
+          ON c.doc_id <> a.anchor_id AND c.th <> a.ath
+    )
+    SELECT anchor_id, neg_id, rk FROM (
+        SELECT anchor_id, neg_id,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY k DESC, neg_id) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    doc="Deterministic negative sampling for contrastive training: per "
+    "anchor document, 3 reproducible pseudo-random negatives (ranked by "
+    "the portable hash of the anchor-candidate pair — no RNG state) "
+    "that are NOT duplicates of the anchor (normalized-text hash "
+    "inequality; swap in the LSH near-dup pair set to also exclude "
+    "near-duplicates). The anchor batch is bounded and broadcasts; "
+    "per-anchor ranking partitions by anchor — the standard in-batch-"
+    "negatives preparation step, made replayable.",
+)
+def x_negative_sampling(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from sparkwrangle.ext.dedup import normalize_text
+    from sparkwrangle.ext.hashing import h60
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = docs.select("doc_id", h60(normalize_text(F.col("text"))).alias("th"))
+    anchors = nt.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("anchor_id"), F.col("th").alias("ath")
+    )
+    k = h60(
+        F.concat(
+            F.col("anchor_id").cast("string"), F.lit("_"), F.col("doc_id").cast("string")
+        )
+    )
+    scored = nt.join(
+        F.broadcast(anchors),
+        (F.col("doc_id") != F.col("anchor_id")) & (F.col("th") != F.col("ath")),
+    ).select("anchor_id", F.col("doc_id").alias("neg_id"), k.alias("k"))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("k"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("anchor_id", "neg_id", "rk")
+    )
