@@ -50,6 +50,11 @@ QUERIES = [
     "x_token_entropy",          # decimal-accumulated c·ln(c) sums
     "x_frequent_pairs",         # basket self-join support + lift
     "x_histogram_quantiles",    # combinable bin counts + interpolation
+    "x_grouped_quantiles",      # keyed bin counts + per-key windows
+    "x_hll_set_ops",            # register-MAX merge + int64 harmonic sums
+    "x_weighted_sample",        # hash-derived keys + distributed top-k
+    "x_negative_sampling",      # pair-hash ranking per anchor
+    "tpch_q10_returned_items",  # decimal revenue + TakeOrdered top-20
 ]
 
 
