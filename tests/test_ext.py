@@ -1114,3 +1114,32 @@ def test_weighted_sample_biases_toward_quality(spark):
         add_text_stats(docs).agg(F.avg("quality")).collect()[0][0]
     )
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_simhash_banding_exact_for_radius_3(spark):
+    """Pigeonhole exactness: 4 bands over 32 bits find EVERY pair within
+    hamming distance 3 — the banded candidate set equals brute force on
+    the driver corpus (no recall loss, unlike probabilistic MinHash)."""
+    from sparkwrangle.catalog import CATALOG
+    from sparkwrangle.ext.dedup import simhash
+    from sparkwrangle.io import load_table
+    from conftest import SF_ORACLE
+
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in CATALOG["x_simhash_hamming_pairs"].fn(spark, SF_ORACLE).collect()
+    }
+    sigs = {
+        r.doc_id: r.simhash
+        for r in simhash(
+            load_table(spark, SF_ORACLE, "documents"), "doc_id", "text"
+        ).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert banded == brute

@@ -238,7 +238,8 @@ _DOCS_EMB_ONLY = [
     "x_multimodal_wav_decode", "x_negative_sampling", "x_pii_redact",
     "x_quality_prune",
     "x_quality_score", "x_repetition_stats", "x_semantic_dedup",
-    "x_sequence_packing", "x_source_blocklist", "x_source_mixing_weights",
+    "x_sequence_packing", "x_simhash_hamming_pairs", "x_source_blocklist",
+    "x_source_mixing_weights",
     "x_span_dedup",
     "x_stratified_sample", "x_stream_curation_batch_twin", "x_text_normalize",
     "x_text_stats", "x_tfidf_top_terms", "x_token_count_bpe",
