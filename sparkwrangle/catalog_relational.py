@@ -1817,3 +1817,37 @@ def tpch_q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q_cube_grouping_id",
+    f"""
+    SELECT n.n_name, c.c_mktsegment,
+           CAST(grouping(n.n_name) * 2 + grouping(c.c_mktsegment) AS BIGINT)
+               AS gid,
+           {_DSUM.format(expr='o.o_totalprice')} AS total,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, c.c_mktsegment)
+    """,
+    doc="Grouping-sets surface, CUBE form: all four grouping combinations "
+    "of (nation, market segment) in one pass, with grouping_id "
+    "disambiguating real NULL key values from subtotal rows — the "
+    "companion to q_rollup_revenue that completes the GROUPING SETS "
+    "family. The cube expands map-side (Expand operator), so it is one "
+    "shuffle regardless of how many grouping sets it covers.",
+)
+def q_cube_grouping_id(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return joined.cube("n_name", "c_mktsegment").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        dsum(F.col("o_totalprice")).alias("total"),
+        F.count("*").alias("n_orders"),
+    ).select("n_name", "c_mktsegment", "gid", "total", "n_orders")

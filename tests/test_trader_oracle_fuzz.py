@@ -314,7 +314,8 @@ def test_llm_pipeline_queries_generalize_to_synthetic_corpus(spark, tmp_path):
 _TPCH_ONLY = [
     "a_scan_pushdown", "b_div0_inf_replace", "c_conditional_convert",
     "c_join_delta", "g_unpivot_long", "h_scalar_suite", "h_string_suite",
-    "q_anti_semi_join", "q_cdc_upsert", "q_rollup_revenue",
+    "q_anti_semi_join", "q_cdc_upsert", "q_cube_grouping_id",
+    "q_rollup_revenue",
     "tpch_q13_order_distribution", "tpch_q14_promo_share",
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
     "tpch_q1_pricing_summary", "tpch_q21_shape_return_blame",
@@ -326,7 +327,7 @@ _TPCH_ONLY = [
 
 
 def test_tpch_family_generalizes_to_synthetic_star_schema(spark, tmp_path):
-    """The 27 oracle queries that read the TPC-H star schema
+    """The 28 oracle queries that read the TPC-H star schema
     hash-match DuckDB on a fully SYNTHETIC seeded schema the driver never
     generated — covering the relational family (joins, subquery shapes,
     rollup, CDC), pagerank, and frequent pairs for the data CLASS, the
