@@ -1851,3 +1851,54 @@ def q_cube_grouping_id(spark, sf_dir):
         dsum(F.col("o_totalprice")).alias("total"),
         F.count("*").alias("n_orders"),
     ).select("n_name", "c_mktsegment", "gid", "total", "n_orders")
+
+
+def _ewma_sql(alpha: float = 0.2, lags: int = 20) -> str:
+    num = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN "
+        f"{(1 - alpha) ** j!r} * lag(value, {j}) OVER w ELSE 0.0 END"
+        for j in range(lags)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN "
+        f"{(1 - alpha) ** j!r} ELSE 0.0 END"
+        for j in range(lags)
+    )
+    return f"""
+    SELECT event_id, user_id,
+           round(value, 6) AS value,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register(
+    "w_ewma_smoothing",
+    _ewma_sql(),
+    doc="Exponentially weighted moving average (adjust=True, alpha=0.2, "
+    "20-lag truncation — the residual weight beyond 20 lags is "
+    "0.8^20 ≈ 1.2%): the trading/telemetry smoother the rolling-mean "
+    "family lacks. The recurrence s_t = a*x_t + (1-a)*s_{t-1} is "
+    "sequential, but the truncated closed form is a FIXED-ORDER chain "
+    "of 20 lag terms with literal weights — one window, no recursion, "
+    "no float-aggregation-order hazard (the sum order is the literal "
+    "expression order on both engines), and early rows renormalize "
+    "over the lags that exist exactly as pandas ewm(adjust=True) does.",
+)
+def w_ewma_smoothing(spark, sf_dir, alpha: float = 0.2, lags: int = 20):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(lags):
+        lj = F.lag("value", j).over(w)
+        wt = F.lit((1 - alpha) ** j)
+        num = num + F.when(lj.isNotNull(), wt * lj).otherwise(F.lit(0.0))
+        den = den + F.when(lj.isNotNull(), wt).otherwise(F.lit(0.0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        r6(F.col("value")).alias("value"),
+        r6(num / den).alias("ewma"),
+    )

@@ -136,3 +136,40 @@ def test_business_days_skips_weekends(spark):
     days = df.select(business_days(F.col("s"), F.col("e")).alias("d")).collect()[0].d
     assert len(days) == 10  # two full business weeks
     assert all(d.isoweekday() <= 5 for d in days)
+
+
+def test_ewma_matches_pandas_adjust_true(spark):
+    """For series shorter than the 20-lag truncation, the windowed EWMA
+    equals pandas ewm(alpha=0.2, adjust=True) exactly (same closed
+    form); the truncated tail only matters beyond 20 rows, where the
+    residual weight is 0.8^20 ~ 1.2%."""
+    import pandas as pd
+
+    from sparkwrangle.catalog import CATALOG
+
+    vals = [3.0, 7.5, 1.25, 9.0, 0.5, 4.75, 2.0, 8.125, 6.5, 5.0]
+    rows = pd.DataFrame(
+        {
+            "event_id": range(1, len(vals) + 1),
+            "ts": pd.to_datetime(
+                [1_700_000_000 + i * 60 for i in range(len(vals))], unit="s"
+            ),
+            "user_id": [1] * len(vals),
+            "event_type": ["view"] * len(vals),
+            "value": vals,
+            "props": ["{}"] * len(vals),
+        }
+    )
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.mkdtemp()) / "ewma"
+    d.mkdir()
+    rows.to_parquet(d / "events.parquet", index=False)
+    got = {
+        r.event_id: r.ewma
+        for r in CATALOG["w_ewma_smoothing"].fn(spark, str(d)).collect()
+    }
+    want = pd.Series(vals).ewm(alpha=0.2, adjust=True).mean()
+    for i, w in enumerate(want):
+        assert abs(got[i + 1] - round(w, 6)) <= 1e-6, (i, got[i + 1], w)
