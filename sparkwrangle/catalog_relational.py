@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from sparkwrangle.catalog import _t, dsum, r6, register
+from sparkwrangle.catalog import _t, dsum, r6, register, rf_sql
 
 _DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(25,8))) AS DOUBLE)"
 
@@ -1901,4 +1901,79 @@ def w_ewma_smoothing(spark, sf_dir, alpha: float = 0.2, lags: int = 20):
         "user_id",
         r6(F.col("value")).alias("value"),
         r6(num / den).alias("ewma"),
+    )
+
+
+@register(
+    "w_zscore_anomaly",
+    f"""
+    WITH frames AS (
+        SELECT event_id, user_id, value,
+               sum(value) OVER w AS s1,
+               sum(value * value) OVER w AS s2,
+               count(*) OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           {rf_sql("(value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))")}
+               AS zscore,
+           (abs((value - s1 / n)
+                / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 2.0) AS is_anomaly
+    FROM frames
+    WHERE n >= 3 AND (s2 - s1 * s1 / n) / (n - 1) > 1e-12
+    """,
+    doc="Rolling z-score anomaly flags: per series, how many sample "
+    "standard deviations the current value sits from its 7-row rolling "
+    "mean, |z| > 2 flagged — the telemetry outlier detector. The "
+    "variance comes from EXPLICIT frame sums (Σx, Σx², n — identical "
+    "frame order on both engines) rather than the built-in stddev "
+    "aggregate, whose Welford-vs-textbook implementations differ "
+    "across engines at the ulp level; degenerate frames (n < 3 or "
+    "~zero variance) are excluded on both sides.",
+)
+def w_zscore_anomaly(spark, sf_dir):
+    from sparkwrangle.catalog import rf
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    n = F.count("*").over(w)
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = (F.col("value") - s1 / n) / F.sqrt(var)
+    return (
+        ev.select("event_id", "user_id", "value", s1.alias("s1"),
+                  s2.alias("s2"), n.alias("n"))
+        .filter(
+            (F.col("n") >= 3)
+            & ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+               / (F.col("n") - 1) > 1e-12)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            rf(
+                (F.col("value") - F.col("s1") / F.col("n"))
+                / F.sqrt(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                    / (F.col("n") - 1)
+                )
+            ).alias("zscore"),
+            (
+                F.abs(
+                    (F.col("value") - F.col("s1") / F.col("n"))
+                    / F.sqrt(
+                        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                        / (F.col("n") - 1)
+                    )
+                )
+                > 2.0
+            ).alias("is_anomaly"),
+        )
     )

@@ -166,7 +166,8 @@ _EVENTS_ONLY = [
     "s1_prepared_pair_math", "w_business_days", "w_minmax_normalize",
     "w_pct_change_log_returns", "w_range_frame", "w_rel_to_base",
     "w_rolling_mean", "w_running_interval_sum", "w_sessionize_gaps",
-    "w_ewma_smoothing", "w_tumbling_window_agg", "x_countmin_heavy_hitters",
+    "w_ewma_smoothing", "w_tumbling_window_agg", "w_zscore_anomaly",
+    "x_countmin_heavy_hitters",
     "x_events_funnel",
     "x_events_retention", "x_grouped_quantiles", "x_histogram_quantiles",
     "x_hll_distinct_users", "x_hll_set_ops",
