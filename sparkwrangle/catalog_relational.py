@@ -1864,10 +1864,13 @@ def _ewma_sql(alpha: float = 0.2, lags: int = 20) -> str:
         f"{(1 - alpha) ** j!r} ELSE 0.0 END"
         for j in range(lags)
     )
+    # den = 0 (a partition opening with a run of NULL values) would give
+    # 0.0/0.0 = NaN on both engines — emit NULL instead, on both engines
     return f"""
     SELECT event_id, user_id,
            round(value, 6) AS value,
-           round(({num}) / ({den}), 6) AS ewma
+           CASE WHEN ({den}) > 0.0
+                THEN round(({num}) / ({den}), 6) END AS ewma
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
@@ -1900,7 +1903,7 @@ def w_ewma_smoothing(spark, sf_dir, alpha: float = 0.2, lags: int = 20):
         "event_id",
         "user_id",
         r6(F.col("value")).alias("value"),
-        r6(num / den).alias("ewma"),
+        F.when(den > 0.0, r6(num / den)).alias("ewma"),
     )
 
 

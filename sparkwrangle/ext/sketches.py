@@ -76,10 +76,13 @@ def cms_estimates(
         ),
     )
     keep = [c for c in items.columns]
+    # LEFT join + coalesce(cnt, 0): an item whose (d, bucket) rows are all
+    # absent from the sketch was never inserted — CMS point-query semantics
+    # say it estimates ~0, not "silently dropped from the output".
     return (
-        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(*keep)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 
 
@@ -238,9 +241,11 @@ def bloom_probe(
             ),
         )
     )
-    return hit.groupBy(*df.columns).agg(
-        (F.sum(F.when(F.col("_set"), 1).otherwise(0)) == BLOOM_K).alias("bloom_hit")
-    )
+    # bool_and, not sum(_set)==K: a duplicated probe row contributes each
+    # position multiple times, which would turn the row-count-dependent sum
+    # into a false NEGATIVE — violating the Bloom guarantee. AND over the
+    # per-position hits is duplicate-insensitive.
+    return hit.groupBy(*df.columns).agg(F.bool_and("_set").alias("bloom_hit"))
 
 
 def bloom_bitmap_sql(src: str, hash_expr: str, seed: int = 7) -> str:

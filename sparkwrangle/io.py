@@ -84,16 +84,30 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register every testdata table as a temp view for the SQL surface.
     Tables whose parquet file is absent from ``sf_dir`` are skipped —
     partial datasets (a feed-only or star-schema-only directory) still
-    get a working SQL surface for the tables they do carry."""
+    get a working SQL surface for the tables they do carry. Returns the
+    list of SKIPPED table names (and warns) so a partial-dataset session
+    surfaces what is missing up front instead of as a later confusing
+    'table or view not found' at query time."""
+    import warnings
     from pathlib import Path
 
+    skipped: list[str] = []
     for name in TABLES:
         if (Path(sf_dir) / f"{name}.parquet").exists():
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        else:
+            skipped.append(name)
+    if skipped:
+        warnings.warn(
+            f"register_views({sf_dir}): missing parquet for {skipped}; "
+            "SQL referencing these tables will fail with 'table not found'",
+            stacklevel=2,
+        )
+    return skipped
 
 
 def write_table(

@@ -42,10 +42,20 @@ def dedup_stream(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Streaming exact dedup: drop repeated keys within the watermark
-    horizon — the ingest-side exactly-once guard. State is bounded by the
-    watermark (keys older than it are evicted), which is what makes this
-    viable at 100 TB/day ingest rates."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    horizon — the ingest-side exactly-once guard.
+
+    Uses ``dropDuplicatesWithinWatermark`` (not ``dropDuplicates``): plain
+    ``dropDuplicates(subset)`` only evicts state when the event-time column
+    is IN the subset, so deduping on e.g. ``["doc_id"]`` would grow state
+    forever. ``dropDuplicatesWithinWatermark`` evicts a key once the
+    watermark passes its first occurrence + delay for ANY key set — the
+    bounded-state contract a 100 TB/day ingest needs. On batch frames the
+    watermark is meaningless, so plain exact dedup applies."""
+    if not stream.isStreaming:
+        return stream.dropDuplicates(key_cols)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def session_counts(

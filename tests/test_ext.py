@@ -889,6 +889,79 @@ def test_cms_never_undercounts_and_mostly_exact(spark):
     assert exact_share > 0.5, f"only {exact_share:.0%} collision-free"
 
 
+def test_cms_unseen_item_estimates_not_dropped(spark):
+    """A probed item that was never inserted must still yield a row
+    (estimate ≥ 0, typically 0 when its buckets are all empty) — CMS
+    point-query semantics for arbitrary probes, not just items drawn
+    from the sketched stream."""
+    from sparkwrangle.ext.sketches import cms_estimates, cms_sketch
+
+    items = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2, "item string"
+    )
+    sketch = cms_sketch(items, "item")
+    probe = spark.createDataFrame(
+        [("a",), ("never_inserted_xyzzy",)], "item string"
+    )
+    got = {r.item: r.cms_est for r in cms_estimates(probe, sketch, "item").collect()}
+    assert set(got) == {"a", "never_inserted_xyzzy"}
+    assert got["a"] >= 5
+    assert got["never_inserted_xyzzy"] >= 0  # present, near-zero estimate
+
+
+def test_bloom_probe_duplicate_rows_no_false_negative(spark):
+    """A duplicated probe row must still report bloom_hit=true for a true
+    member — the per-position AND is duplicate-insensitive, unlike a
+    row-count-dependent sum of hits."""
+    from sparkwrangle.ext.hashing import h60
+    from sparkwrangle.ext.sketches import bloom_bitmap, bloom_probe
+
+    member = spark.createDataFrame([("doc-1",)], "key string").select(
+        h60(F.col("key")).alias("h")
+    )
+    bitmap = bloom_bitmap(member, "h")
+    probe = spark.createDataFrame(
+        [("doc-1",), ("doc-1",), ("doc-1",), ("absent",)], "key string"
+    ).select("key", h60(F.col("key")).alias("h"))
+    got = {r.key: r.bloom_hit for r in bloom_probe(probe, "h", bitmap).collect()}
+    assert got["doc-1"] is True  # duplicated member row still hits
+    assert got["absent"] is False
+
+
+def test_ewma_null_run_start_emits_null_not_nan(spark):
+    """A user partition opening with a run of NULL values has den = 0 for
+    those rows — ewma must be NULL, not 0.0/0.0 = NaN, and the first
+    non-NULL value restarts the weighted average cleanly."""
+    import math
+
+    from sparkwrangle.catalog_relational import w_ewma_smoothing
+
+    ev = spark.createDataFrame(
+        [
+            (1, 9, "2024-01-01 10:00:00", None),
+            (2, 9, "2024-01-01 10:01:00", None),
+            (3, 9, "2024-01-01 10:02:00", 10.0),
+            (4, 9, "2024-01-01 10:03:00", 20.0),
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.createOrReplaceTempView("_ewma_null_src")
+
+    import sparkwrangle.catalog_relational as rel
+
+    orig = rel._t
+    rel._t = lambda spark, sf_dir, name: spark.table("_ewma_null_src")
+    try:
+        got = {r.event_id: r.ewma for r in w_ewma_smoothing(spark, "unused").collect()}
+    finally:
+        rel._t = orig
+    assert got[1] is None and got[2] is None
+    assert got[3] == 10.0
+    # row 4: (20 + 0.8*10) / (1 + 0.8) = 15.555556
+    assert abs(got[4] - 15.555556) < 1e-6
+    assert not any(v is not None and math.isnan(v) for v in got.values())
+
+
 def test_hll_rho_matches_python(spark):
     """Leading-1 position: engine string/integer form ≡ arithmetic rho."""
     from sparkwrangle.ext.sketches import hll_rho

@@ -127,6 +127,54 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     assert sorted(r.value for r in got) == [1.0, 2.0, 3.0]
 
 
+def test_streaming_dedup_non_ts_key_state_evicts(spark, tmp_path):
+    """dedup_stream on a key set that EXCLUDES the event-time column —
+    the case where plain dropDuplicates(subset) would hold state forever.
+    dropDuplicatesWithinWatermark evicts a key once the watermark passes
+    its first occurrence + delay (eviction lands at micro-batch commit),
+    so a recurrence one batch after expiry is admitted fresh, while a
+    recurrence within the horizon is dropped."""
+    from sparkwrangle.streaming.windows import dedup_stream
+
+    d = str(tmp_path / "dedup_key")
+    os.makedirs(d)
+    batches = [
+        [
+            ("2024-01-01 10:00:00", 7.0),
+            # same VALUE key, different ts, within the 10-min horizon → drop
+            ("2024-01-01 10:05:00", 7.0),
+            # pacer: advances the watermark to 10:20 at batch-0 commit
+            ("2024-01-01 10:30:00", 1.0),
+        ],
+        # batch 1: watermark (10:20) > key-7 expiry (10:10), but eviction
+        # happens at COMMIT after processing → this one is still dropped
+        [("2024-01-01 10:25:00", 7.0)],
+        # batch 2: state for key 7 evicted → admitted again
+        [("2024-01-01 10:40:00", 7.0)],
+    ]
+    for i, rs in enumerate(batches):
+        _write(spark, rs, os.path.join(d, f"b{i}"))
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    out = dedup_stream(stream, ["value"], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_key_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    got = sorted(
+        (r.ts.strftime("%H:%M"), r.value)
+        for r in spark.sql("SELECT * FROM dedup_key_sink").collect()
+    )
+    assert got == [("10:00", 7.0), ("10:30", 1.0), ("10:40", 7.0)], got
+
+
 def test_stream_static_enrichment_join(spark, tmp_path):
     """Stream-static join: enrich streaming facts with a broadcast static
     dimension — the streaming form of the engine's dimension joins."""
