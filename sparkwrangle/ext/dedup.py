@@ -218,6 +218,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.0,
     max_df: int | None = None,
+    df_cap_mode: str = "window",
 ) -> DataFrame:
     """Exact n-gram Jaccard over a shingle self-join:
     |A∩B| / (|A| + |B| − |A∩B|), pairs with id_a < id_b above threshold.
@@ -230,23 +231,47 @@ def ngram_jaccard_pairs(
     shingles carry no discriminative signal — the standard df-cap trick).
     Corpus-wide use MUST set it; LSH-candidate verification (bounded input)
     may pass None for the unfiltered exact measure.
+
+    ``df_cap_mode`` picks HOW the cap is computed:
+
+    * ``"window"`` (default, fastest when df skew is natural-corpus-shaped):
+      ``count(*) OVER (PARTITION BY shingle)`` — one shuffle, the shingle
+      subtree evaluates only for the two self-join branches. (MEASURED
+      DEAD END: filtering via anti-join against the tiny hot-shingle list
+      LOOKS cheaper but adds a third evaluation of the recomputed shingle
+      subtree — 6s → 10-26s at sf0.1. Persisting the subtree is also a
+      measured dead end: materialization breaks whole-stage pipelining.)
+      Caveat at extreme skew: the window sends every row of one shingle
+      to one partition, and window shuffles are invisible to AQE skew
+      splitting.
+    * ``"join"`` (skew-safe scale form): map-side-combinable
+      ``groupBy(shingle).count()`` anti-joined back — shuffle volume for
+      the count is distinct shingles, the hot-list is ≤ rows/max_df
+      (AQE broadcasts it when small — not forced, since it is not
+      provably bounded), and no operator pins a hot shingle's rows to
+      one task (anti-join skew is AQE-splittable). Costs one extra
+      evaluation of the shingle subtree; flip to this when one gram's
+      df is pathological (boilerplate at 10⁹). Output is pinned equal
+      to the window form by test.
     """
     from pyspark.sql import Window
 
     if max_df is not None:
-        # df-cap via a count window over shingle: one shuffle on the big
-        # side. (MEASURED DEAD END: filtering via anti-join against the
-        # tiny hot-shingle list LOOKS cheaper but doubles the recomputed
-        # shingle subtree for each of the three downstream consumers —
-        # 6s → 10-26s at sf0.1. The window keeps the subtree linear.
-        # Persisting the shingle subtree is also a measured dead end:
-        # materialization breaks whole-stage pipelining.)
-        dfw = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_df", F.count("*").over(dfw))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
+        if df_cap_mode == "join":
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") > max_df)
+                .select("shingle")
+            )
+            sh = sh.join(hot, "shingle", "left_anti")
+        else:
+            dfw = Window.partitionBy("shingle")
+            sh = (
+                sh.withColumn("_df", F.count("*").over(dfw))
+                .filter(F.col("_df") <= max_df)
+                .drop("_df")
+            )
     # Carry each doc's shingle-set size on the rows themselves (window over
     # the doc key) instead of a separate sizes aggregate + two join-backs:
     # the expensive tokenize→explode→distinct subtree then evaluates twice
@@ -597,7 +622,12 @@ def positional_shingles(
 
 
 def duplicate_spans(
-    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_count: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+    count_mode: str = "window",
 ) -> DataFrame:
     """Substring-granular exact dedup (the Lee et al. 2022 'Deduplicating
     Training Data' class, re-expressed relationally): find every token
@@ -605,18 +635,43 @@ def duplicate_spans(
     (within- or cross-document), then merge overlapping/adjacent duplicate
     grams into maximal spans per document via gaps-and-islands.
 
-    Plan shape: map-side positional shingles → ONE corpus-wide window on
-    the gram hash (the only big shuffle, keyed by content hash so it
-    spreads evenly) → per-document windows on the (much smaller)
+    Plan shape: map-side positional shingles → ONE corpus-wide occurrence
+    count on the gram hash → per-document windows on the (much smaller)
     duplicated-position set. All-integer output — no float hazard.
     Returns (id, span_start, span_end, span_tokens, n_dup_grams) where
-    span_end is exclusive (span covers tokens [span_start, span_end))."""
+    span_end is exclusive (span covers tokens [span_start, span_end)).
+
+    ``count_mode`` picks how the corpus-wide gram count is computed:
+
+    * ``"window"`` (default): ``count(*) OVER (PARTITION BY gh)`` — the
+      position stream is scanned ONCE and shuffled once (keyed by content
+      hash, so natural corpora spread evenly). Measured 2.6× faster than
+      the join form at sf0.1 local (scan recompute dominates there).
+      Caveat at extreme skew: one boilerplate gram at 10⁹ occurrences is
+      a single straggler task, and window shuffles are invisible to AQE
+      skew splitting.
+    * ``"join"`` (skew-safe scale form): map-side-combinable
+      ``groupBy(gh).count()`` (shuffle volume = distinct grams per map
+      partition, not all positions) joined back onto the position stream.
+      The equi-join is AQE-skew-splittable, and when the duplicated-gram
+      side is small AQE upgrades it to broadcast (no shuffle of the
+      positions at all) — the plan to run when one gram's occurrence
+      count is pathological. Costs a second evaluation of the shingle
+      subtree (counts build + probe). Output pinned equal to the window
+      form by test."""
     from pyspark.sql import Window
 
     g = positional_shingles(df, id_col, text_col, n)
     g = g.select(id_col, "pos", h60(F.col("shingle")).alias("gh"))
-    occ = F.count("*").over(Window.partitionBy("gh"))
-    dup = g.withColumn("occ", occ).filter(F.col("occ") >= min_count)
+    if count_mode == "join":
+        occs = (
+            g.groupBy("gh").agg(F.count("*").alias("occ"))
+            .filter(F.col("occ") >= min_count)
+        )
+        dup = g.join(occs, "gh")
+    else:
+        occ = F.count("*").over(Window.partitionBy("gh"))
+        dup = g.withColumn("occ", occ).filter(F.col("occ") >= min_count)
     wd = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.lag("pos").over(wd).isNull() | (F.col("pos") > F.lag("pos").over(wd) + n),

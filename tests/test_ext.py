@@ -997,6 +997,64 @@ def test_hll_estimate_within_tolerance(spark):
         assert abs(est[et] - n) / n < 0.20, (et, est[et], n)
 
 
+def test_duplicate_spans_join_mode_equals_window_mode(spark):
+    """The skew-safe groupBy+join occurrence count is pinned output-equal
+    to the default window form, and its physical plan contains NO window
+    partitioned by the gram hash — the operator that would pin a hot
+    gram's 10⁹ occurrences to a single straggler task (window shuffles
+    are invisible to AQE skew splitting; the equi-join is splittable)."""
+    from sparkwrangle.ext.dedup import duplicate_spans
+
+    # hot-key corpus: ONE 3-gram repeated 10^5 times across 50 docs, plus
+    # a handful of genuinely duplicated and unique runs
+    hot = " ".join(["hot key gram"] * 60)  # 60 repeats/doc before the join
+    shared = "alpha beta gamma delta epsilon"
+    rows = [(i, f"{hot} filler{i} {shared}") for i in range(50)]
+    rows += [(100, "nothing repeated here at all once"),
+             (101, f"{shared} tail words here")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    win = duplicate_spans(docs, "doc_id", "text", n=3, count_mode="window")
+    jon = duplicate_spans(docs, "doc_id", "text", n=3, count_mode="join")
+    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, jon.collect()))
+
+    # the join plan must not contain a Window specced on the gram hash
+    import re
+
+    plan = jon._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "gh" not in spec.split(",")[0], spec
+    assert "windowspecdefinition(gh" not in plan
+
+
+def test_ngram_df_cap_join_mode_equals_window_mode(spark):
+    """df-cap via anti-join against the map-side-counted hot-shingle list
+    (the AQE-skew-splittable scale form) is pinned output-equal to the
+    window df-cap, including on a corpus with one pathological shingle."""
+    from sparkwrangle.ext.dedup import ngram_jaccard_pairs, shingles
+
+    boiler = "click here to subscribe"
+    rows = [(i, f"{boiler} article body {i} unique words piece") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = shingles(docs, "doc_id", "text", 3)
+
+    def norm(df):
+        return sorted(
+            (r.id_a, r.id_b, r.inter, r.sz_a, r.sz_b, round(r.jaccard, 9))
+            for r in df.collect()
+        )
+
+    win = ngram_jaccard_pairs(sh, "doc_id", max_df=5, df_cap_mode="window")
+    jon = ngram_jaccard_pairs(sh, "doc_id", max_df=5, df_cap_mode="join")
+    assert norm(win) == norm(jon)
+    assert norm(jon)  # the capped corpus still yields the alpha-beta pair
+
+    plan = jon._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(shingle" not in plan
+
+
 def test_duplicate_spans_semantics(spark):
     """Planted duplicate paragraph: an identical 12-token run inside two
     otherwise-unique docs yields exactly one maximal span per doc covering
