@@ -555,16 +555,29 @@ def _pq_oracle_sql(
     dim: int = 64,
     route: bool = False,
     rerank: int | None = None,
+    sample_mod: int | None = None,
 ) -> str:
     """DuckDB twin of ext.similarity.pq_adc_topk: quantile-seeded
     k-means codebooks (``iters`` Lloyd rounds unrolled as CTE pairs,
     means r6-rounded each round), encode, broadcast-LUT ADC top-5.
     ``rerank=N`` emits the pq_rerank_topk twin instead: ADC shortlist
-    of N, exact-cosine re-rank to the final top-5."""
+    of N, exact-cosine re-rank to the final top-5. ``sample_mod=S``
+    mirrors the sampled trainer: seeding + Lloyd read only rows with
+    h60(vec_id) % S == 0 (the portable md5 hash — bit-identical to the
+    Spark side); encode/LUT/ADC stay full-corpus."""
     d2 = (
         f"list_sum(list_transform(range(1, {d_sub + 1}), i -> "
         "(s.sv[i] - c.centroid[i]) * (s.sv[i] - c.centroid[i])))"
     )
+    train_src = "subv" if sample_mod is None else "subv_t"
+
+    def _pq_sample_cte(s: int | None) -> str:
+        if s is None:
+            return ""
+        h = "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        return f""", subv_t AS (
+        SELECT * FROM subv WHERE {h} % {s} = 0
+    )"""
 
     def means(name: str, src: str) -> str:
         return f"""
@@ -584,7 +597,7 @@ def _pq_oracle_sql(
             SELECT s.vec_id, s.subspace, s.sv, c.cell,
                    row_number() OVER (PARTITION BY s.vec_id, s.subspace
                        ORDER BY {d2}, c.cell) AS rk
-            FROM subv s JOIN {cb} c USING (subspace)
+            FROM {train_src} s JOIN {cb} c USING (subspace)
         ) WHERE rk = 1
     )"""
 
@@ -599,13 +612,13 @@ def _pq_oracle_sql(
     ), subv AS (
         SELECT vec_id, pos // {d_sub} AS subspace, list(x ORDER BY pos) AS sv
         FROM dims GROUP BY vec_id, pos // {d_sub}
-    ), a0 AS (
+    ){_pq_sample_cte(sample_mod)}, a0 AS (
         SELECT vec_id, subspace, sv,
                CAST(((row_number() OVER (PARTITION BY subspace
                                          ORDER BY sv[1], vec_id) - 1)
                      * {k_codes})
                     // (count(*) OVER (PARTITION BY subspace)) AS INT) AS cell
-        FROM subv
+        FROM {train_src}
     )"""
     ]
     prev = "a0"
@@ -673,7 +686,7 @@ def _pq_oracle_sql(
     return "".join(parts)
 
 
-_PQ_SQL = _pq_oracle_sql()
+_PQ_SQL = _pq_oracle_sql(sample_mod=4)
 
 
 @register(
@@ -695,7 +708,7 @@ def x_knn_pq_adc(spark, sf_dir):
     from sparkwrangle.ext.similarity import pq_adc_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    out = pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, train_sample_mod=4)
     return out.select(
         "query_id", "neighbor_id", r6("adc_dist").alias("adc_dist"), "rk"
     )
@@ -703,7 +716,7 @@ def x_knn_pq_adc(spark, sf_dir):
 
 @register(
     "x_knn_pq_rerank",
-    _pq_oracle_sql(rerank=20),
+    _pq_oracle_sql(rerank=20, sample_mod=4),
     doc="The recommended PQ query path, end to end: ADC shortlist at 4x "
     "over-fetch from the code scan, then EXACT cosine re-rank of just "
     "those candidates — the expensive math touches |Q|*20 vectors "
@@ -716,7 +729,9 @@ def x_knn_pq_rerank(spark, sf_dir):
     from sparkwrangle.ext.similarity import pq_rerank_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = pq_rerank_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, shortlist=20)
+    out = pq_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, shortlist=20, train_sample_mod=4
+    )
     return out.select(
         "query_id", "neighbor_id", r6("cos_sim").alias("cos_sim"), "rk"
     )
@@ -724,7 +739,7 @@ def x_knn_pq_rerank(spark, sf_dir):
 
 @register(
     "x_knn_ivfpq",
-    _pq_oracle_sql(route=True),
+    _pq_oracle_sql(route=True, sample_mod=4),
     doc="faiss-IVFPQ composition: the coarse cell (label, the IVF "
     "routing convention of x_knn_ivf_label) prunes the ADC scan to the "
     "query's cell and PQ compresses what remains — the costs MULTIPLY "
@@ -737,7 +752,8 @@ def x_knn_ivfpq(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     out = pq_adc_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=5, route_col="label"
+        emb, emb.filter(F.col("vec_id") < 5), k=5, route_col="label",
+        train_sample_mod=4,
     )
     return out.select(
         "query_id", "neighbor_id", r6("adc_dist").alias("adc_dist"), "rk"

@@ -383,6 +383,11 @@ def connected_components(
         und0 = edges.select("src", "dst").union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        # init is NOT checkpointed: its two consumers (the union branch
+        # and prop's join) sit in the SAME job, so ReuseExchange serves
+        # both from one materialization of the groupBy exchange — a
+        # separate checkpoint job would add a barrier to buy nothing
+        # (edges/all_ids below it are already materialized).
         init = (
             all_ids.select(
                 F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
@@ -390,7 +395,6 @@ def connected_components(
             .union(und0.select(F.col("src").alias("node"), F.col("dst").alias("lbl")))
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
         )
         prop = und0.join(init, und0["dst"] == init["node"]).select(
             F.col("src").alias("node"), F.col("lbl")

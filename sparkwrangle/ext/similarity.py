@@ -532,6 +532,72 @@ def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _r6_spark(x: float):
+    """Spark-identical round(x, 6): Spark's Round converts the double via
+    BigDecimal.valueOf (= Double.toString, the shortest decimal repr —
+    exactly Python's repr) then setScale(6, HALF_UP). Reproducing that
+    digit-for-digit keeps the pandas trainer's centroids bit-identical
+    to the relational/DuckDB chain."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def _pq_train_subspace_pdf(pdf, id_col: str, k_codes: int, iters: int, d_sub: int):
+    """One subspace's full quantile-seed + Lloyd chain in a single pandas
+    group (the sampled trainer bounds the group): identical math to the
+    relational form — rank by (sv[0], id) seeds cell = rank·k // n; each
+    round's means are _r6_spark-rounded; d2 is the LEFT-TO-RIGHT fold of
+    (x−c)² over dims (sequential loop over dims, vectorized over rows —
+    np.sum's pairwise order would diverge from both engines); argmin
+    ties break toward the lower cell id (strict < scan in cell order)."""
+    import numpy as np
+    import pandas as pd
+
+    sub = int(pdf["subspace"].iloc[0])
+    sv = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["sv"]])
+    ids = pdf[id_col].to_numpy()
+    order = np.lexsort((ids, sv[:, 0]))
+    sv = sv[order]
+    n = len(sv)
+    assign = (np.arange(n, dtype=np.int64) * k_codes) // n
+
+    def means_r6(asg):
+        out = {}
+        for c in np.unique(asg):
+            members = sv[asg == c]
+            out[int(c)] = [
+                _r6_spark(members[:, j].mean()) for j in range(d_sub)
+            ]
+        return out
+
+    def reassign(cb):
+        cells = sorted(cb)
+        best_d2 = None
+        best_c = None
+        for c in cells:
+            cent = cb[c]
+            acc = np.zeros(n)
+            for j in range(d_sub):
+                diff = sv[:, j] - cent[j]
+                acc = acc + diff * diff
+            if best_d2 is None:
+                best_d2, best_c = acc, np.full(n, c, dtype=np.int64)
+            else:
+                better = acc < best_d2  # strict: ties keep the lower cell
+                best_d2 = np.where(better, acc, best_d2)
+                best_c = np.where(better, c, best_c)
+        return best_c
+
+    for _ in range(iters):
+        assign = reassign(means_r6(assign))
+    cb = means_r6(assign)
+    return pd.DataFrame(
+        [(sub, c, cb[c]) for c in sorted(cb)],
+        columns=["subspace", "cell", "centroid"],
+    )
+
+
 def pq_codebooks(
     base: DataFrame,
     m: int = 8,
@@ -540,6 +606,8 @@ def pq_codebooks(
     vec_col: str = "embedding",
     k_codes: int = 16,
     iters: int = 2,
+    sample_mod: int | None = None,
+    pandas_trainer: bool = False,
 ) -> DataFrame:
     """Per-subspace PQ codebooks by deterministic k-means: seed each
     subspace's k_codes cells from equal-frequency QUANTILES of the
@@ -549,18 +617,60 @@ def pq_codebooks(
     reassignment is engine-identical; the same integer rank·k//n bucket
     math on both sides). Output: (subspace, cell, centroid).
 
-    The seeding rank is a per-subspace global sort — train codebooks on a
-    SAMPLE at 100 TB (codebook training is always sample-based; encoding
-    and ADC scans below are the full-corpus paths and never sort).
+    ``sample_mod=S`` trains on the deterministic hash-sample
+    ``h60(id) % S == 0`` (portable md5-based hash, mirrored verbatim in
+    the DuckDB oracles) — the honest 100 TB form: the seeding rank is a
+    per-subspace global sort, so the full-corpus trainer sorts the whole
+    corpus where the sampled trainer sorts a BOUNDED set (codebook
+    training is always sample-based at scale; encoding and ADC scans are
+    the full-corpus paths and never sort). The bounded sample also lets
+    the trainer partition by subspace alone (m partitions): every
+    downstream Lloyd key — window(subspace), groupBy(subspace, cell),
+    groupBy(id, subspace) — is subspace-prefixed, so EnsureRequirements
+    inserts ZERO further exchanges and the whole iterated chain runs as
+    one pipelined stage per aggregation instead of reshuffling per round.
     """
-    # Hash-partition the subvector table ONCE on the Lloyd-loop group key:
-    # every per-round _pq_assign joins a BROADCAST codebook (partitioning
-    # preserved) and then groups by exactly (id, subspace), so
-    # EnsureRequirements inserts no further exchange for any assign round —
-    # the only per-round barrier left is the means aggregation.
-    subs = _subspace_explode(base, id_col, vec_col, m, d_sub).repartition(
-        F.col(id_col), F.col("subspace")
-    )
+    if pandas_trainer and sample_mod is None:
+        raise ValueError(
+            "pandas_trainer requires sample_mod: a per-subspace pandas "
+            "group over the FULL corpus is unbounded (corpus/m rows in "
+            "one task) — only the hash-sample bounds it"
+        )
+    train = base
+    if sample_mod is not None:
+        from sparkwrangle.ext.hashing import h60
+
+        train = base.filter(
+            h60(F.col(id_col).cast("string")) % sample_mod == 0
+        )
+        if pandas_trainer:
+            # The sample bounds every per-subspace group, so the entire
+            # iterated chain runs as ONE applyInPandas stage (one shuffle,
+            # m parallel groups) instead of seed-window + per-round
+            # means/assign barriers. Bit-compatible with the relational
+            # chain (same rank seed, Spark-identical r6 means, same
+            # left-fold d2 and lower-cell tiebreak) — pinned by test.
+            subs = _subspace_explode(train, id_col, vec_col, m, d_sub)
+            return subs.groupBy("subspace").applyInPandas(
+                lambda pdf: _pq_train_subspace_pdf(
+                    pdf, id_col, k_codes, iters, d_sub
+                ),
+                "subspace int, cell int, centroid array<double>",
+            )
+        subs = _subspace_explode(train, id_col, vec_col, m, d_sub).repartition(
+            m, F.col("subspace")
+        )
+    else:
+        # Full-corpus trainer: hash-partition the subvector table ONCE on
+        # the Lloyd-loop group key: every per-round _pq_assign joins a
+        # BROADCAST codebook (partitioning preserved) and then groups by
+        # exactly (id, subspace), so EnsureRequirements inserts no further
+        # exchange for any assign round — the only per-round barrier left
+        # is the means aggregation. (Partitioning by subspace alone would
+        # put corpus/m rows in one partition — only legal on a sample.)
+        subs = _subspace_explode(train, id_col, vec_col, m, d_sub).repartition(
+            F.col(id_col), F.col("subspace")
+        )
     w = Window.partitionBy("subspace").orderBy(
         F.asc(F.col("sv")[0]), F.asc(id_col)
     )
@@ -630,6 +740,7 @@ def pq_adc_topk(
     k_codes: int = 16,
     iters: int = 2,
     route_col: str | None = None,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: train codebooks → encode
     the base ONCE → per query, precompute the (subspace, code) → distance
@@ -653,8 +764,18 @@ def pq_adc_topk(
     The codebook is materialized once (``localCheckpoint`` — m·K rows):
     both consumers (base encode, query LUT) would otherwise re-run the
     whole iterated training chain; at scale the codebook persists as a
-    table and this is a read."""
-    cb = pq_codebooks(base, m, d_sub, id_col, vec_col, k_codes, iters).localCheckpoint()
+    table and this is a read. (Two measured dead ends at sf0.1: the
+    literal-inlined map-side encode — building its 128-centroid
+    expression tree through py4j per call is 3× slower end-to-end than
+    the relational encode — and collect+createDataFrame in place of the
+    checkpoint, which adds a driver round-trip per query.)"""
+    cb = pq_codebooks(
+        base, m, d_sub, id_col, vec_col, k_codes, iters,
+        sample_mod=train_sample_mod,
+        # sampled ⇒ bounded groups ⇒ the one-stage pandas chain (2× the
+        # relational trainer's speed, bit-identical output — pinned)
+        pandas_trainer=train_sample_mod is not None,
+    ).localCheckpoint()
     codes = pq_encode_long(base, cb, m, d_sub, id_col, vec_col)
     q_subs = _subspace_explode(queries, id_col, vec_col, m, d_sub)
     lut = q_subs.join(F.broadcast(cb), "subspace").select(
@@ -752,6 +873,7 @@ def pq_rerank_topk(
     vec_col: str = "embedding",
     k_codes: int = 16,
     iters: int = 2,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """The recommended PQ query path: ADC SHORTLIST (cheap, quantized,
     over-fetched ``shortlist`` candidates from the code scan) + EXACT
@@ -763,6 +885,7 @@ def pq_rerank_topk(
     short = pq_adc_topk(
         base, queries, k=shortlist, m=m, d_sub=d_sub,
         id_col=id_col, vec_col=vec_col, k_codes=k_codes, iters=iters,
+        train_sample_mod=train_sample_mod,
     ).select("query_id", "neighbor_id")
     b = base.select(
         F.col(id_col).alias("neighbor_id"),

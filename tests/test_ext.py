@@ -709,6 +709,67 @@ def test_pq_adc_recall_and_codes(spark):
     assert recall >= 0.4, f"PQ ADC recall {recall}"
 
 
+def test_pq_sampled_pandas_trainer_matches_relational(spark):
+    """The one-stage applyInPandas trainer (sampled groups, whole Lloyd
+    chain per subspace in one task) is BIT-IDENTICAL to the relational
+    seed-window + per-round means/assign chain on the same hash-sample —
+    the equivalence the catalog's PQ oracles rest on. Also pins the
+    guard: pandas_trainer without a bounding sample is an error."""
+    import pytest
+
+    from sparkwrangle.ext.similarity import pq_codebooks
+    from sparkwrangle.io import load_table
+    from conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    rel = sorted(
+        (r.subspace, r.cell, tuple(r.centroid))
+        for r in pq_codebooks(emb, sample_mod=4).collect()
+    )
+    pdt = sorted(
+        (r.subspace, r.cell, tuple(r.centroid))
+        for r in pq_codebooks(emb, sample_mod=4, pandas_trainer=True).collect()
+    )
+    assert rel == pdt
+    assert len(rel) >= 8 * 2
+
+    with pytest.raises(ValueError, match="sample_mod"):
+        pq_codebooks(emb, pandas_trainer=True)
+
+
+def test_pq_rerank_sampled_trainer_recall_on_clustered_data(spark):
+    """Re-baseline for the sampled trainer: on data WITH cluster structure
+    (the geometry PQ exists for), shortlist-20 + exact re-rank still
+    recovers most of the brute-force top-5 even when codebooks were
+    trained on a quarter hash-sample (~50 of 200 vectors), and the
+    over-fetch knob restores FULL recall: measured 0.875 at shortlist
+    20, 1.0 at shortlist 40 — quantization only shapes the shortlist;
+    the re-rank math is exact. (On the driver's near-orthogonal noise
+    embeddings the shortlist recall is structurally low for ANY trainer —
+    the catalog oracles pin those results by replay, not by recall.)"""
+    from sparkwrangle.ext.similarity import cosine_topk, pq_rerank_topk
+
+    emb = _clustered_embeddings(spark)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(shortlist):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_rerank_topk(
+                emb, queries, k=5, shortlist=shortlist, m=8, d_sub=2,
+                train_sample_mod=4,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    assert recall(20) >= 0.8
+    assert recall(40) == 1.0
+
+
 def test_pq_encode_mapside_matches_join_form(spark):
     """The streaming-legal literal-fold encoder is bit-identical to the
     join+window argmin, including exact-tie cells (first strict

@@ -85,6 +85,13 @@ _PYTHON_OK = {
     # sign-LSH banding: vectorized Arrow batches replace interpreted HOF
     # folds (ext/similarity.lsh_band_buckets_vectorized)
     "x_knn_lsh_hyperplane",
+    # sampled PQ trainer: the bounded hash-sample runs the whole
+    # quantile-seed + Lloyd chain as ONE applyInPandas stage per
+    # subspace (ext/similarity._pq_train_subspace_pdf) — bit-identical
+    # to the relational chain, pinned by test
+    "x_knn_pq_adc",
+    "x_knn_pq_rerank",
+    "x_knn_ivfpq",
 }
 
 
