@@ -36,8 +36,27 @@ def main() -> None:
     spark = get_spark("sparkwrangle-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: boot executors + codegen paths once.
+    # Warmup: absorb ONE-TIME session machinery costs so per-query numbers
+    # measure the plans, not session boot — the parquet reader (via a real
+    # catalog scan), plus a SYNTHETIC plan (not any timed query) touching
+    # each machinery class once: createDataFrame, a window, a broadcast
+    # join, localCheckpoint, the python-worker fork for pandas UDFs, and
+    # the noop sink itself. Without this, the first timed query of each
+    # class silently carries its init (measured ~1s extra on the first
+    # .save(), ~1s on the first applyInPandas worker fork).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     CATALOG["a_scan_pushdown"].fn(spark, sf_dir).count()
+    _wdf = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "k int, v double")
+    _wj = (
+        _wdf.join(F.broadcast(_wdf.select("k")), "k")
+        .withColumn("r", F.row_number().over(Window.partitionBy("k").orderBy("v")))
+    )
+    _wj.localCheckpoint().write.format("noop").mode("overwrite").save()
+    _wdf.groupBy("k").applyInPandas(
+        lambda pdf: pdf, "k int, v double"
+    ).write.format("noop").mode("overwrite").save()
 
     # Opt-in repetitions for local measurement on noisy hosts (this box's
     # effective speed fluctuates several-fold between windows — NOTES.md).

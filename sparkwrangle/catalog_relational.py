@@ -1241,6 +1241,40 @@ def c_asof_nearest(spark, sf_dir):
 
 
 @register(
+    "c_asof_tolerance",
+    _ASOF_UNION_SQL
+    + """
+    SELECT event_id, user_id,
+           round(CASE WHEN (epoch(CAST(ts AS TIMESTAMP))
+                            - epoch(CAST(bts AS TIMESTAMP))) <= 3600.0
+                      THEN bv END, 6) AS rate_1h
+    FROM framed WHERE src = 1
+    """,
+    doc="As-of join with a TOLERANCE bound (pandas merge_asof tolerance): "
+    "each click snaps to the latest purchase value at or before it, but "
+    "matches staler than 1 hour become NULL — the staleness guard every "
+    "market-data as-of needs (a quote from yesterday must not price "
+    "today's trade). Same one-shuffle union idiom; the bound is a scalar "
+    "predicate on the matched timestamp, not a second join.",
+)
+def c_asof_tolerance(spark, sf_dir):
+    from sparkwrangle.ops.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("rate")
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], value_col="rate",
+        direction="backward", tolerance_seconds=3600.0, out_col="rate_1h",
+    )
+    return out.select("event_id", "user_id", r6("rate_1h").alias("rate_1h"))
+
+
+@register(
     "tpch_q13_order_distribution",
     """
     SELECT c_count, count(*) AS custdist

@@ -151,7 +151,8 @@ def test_random_feeds(spark, tmp_path, seed):
 _EVENTS_ONLY = [
     "a_plot_downsample", "a_rows_to_table", "b_eligibility_filter", "b_ffill_gaps",
     "b_time_of_day_band", "b_time_range_projection", "c_asof_forward",
-    "c_asof_nearest", "c_asof_union_ffill", "c_block_range_join",
+    "c_asof_nearest", "c_asof_tolerance", "c_asof_union_ffill",
+    "c_block_range_join",
     "c_positional_join", "d_compounded_return", "d_conditional_trade_stats",
     "d_corr_stats", "d_day_of_month_quirk", "d_exceedance_share",
     "d_final_above_share", "d_first_last_span", "d_per_day_portfolio_total",
