@@ -839,6 +839,68 @@ def test_decode_png_roundtrip_and_errors():
         decode_png(bytes(b2))
 
 
+def test_decode_jpeg_roundtrip_and_errors():
+    """decode_jpeg parses what encode_jpeg_deterministic writes — real
+    Annex-K Huffman entropy decode with byte unstuffing and restart
+    markers — and refuses corrupt or unsupported payloads. Spec-known
+    code values guard against a shared encoder/decoder bug: the
+    canonical Annex-K luminance EOB code is 1010 (length 4) and DC
+    category 0 is 00 (length 2)."""
+    import pytest as _pytest
+
+    from sparkwrangle.ext.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _huff_canonical,
+        decode_jpeg,
+        encode_jpeg_deterministic,
+    )
+
+    # spec facts (ITU-T T.81 Annex K), not implementation echoes
+    assert _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)[0x00] == (0b1010, 4)
+    assert _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)[0] == (0b00, 2)
+
+    for doc_id in [0, 1, 2, 3, 7, 12, 37, 100, 255, 1000003]:
+        b = encode_jpeg_deterministic(doc_id)
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        w, h, psum, pcnt = decode_jpeg(b)
+        assert (w, h) == (8 * (2 + doc_id % 3), 8 * (1 + doc_id % 4))
+        assert pcnt == w * h
+        expected = sum(
+            64 * ((7 * doc_id + 13 * bx + 29 * by) % 256)
+            for bx in range(w // 8)
+            for by in range(h // 8)
+        )
+        assert psum == expected
+    # doc 7 has 3x4=12 blocks with DRI=4 -> restart markers exercised
+    assert any(
+        bytes([0xFF, 0xD0 + i]) in encode_jpeg_deterministic(7) for i in range(8)
+    )
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    # flipping a bit inside the entropy stream corrupts the Huffman walk:
+    # the decode must either raise or produce a DIFFERENT pixel sum
+    # (silent agreement would mean the stream was never really decoded)
+    good = encode_jpeg_deterministic(7)  # 12 blocks -> long entropy stream
+    sos = good.index(b"\xff\xda")
+    tampered = bytearray(good)
+    tampered[sos + 12] ^= 0x10  # SOS segment is 10 bytes; +12 is entropy data
+    try:
+        assert decode_jpeg(bytes(tampered))[2] != decode_jpeg(good)[2]
+    except ValueError:
+        pass
+    # progressive SOF refused
+    prog = bytearray(good)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
+    # truncated entropy stream refused
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:sos + 8])
+
+
 def test_pq_index_persistence_parity(spark, tmp_path):
     """The persisted PQ index (tools/ann.py lifecycle: codebooks +
     codes written to parquet, reloaded for querying) answers exactly

@@ -77,6 +77,7 @@ _PYTHON_OK = {
     "x_multimodal_bmp_decode",  # binary synth + real BMP parse, Arrow-batched
     "x_multimodal_wav_decode",  # binary synth + real RIFF/PCM parse
     "x_multimodal_png_decode",  # binary synth + real zlib/unfilter decode
+    "x_multimodal_jpeg_decode",  # binary synth + real Huffman/IDCT decode
     "x_frame_sampling",
     # dense numeric kernel: one BLAS GEMM per cell beats the relational
     # pair join 10× (see ext/similarity.embedding_neardup_pairs_gemm)

@@ -177,7 +177,7 @@ _EVENTS_ONLY = [
 
 
 def test_events_only_queries_generalize_to_synthetic_feed(spark, tmp_path):
-    """58 oracle queries over the events table hash-match DuckDB on a
+    """59 oracle queries over the events table hash-match DuckDB on a
     seeded random feed the driver never generated — operator semantics
     hold for the DATA CLASS, not one corpus instance."""
     rng = np.random.RandomState(9)
@@ -237,7 +237,8 @@ _DOCS_EMB_ONLY = [
     "x_knn_ivf_label", "x_knn_ivf_trained", "x_knn_ivfpq",
     "x_knn_lsh_hyperplane", "x_knn_pq_adc", "x_knn_pq_rerank", "x_lang_id",
     "x_length_histogram", "x_minhash_jaccard_est", "x_multimodal_bmp_decode",
-    "x_multimodal_features", "x_multimodal_meta", "x_multimodal_png_decode",
+    "x_multimodal_features", "x_multimodal_jpeg_decode", "x_multimodal_meta",
+    "x_multimodal_png_decode",
     "x_multimodal_wav_decode", "x_negative_sampling", "x_pii_redact",
     "x_quality_prune",
     "x_quality_score", "x_repetition_stats", "x_semantic_dedup",
@@ -252,7 +253,7 @@ _DOCS_EMB_ONLY = [
 
 
 def test_llm_pipeline_queries_generalize_to_synthetic_corpus(spark, tmp_path):
-    """68 LLM-pipeline oracle queries (the whole dedup / ANN / text /
+    """69 LLM-pipeline oracle queries (the whole dedup / ANN / text /
     multimodal x_ family) hash-match DuckDB on a fully SYNTHETIC corpus —
     random multilingual word salad with planted near-dups and random
     embeddings the driver never generated."""
