@@ -1064,6 +1064,93 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
 
 
 @register(
+    "x_image_resize",
+    """
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, ox.x AS x, oy.y AS y
+        FROM dims,
+             unnest(range(0, 8)) AS ox(x),
+             unnest(range(0, 6)) AS oy(y)
+    ), mapped AS (
+        SELECT doc_id,
+               (x * w) // 8 AS sx,
+               h - 1 - ((y * h) // 6) AS yf
+        FROM px
+    )
+    SELECT doc_id, 'image/bmp' AS media_type,
+           CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+           CAST(sum((doc_id + 7*sx + 13*yf) % 256
+                    + (3*doc_id + sx) % 256
+                    + (sx*yf + doc_id) % 256) AS BIGINT) AS px_sum
+    FROM mapped GROUP BY doc_id
+    """,
+    doc="North-star multimodal RESIZE: each BMP payload nearest-neighbor "
+    "resampled to a fixed 8x6 thumbnail grid on executors "
+    "(ext/multimodal.resize_bmp_nearest) — integer index math only "
+    "(src = dst*src_dim // out_dim), honoring BMP's bottom-up row "
+    "order (image row iy lives at file row h-1-iy; a resizer that "
+    "skips the flip samples the wrong rows and fails the hash). The "
+    "oracle aggregates the same closed form without touching bytes.",
+)
+def x_image_resize(spark, sf_dir):
+    from sparkwrangle.ext.multimodal import attach_bmp_payload, resize_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return resize_features(attach_bmp_payload(docs))
+
+
+@register(
+    "x_audio_features",
+    """
+    WITH d2 AS (SELECT doc_id, 32 + doc_id % 41 AS n FROM documents),
+    samp AS (
+        SELECT doc_id, n, i.i AS i,
+               ((31*doc_id + 17*i.i) % 65536) - 32768 AS s
+        FROM d2, unnest(range(0, n)) AS i(i)
+    ), agg AS (
+        SELECT doc_id, n, sum(s*s) AS energy, max(abs(s)) AS peak,
+               sum(s) AS total
+        FROM samp GROUP BY doc_id, n
+    ), zc AS (
+        SELECT doc_id,
+               sum(CASE WHEN (s * n < total)
+                        <> (sprev * n < total) THEN 1 ELSE 0 END) AS zcr
+        FROM (
+            SELECT sm.doc_id, sm.n, sm.s,
+                   ((31*sm.doc_id + 17*(sm.i - 1)) % 65536) - 32768 AS sprev,
+                   a.total
+            FROM samp sm JOIN agg a USING (doc_id)
+            WHERE sm.i >= 1
+        ) GROUP BY doc_id
+    )
+    SELECT a.doc_id, 'audio/wav' AS media_type,
+           CAST(a.n AS BIGINT) AS n_samples,
+           CAST(a.energy AS BIGINT) AS energy,
+           CAST(a.peak AS BIGINT) AS peak,
+           CAST(coalesce(z.zcr, 0) AS BIGINT) AS zcr,
+           round(sqrt(CAST(a.energy AS DOUBLE) / a.n), 6) AS rms
+    FROM agg a LEFT JOIN zc z USING (doc_id)
+    """,
+    doc="North-star multimodal AUDIO feature extraction: real DSP over "
+    "the decoded PCM samples (ext/multimodal.audio_features) — total "
+    "energy, peak amplitude, DC-removed zero-crossing count (sign "
+    "flips about the sample mean, compared integer-exactly as s*n < "
+    "sum(s) so neither engine divides), and RMS. The oracle replays "
+    "the sample closed form arithmetically (the previous sample is "
+    "recomputed in closed form — no window needed); integer features "
+    "are engine-exact, rms is one sqrt of an exact ratio.",
+)
+def x_audio_features(spark, sf_dir):
+    from sparkwrangle.ext.multimodal import attach_wav_payload, audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_features(attach_wav_payload(docs))
+
+
+@register(
     "x_dedup_pipeline_end_to_end",
     _minhash_sql(16)
     + f"""

@@ -925,3 +925,129 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
         _extract,
         "doc_id long, media_type string, width int, height int, px_mean double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Image resize + audio feature extraction — the remaining two verbs of the
+# north-star multimodal list (decode / feature-extract / RESIZE /
+# frame-sample) as Arrow-batched executors-side kernels.
+# ---------------------------------------------------------------------------
+
+
+def resize_bmp_nearest(b: bytes, out_w: int, out_h: int) -> tuple[int, int, int]:
+    """Nearest-neighbor resize of a decoded 24-bpp BMP to (out_w, out_h):
+    src_x = (x·w) // out_w, src_y = (y·h) // out_h over IMAGE coordinates
+    (BMP stores rows bottom-up for positive heights — image row iy lives
+    at file row h−1−iy; a resizer that skips the flip samples the wrong
+    rows and fails the closed-form oracle). Returns (out_w, out_h,
+    channel_byte_sum over the resized grid). Integer index math only —
+    no interpolation arithmetic to diverge between engines."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", b, 10)
+    width, height = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    h = abs(height)
+    bottom_up = height > 0
+    stride = (3 * width + 3) & ~3
+    total = 0
+    for y in range(out_h):
+        sy = (y * h) // out_h  # image row
+        fy = (h - 1 - sy) if bottom_up else sy  # file row
+        row_start = offset + fy * stride
+        for x in range(out_w):
+            sx = (x * width) // out_w
+            p = row_start + 3 * sx
+            if p + 3 > len(b):
+                raise ValueError("truncated BMP pixel array")
+            total += b[p] + b[p + 1] + b[p + 2]
+    return out_w, out_h, total
+
+
+def resize_features(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
+    """(doc_id, media_type, width, height, px_sum): each BMP payload
+    nearest-neighbor-resized to a fixed thumbnail grid, Arrow-batched."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = []
+            for raw in pdf["payload"]:
+                _, _, total = resize_bmp_nearest(bytes(raw), out_w, out_h)
+                sums.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [out_w] * len(pdf),
+                    "height": [out_h] * len(pdf),
+                    "px_sum": sums,
+                }
+            )
+
+    return media.mapInPandas(
+        _extract,
+        "doc_id long, media_type string, width int, height int, px_sum long",
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, n_samples, energy, peak, zcr, rms): real DSP
+    features over the decoded PCM samples — total energy Σs², peak
+    |s|max, DC-removed zero crossings (sign flips about the sample MEAN,
+    the standard practice; tested integer-exactly as s·n < Σs so both
+    engines compare without a float division), and RMS — numpy over
+    Arrow batches. energy/peak/zcr are engine-exact integers; rms is
+    one sqrt of an exact ratio, r6-rounded on both engines."""
+    import math
+
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            ns, energies, peaks, zcrs, rmss = [], [], [], [], []
+            for raw in pdf["payload"]:
+                b = bytes(raw)
+                n_samp, _, _, n_ch = decode_wav(b)
+                # re-walk to the data chunk for the raw samples
+                pos = 12
+                data = None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (csize,) = struct.unpack_from("<I", b, pos + 4)
+                    if cid == b"data":
+                        data = b[pos + 8 : pos + 8 + csize]
+                    pos += 8 + csize + (csize & 1)
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n = len(s)
+                energy = int((s * s).sum())
+                below = s * n < int(s.sum())  # s_i < mean, integer-exact
+                zcr = int((below[1:] != below[:-1]).sum())
+                ns.append(n // n_ch)
+                energies.append(energy)
+                peaks.append(int(np.abs(s).max()) if n else 0)
+                zcrs.append(zcr)
+                rmss.append(round(math.sqrt(energy / n), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_samples": ns,
+                    "energy": energies,
+                    "peak": peaks,
+                    "zcr": zcrs,
+                    "rms": rmss,
+                }
+            )
+
+    return media.mapInPandas(
+        _extract,
+        "doc_id long, media_type string, n_samples long, energy long, "
+        "peak long, zcr long, rms double",
+    )

@@ -901,6 +901,80 @@ def test_decode_jpeg_roundtrip_and_errors():
         decode_jpeg(good[:sos + 8])
 
 
+def test_resize_bmp_nearest_semantics():
+    """Nearest-neighbor resize honors BMP bottom-up row order (image row
+    iy = file row h−1−iy): the resized sum matches the flipped closed
+    form and differs from the unflipped one whenever the image is not
+    row-symmetric; identity resize returns the full pixel sum; errors on
+    non-BMP input."""
+    import pytest as _pytest
+
+    from sparkwrangle.ext.multimodal import (
+        decode_bmp,
+        encode_bmp_deterministic,
+        resize_bmp_nearest,
+    )
+
+    for did in [1, 5, 12, 77, 1234]:
+        w, h = 4 + did % 13, 3 + did % 7
+        b = encode_bmp_deterministic(did)
+        _, _, total = resize_bmp_nearest(b, 8, 6)
+        flipped = sum(
+            (did + 7 * ((x * w) // 8) + 13 * (h - 1 - ((y * h) // 6))) % 256
+            + (3 * did + ((x * w) // 8)) % 256
+            + (((x * w) // 8) * (h - 1 - ((y * h) // 6)) + did) % 256
+            for x in range(8)
+            for y in range(6)
+        )
+        assert total == flipped
+        # identity resize reproduces the decoder's full pixel sum
+        _, _, full = resize_bmp_nearest(b, w, h)
+        assert full == decode_bmp(b)[2]
+    # unflipped reading would differ on an asymmetric image (did=5: h=8)
+    did, w, h = 5, 4 + 5 % 13, 3 + 5 % 7
+    unflipped = sum(
+        (did + 7 * ((x * w) // 8) + 13 * ((y * h) // 6)) % 256
+        + (3 * did + ((x * w) // 8)) % 256
+        + (((x * w) // 8) * ((y * h) // 6) + did) % 256
+        for x in range(8)
+        for y in range(6)
+    )
+    assert resize_bmp_nearest(encode_bmp_deterministic(did), 8, 6)[2] != unflipped
+    with _pytest.raises(ValueError):
+        resize_bmp_nearest(b"nope", 8, 6)
+
+
+def test_audio_features_zcr_counts_oscillations(spark):
+    """The DC-removed zero-crossing count really counts sign flips about
+    the mean: a hand-built square-wave WAV (+1000/−1000 alternating every
+    4 samples) has exactly n/4 − 1 crossings; energy and rms are exact."""
+    import struct
+
+    from sparkwrangle.ext.multimodal import audio_features
+
+    n = 32
+    samples = [1000 if (i // 4) % 2 == 0 else -1000 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(wav))],
+        "doc_id long, media_type string, payload binary",
+    )
+    row = audio_features(media).collect()[0]
+    assert row.n_samples == n
+    assert row.energy == n * 1000 * 1000
+    assert row.zcr == n // 4 - 1  # 7 flips across the 8 blocks
+    assert row.peak == 1000
+    assert abs(row.rms - 1000.0) < 1e-9
+
+
 def test_pq_index_persistence_parity(spark, tmp_path):
     """The persisted PQ index (tools/ann.py lifecycle: codebooks +
     codes written to parquet, reloaded for querying) answers exactly

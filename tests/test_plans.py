@@ -78,6 +78,8 @@ _PYTHON_OK = {
     "x_multimodal_wav_decode",  # binary synth + real RIFF/PCM parse
     "x_multimodal_png_decode",  # binary synth + real zlib/unfilter decode
     "x_multimodal_jpeg_decode",  # binary synth + real Huffman/IDCT decode
+    "x_image_resize",  # nearest-neighbor BMP resample, Arrow-batched
+    "x_audio_features",  # PCM DSP features (energy/peak/zcr/rms)
     "x_frame_sampling",
     # dense numeric kernel: one BLAS GEMM per cell beats the relational
     # pair join 10× (see ext/similarity.embedding_neardup_pairs_gemm)

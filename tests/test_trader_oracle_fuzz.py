@@ -230,6 +230,7 @@ _DOCS_EMB_ONLY = [
     "x_dedup_lsh_recall_audit", "x_dedup_minhash_lsh",
     "x_dedup_minhash_mapside", "x_dedup_minhash_sigs",
     "x_dedup_ngram_jaccard", "x_dedup_pipeline_end_to_end",
+    "x_audio_features", "x_image_resize",
     "x_dedup_simhash", "x_doc_chunking", "x_doc_fingerprint",
     "x_embedding_neardup", "x_embedding_normalize", "x_embedding_quantize",
     "x_epoch_shuffle", "x_feature_hashing", "x_frame_sampling",
@@ -253,7 +254,7 @@ _DOCS_EMB_ONLY = [
 
 
 def test_llm_pipeline_queries_generalize_to_synthetic_corpus(spark, tmp_path):
-    """69 LLM-pipeline oracle queries (the whole dedup / ANN / text /
+    """71 LLM-pipeline oracle queries (the whole dedup / ANN / text /
     multimodal x_ family) hash-match DuckDB on a fully SYNTHETIC corpus —
     random multilingual word salad with planted near-dups and random
     embeddings the driver never generated."""
