@@ -177,7 +177,7 @@ _EVENTS_ONLY = [
 
 
 def test_events_only_queries_generalize_to_synthetic_feed(spark, tmp_path):
-    """59 oracle queries over the events table hash-match DuckDB on a
+    """63 oracle queries over the events table hash-match DuckDB on a
     seeded random feed the driver never generated — operator semantics
     hold for the DATA CLASS, not one corpus instance."""
     rng = np.random.RandomState(9)
@@ -254,7 +254,7 @@ _DOCS_EMB_ONLY = [
 
 
 def test_llm_pipeline_queries_generalize_to_synthetic_corpus(spark, tmp_path):
-    """71 LLM-pipeline oracle queries (the whole dedup / ANN / text /
+    """74 LLM-pipeline oracle queries (the whole dedup / ANN / text /
     multimodal x_ family) hash-match DuckDB on a fully SYNTHETIC corpus —
     random multilingual word salad with planted near-dups and random
     embeddings the driver never generated."""
