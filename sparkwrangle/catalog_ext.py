@@ -2012,6 +2012,85 @@ def x_bigram_stats(spark, sf_dir):
 
 
 @register(
+    "x_perplexity_prune",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks WHERE len(t) >= 2
+    ),
+    bc AS (SELECT bigram, count(*) AS n12 FROM big GROUP BY bigram),
+    uni AS (
+        SELECT split_part(bigram, ' ', 1) AS w1, sum(n12) AS n1
+        FROM bc GROUP BY 1
+    ),
+    probs AS (
+        SELECT bigram, CAST(n12 AS DOUBLE) / n1 AS p
+        FROM bc JOIN uni ON split_part(bc.bigram, ' ', 1) = uni.w1
+    ),
+    lp AS (
+        SELECT b.doc_id, count(*) AS n_bigrams,
+               CAST(sum(CAST(ln(p) AS DECIMAL(25,15))) AS DOUBLE)
+                   / count(*) AS alp
+        FROM big b JOIN probs USING (bigram)
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(alp, 6) AS avg_logp,
+           round(exp(-alp), 6) AS ppl,
+           round(exp(-alp), 6) <= 32.0 AS kept
+    FROM lp
+    """,
+    doc="LM-perplexity pruning (the CCNet-class curation filter): score "
+    "each document by its average bigram log-probability under the "
+    "corpus's own bigram LM — p(w2|w1) = c(w1 w2)/c(w1 ·) — and keep "
+    "docs whose perplexity exp(-avg_logp) is below the threshold "
+    "(word-salad and template-spam score high). Plan shape: the "
+    "bigram stream is map-side (zipped slices), counts/denominators "
+    "aggregate the vocabulary-sized tables, the probability join back "
+    "onto the corpus stream is the one corpus-sized shuffle, and the "
+    "per-doc average is a DECIMAL(25,15) accumulator — order-invariant "
+    "across partitions and engines (a naive float sum of ln values is "
+    "not associative). At 100 TB the LM tables are vocabulary-sized "
+    "(AQE broadcasts them when small) and everything else is one pass.",
+)
+def x_perplexity_prune(spark, sf_dir):
+    from sparkwrangle.ext.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    big = shingles(docs, "doc_id", "text", n=2, distinct=False).select(
+        "doc_id", F.col("shingle").alias("bigram")
+    )
+    bc = big.groupBy("bigram").agg(F.count("*").alias("n12"))
+    w1 = F.split(F.col("bigram"), " ")[0]
+    uni = bc.groupBy(w1.alias("w1")).agg(F.sum("n12").alias("n1"))
+    probs = bc.join(uni, w1 == F.col("w1")).select(
+        "bigram", (F.col("n12").cast("double") / F.col("n1")).alias("p")
+    )
+    lp = (
+        big.join(probs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum(F.log("p").cast("decimal(25,15)")).cast("double")
+                / F.count("*")
+            ).alias("alp"),
+        )
+    )
+    ppl = r6(F.exp(-F.col("alp")))
+    return lp.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        r6(F.col("alp")).alias("avg_logp"),
+        ppl.alias("ppl"),
+        (ppl <= 32.0).alias("kept"),
+    )
+
+
+@register(
     "x_bpe_pair_counts",
     f"""
     WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),

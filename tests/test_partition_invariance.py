@@ -48,6 +48,7 @@ QUERIES = [
     "x_pagerank_centrality",    # decimal-accumulated power iteration
     "x_bpe_segment",            # trained-vocab broadcast encode counts
     "x_token_entropy",          # decimal-accumulated c·ln(c) sums
+    "x_perplexity_prune",       # decimal-accumulated per-doc ln(p) average
     "x_frequent_pairs",         # basket self-join support + lift
     "x_histogram_quantiles",    # combinable bin counts + interpolation
     "x_grouped_quantiles",      # keyed bin counts + per-key windows

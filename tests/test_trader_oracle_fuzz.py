@@ -254,7 +254,7 @@ _DOCS_EMB_ONLY = [
 
 
 def test_llm_pipeline_queries_generalize_to_synthetic_corpus(spark, tmp_path):
-    """74 LLM-pipeline oracle queries (the whole dedup / ANN / text /
+    """75 LLM-pipeline oracle queries (the whole dedup / ANN / text /
     multimodal x_ family) hash-match DuckDB on a fully SYNTHETIC corpus —
     random multilingual word salad with planted near-dups and random
     embeddings the driver never generated."""
