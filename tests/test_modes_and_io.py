@@ -98,3 +98,31 @@ def test_compact_table_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(p)
     assert got.count() == 10000
     assert got.agg(F.sum("id")).collect()[0][0] == want
+
+
+def test_register_views_reports_skipped_tables(spark, tmp_path):
+    """A partial dataset surfaces its missing tables UP FRONT: the
+    present tables register as views, the absent ones come back in the
+    returned skip list (with a warning), instead of a later confusing
+    'table not found' at query time."""
+    import shutil
+    import warnings
+
+    from conftest import SF_SMOKE
+
+    from sparkwrangle.io import TABLES, register_views
+
+    d = str(tmp_path / "partial")
+    import os
+
+    os.makedirs(d)
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{d}/events.parquet")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        skipped = register_views(spark, d)
+    assert "events" not in skipped
+    assert set(skipped) == set(TABLES) - {"events"}
+    assert any("missing parquet" in str(x.message) for x in w)
+    assert spark.sql("SELECT count(*) FROM events").collect()[0][0] > 0
+    # full dataset: nothing skipped
+    assert register_views(spark, SF_SMOKE) == []
