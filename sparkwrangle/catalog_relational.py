@@ -1543,6 +1543,61 @@ def q_scd2_intervals(spark, sf_dir):
 
 
 @register(
+    "c_temporal_scd2_join",
+    """
+    WITH dim AS (
+        SELECT user_id, value AS rate, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, round(d.rate, 6) AS asof_rate
+    FROM events c
+    LEFT JOIN dim d
+      ON d.user_id = c.user_id
+     AND c.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+    WHERE c.event_type = 'click'
+    """,
+    doc="Temporal dimension join: facts (clicks) enriched by the SCD2 "
+    "version valid AS OF the fact's timestamp — the warehouse-standard "
+    "interval-join expression of as-of semantics (vs the union+ffill "
+    "idiom of c_asof_union_ffill, which it must agree with: [valid_from, "
+    "valid_to) half-open intervals are disjoint per key, so each fact "
+    "matches at most one version; a same-ts double version collapses to "
+    "a zero-width interval that never matches — deterministic on both "
+    "engines). One shuffle per side on the dimension key; the range "
+    "predicate rides the user_id sort-merge join.",
+)
+def c_temporal_scd2_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # the lead must order exactly like the oracle: (ts, event_id)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value", "ts")
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("value").alias("rate"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = clicks.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.select("event_id", "user_id", r6(F.col("rate")).alias("asof_rate"))
+
+
+@register(
     "h_struct_map_suite",
     f"""
     WITH per AS (

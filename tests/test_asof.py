@@ -70,3 +70,40 @@ def test_asof_matches_pandas(spark, frames, direction, tol):
             assert g is None or pd.isna(g), f"row {i} ({direction}, tol={tol})"
         else:
             assert abs(g - e) < 1e-12, f"row {i} ({direction}, tol={tol})"
+
+
+def test_temporal_scd2_join_agrees_with_asof_backward(spark):
+    """Two expressions of the same semantics must agree row-for-row on
+    the real corpus: the SCD2 interval join (c_temporal_scd2_join) and
+    the union+ffill backward as-of (asof_join) both snap each click to
+    the latest purchase value at or before it."""
+    from conftest import SF_ORACLE
+
+    from sparkwrangle.catalog import CATALOG
+    from sparkwrangle.io import load_table
+    from sparkwrangle.ops.joins import asof_join
+
+    import pyspark.sql.functions as F
+
+    got = {
+        (r.event_id, r.user_id): r.asof_rate
+        for r in CATALOG["c_temporal_scd2_join"].fn(spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("rate")
+    )
+    want = {
+        (r.event_id, r.user_id): (None if r.rate is None else round(r.rate, 6))
+        for r in asof_join(
+            clicks, purchases, on="ts", by=["user_id"], value_col="rate",
+            direction="backward",
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        g = got[k]
+        assert (g is None and v is None) or abs(g - v) < 1e-9, (k, g, v)
