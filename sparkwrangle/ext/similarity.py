@@ -913,3 +913,45 @@ def pq_rerank_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def pq_adc_from_index(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a PERSISTED index (the build-once/query-many
+    contract): ``codes`` and ``codebooks`` are the parquet artifacts of
+    tools/ann.py. Per query a broadcast (subspace, code) → distance
+    lookup table; the base side is a narrow scan of its codes + one
+    combinable groupBy sum — the raw embedding column of the corpus is
+    never read at query time. Output (query_id, neighbor_id, adc_dist,
+    rk); shared by the batch CLI and the streaming foreachBatch server.
+    """
+    q_subs = _subspace_explode(queries, id_col, vec_col, m, d_sub)
+    lut = q_subs.join(F.broadcast(codebooks), "subspace").select(
+        F.col(id_col).alias("query_id"),
+        "subspace",
+        F.col("cell").alias("code"),
+        _sub_l2sq(F.col("sv"), F.col("centroid")).alias("d2"),
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rk")
+    )

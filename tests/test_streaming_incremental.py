@@ -197,3 +197,61 @@ def test_pq_encode_mapside_on_stream(spark, tmp_path):
     assert q.awaitTermination(600)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM pq_sink").collect())
     assert got == want
+
+
+def test_streaming_ann_serving_matches_batch_probe(spark, tmp_path):
+    """A stream of query vectors served via foreachBatch against the
+    persisted PQ index answers EXACTLY what the batch probe answers for
+    the same queries — the online face of build-once/query-many. Two
+    micro-batches (maxFilesPerTrigger=1) exercise index reuse across
+    batches; results carry the batch id (the idempotent replay unit)."""
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import ann
+    from conftest import SF_SMOKE
+
+    from sparkwrangle.ext.similarity import pq_adc_from_index
+    from sparkwrangle.io import load_table
+    from sparkwrangle.streaming.ann_serving import serve_ann_stream
+
+    idx = str(tmp_path / "idx")
+    ann.build(spark, SF_SMOKE, idx)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q1 = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    q2 = emb.filter(F.col("vec_id").isin([3, 4]))
+    qdir = str(tmp_path / "queries")
+    q1.coalesce(1).write.parquet(f"{qdir}/b0")
+    q2.coalesce(1).write.parquet(f"{qdir}/b1")
+
+    schema = emb.schema.simpleString()[7:-1].replace(":", " ")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir + "/*")
+    )
+    out_dir = str(tmp_path / "answers")
+    q = serve_ann_stream(
+        stream, idx, out_dir, str(tmp_path / "ckpt"), k=5
+    )
+    assert q.awaitTermination(600)
+
+    got = {
+        (r.query_id, r.rk): (r.neighbor_id, round(r.adc_dist, 9))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    codes = spark.read.parquet(f"{idx}/codes.parquet")
+    cb = spark.read.parquet(f"{idx}/codebooks.parquet")
+    want = {
+        (r.query_id, r.rk): (r.neighbor_id, round(r.adc_dist, 9))
+        for r in pq_adc_from_index(
+            codes, cb, emb.filter(F.col("vec_id") < 5), k=5
+        ).collect()
+    }
+    assert got == want
+    batches = {r.batch_id for r in spark.read.parquet(out_dir).collect()}
+    assert len(batches) == 2  # two micro-batches really served

@@ -22,12 +22,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sparkwrangle.ext.similarity import (
-    _sub_l2sq,
-    _subspace_explode,
+    pq_adc_from_index,
     pq_codebooks,
     pq_encode_long,
 )
@@ -61,24 +59,8 @@ def query(spark, sf_dir: str, index_dir: str, query_ids: list[int], k: int = 5) 
     cb = spark.read.parquet(f"{index_dir}/codebooks.parquet")
     codes = spark.read.parquet(f"{index_dir}/codes.parquet")
     queries = emb.filter(F.col("vec_id").isin(query_ids))
-    q_subs = _subspace_explode(queries, "vec_id", "embedding", M, D_SUB)
-    lut = q_subs.join(F.broadcast(cb), "subspace").select(
-        F.col("vec_id").alias("query_id"),
-        "subspace",
-        F.col("cell").alias("code"),
-        _sub_l2sq(F.col("sv"), F.col("centroid")).alias("d2"),
-    )
-    scored = (
-        codes.withColumnRenamed("vec_id", "neighbor_id")
-        .join(F.broadcast(lut), ["subspace", "code"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d2").alias("adc_dist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     top = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+        pq_adc_from_index(codes, cb, queries, k=k, m=M, d_sub=D_SUB)
         .orderBy("query_id", "rk")
         .collect()
     )
