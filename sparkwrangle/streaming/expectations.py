@@ -1,0 +1,61 @@
+"""Streaming data-quality expectations — the DLT-expectations pattern on
+plain Structured Streaming: declare named boolean rules over the rows;
+violating rows are DROPPED (or the batch FAILED) while per-rule violation
+counts ride the streaming query's own progress metrics via ``observe`` —
+no second pass, no side channel, visible in ``lastProgress`` /
+``StreamingQueryListener`` exactly where a production monitor looks.
+
+State cost: observe() is an aggregation over each micro-batch only
+(constant state), and the gate itself is a stateless filter — safe at
+any ingest rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_expectations(
+    df: DataFrame,
+    rules: dict[str, Column],
+    observation_name: str = "expectations",
+    mode: str = "drop",
+) -> DataFrame:
+    """Gate ``df`` on named expectations.
+
+    ``rules`` maps rule name -> boolean Column that must hold. Returns
+    the gated frame:
+
+    * ``mode="drop"``: rows failing ANY rule are removed;
+    * ``mode="keep"``: rows pass through, violations only counted (audit);
+    * ``mode="fail"``: violating rows poison the batch (the filter raises
+      via an ANSI assertion) — use for invariants that must never happen.
+
+    Violation counts (one metric per rule, plus ``rows_in``) are attached
+    with ``DataFrame.observe(name, ...)`` and surface per micro-batch in
+    ``StreamingQueryProgress.observedMetrics[name]`` — also works on
+    batch frames (metrics then ride the action's QueryExecution).
+    """
+    if mode not in ("drop", "keep", "fail"):
+        raise ValueError(mode)
+    metrics = [F.count(F.lit(1)).alias("rows_in")] + [
+        F.sum((~ok).cast("long")).alias(f"violations_{name}")
+        for name, ok in rules.items()
+    ]
+    observed = df.observe(observation_name, *metrics)
+    if mode == "keep":
+        return observed
+    all_ok = None
+    for ok in rules.values():
+        all_ok = ok if all_ok is None else (all_ok & ok)
+    if all_ok is None:
+        return observed
+    if mode == "fail":
+        # assert_true returns NULL for passing rows and raises on the
+        # first violation — the batch fails, the checkpoint does not
+        # advance, and replay is exact
+        return observed.filter(
+            F.assert_true(all_ok, F.lit("expectation violated")).isNull()
+        )
+    return observed.filter(all_ok)

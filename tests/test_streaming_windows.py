@@ -515,3 +515,65 @@ def test_windowed_cms_stream_equals_batch(spark, tmp_path):
     )
     est = cms_estimates(exact, sketch, "item").collect()
     assert est and all(r.cms_est >= r.exact_cnt for r in est)
+
+
+def test_streaming_expectations_drop_and_observe(spark, tmp_path):
+    """Expectations gate a stream: violating rows are dropped, per-rule
+    violation counts surface in the query's own observedMetrics (the
+    production monitoring surface), and mode='fail' poisons the batch."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from sparkwrangle.streaming.expectations import with_expectations
+
+    d = str(tmp_path / "exp")
+    os.makedirs(d)
+    _write(
+        spark,
+        [
+            ("2024-01-01 10:00:00", 1.0),
+            ("2024-01-01 10:01:00", -3.0),   # violates nonneg
+            ("2024-01-01 10:02:00", None),   # violates not_null
+            ("2024-01-01 10:03:00", 2.0),
+        ],
+        os.path.join(d, "b1"),
+    )
+    rules = {
+        "not_null": F.col("value").isNotNull(),
+        "nonneg": F.col("value").isNull() | (F.col("value") >= 0),
+    }
+    stream = spark.readStream.schema(_SCHEMA).parquet(os.path.join(d, "*"))
+    out = with_expectations(stream, rules)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("exp_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    kept = sorted(
+        r.value for r in spark.sql("SELECT * FROM exp_sink").collect()
+    )
+    assert kept == [1.0, 2.0]
+    metrics = None
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics
+        if om and "expectations" in om:
+            metrics = om["expectations"]
+    assert metrics is not None
+    assert metrics["rows_in"] == 4
+    assert metrics["violations_not_null"] == 1
+    assert metrics["violations_nonneg"] == 1
+
+    # batch frames: same gate, same metrics via Observation-free observe
+    bdf = _df(spark, [("2024-01-01 10:00:00", 5.0), ("2024-01-01 10:01:00", -1.0)])
+    got = with_expectations(bdf, rules).collect()
+    assert [r.value for r in got] == [5.0]
+
+    # mode='fail': the violating batch raises instead of dropping
+    with pytest.raises(Exception, match="expectation violated"):
+        with_expectations(bdf, rules, mode="fail").collect()
+
+    # mode='keep': audit only, nothing dropped
+    assert len(with_expectations(bdf, rules, mode="keep").collect()) == 2
