@@ -547,6 +547,70 @@ def x_knn_ivf_trained(spark, sf_dir):
     return out.select("query_id", "neighbor_id", r6("cos_sim").alias("cos_sim"), "rk")
 
 
+_IVF_NPROBE_SQL = f"""
+    WITH dims AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE))) AS x
+        FROM embeddings
+    ), cents AS (
+        SELECT label AS cell, list(avg_x ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, avg(x) AS avg_x FROM dims GROUP BY label, pos)
+        GROUP BY label
+    ), assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_CENT_COS_SQL} DESC, c.cell) AS rk
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rk = 1
+    ), routed AS (
+        SELECT e.vec_id, e.embedding, a.cell
+        FROM embeddings e JOIN assigned a USING (vec_id)
+    ), qprobe AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_CENT_COS_SQL} DESC, c.cell) AS rk
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < 5
+        ) WHERE rk <= 2
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_COS_SQL}, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_SQL} DESC, b.vec_id) AS rk
+        FROM qprobe p
+        JOIN embeddings a ON a.vec_id = p.vec_id
+        JOIN routed b ON b.cell = p.cell AND b.vec_id <> a.vec_id
+    ) WHERE rk <= 5
+"""
+
+
+@register(
+    "x_knn_ivf_nprobe",
+    _IVF_NPROBE_SQL,
+    doc="The IVF recall/cost KNOB, oracle-checked: same trained quantizer "
+    "as x_knn_ivf_trained but each query probes its TWO nearest cells "
+    "(nprobe=2) — each neighbor lives in exactly one cell, so the "
+    "candidate union is duplicate-free by construction and the top-5 "
+    "ranks over both cells' candidates. At 100 TB this is the dial a "
+    "serving tier turns when the corpus lacks cluster structure and "
+    "true neighbors spill across cell boundaries: cost scales linearly "
+    "with nprobe, recall climbs toward brute force.",
+)
+def x_knn_ivf_nprobe(spark, sf_dir):
+    from sparkwrangle.ext.similarity import ivf_trained_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_trained_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", r6("cos_sim").alias("cos_sim"), "rk"
+    )
+
+
 def _pq_oracle_sql(
     m: int = 8,
     d_sub: int = 8,

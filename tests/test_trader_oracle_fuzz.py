@@ -236,7 +236,7 @@ _DOCS_EMB_ONLY = [
     "x_embedding_neardup", "x_embedding_normalize", "x_embedding_quantize",
     "x_epoch_shuffle", "x_feature_hashing", "x_frame_sampling",
     "x_hash_split", "x_ivf_assign", "x_ivf_centroids", "x_knn_cosine_brute",
-    "x_knn_ivf_label", "x_knn_ivf_trained", "x_knn_ivfpq",
+    "x_knn_ivf_label", "x_knn_ivf_nprobe", "x_knn_ivf_trained", "x_knn_ivfpq",
     "x_knn_lsh_hyperplane", "x_knn_pq_adc", "x_knn_pq_rerank", "x_lang_id",
     "x_length_histogram", "x_minhash_jaccard_est", "x_multimodal_bmp_decode",
     "x_multimodal_features", "x_multimodal_jpeg_decode", "x_multimodal_meta",
@@ -255,7 +255,7 @@ _DOCS_EMB_ONLY = [
 
 
 def test_llm_pipeline_queries_generalize_to_synthetic_corpus(spark, tmp_path):
-    """75 LLM-pipeline oracle queries (the whole dedup / ANN / text /
+    """76 LLM-pipeline oracle queries (the whole dedup / ANN / text /
     multimodal x_ family) hash-match DuckDB on a fully SYNTHETIC corpus —
     random multilingual word salad with planted near-dups and random
     embeddings the driver never generated."""
