@@ -907,6 +907,106 @@ def w_sessionize_gaps(spark, sf_dir):
 
 
 @register(
+    "c_interval_overlap_join",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WHERE user_id % 10 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    ), sess AS (
+        SELECT user_id, session_id,
+               CAST(floor(epoch(CAST(min(ts) AS TIMESTAMP))) AS BIGINT) AS s,
+               CAST(floor(epoch(CAST(max(ts) AS TIMESTAMP))) AS BIGINT) AS e
+        FROM numbered GROUP BY user_id, session_id
+    ), ovl AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    ), counted AS (
+        SELECT user_a, user_b, count(*) AS n_overlaps
+        FROM ovl GROUP BY user_a, user_b
+    )
+    SELECT user_a, user_b, CAST(n_overlaps AS BIGINT) AS n_overlaps, rk
+    FROM (
+        SELECT user_a, user_b, n_overlaps,
+               row_number() OVER (ORDER BY n_overlaps DESC, user_a, user_b)
+                   AS rk
+        FROM counted
+    ) WHERE rk <= 20
+    """,
+    doc="Interval OVERLAP self-join, scale-safe form: per-user sessions "
+    "(gaps-and-islands, 30-min gap, sampled to user_id%10=0) paired "
+    "across users whenever their [start, end] spans overlap (closed "
+    "intervals). The naive form is an inequality-only self-join — "
+    "quadratic and unpartitionable; the engine's plan BUCKETS every "
+    "session into the hour slots it touches (sequence + explode, "
+    "fan-out bounded by session length), equi-joins on the slot — "
+    "shuffle-partitionable, AQE-skew-splittable — then dedups session "
+    "pairs that share several slots and verifies the exact predicate. "
+    "Output = top-20 co-active user pairs by overlapping-session count "
+    "(TakeOrderedAndProject; full deterministic tiebreak). The DuckDB "
+    "twin runs the direct inequality join (its IEJoin handles that "
+    "locally) — same answer, different physical strategy: the point.",
+)
+def c_interval_overlap_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        ev.withColumn(
+            "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("s"),
+            F.max(F.col("ts").cast("long")).alias("e"),
+        )
+    )
+    slots = sess.withColumn(
+        "slot", F.explode(F.sequence(F.floor(F.col("s") / 3600), F.floor(F.col("e") / 3600)))
+    )
+    a = slots.select(
+        F.col("user_id").alias("user_a"), F.col("session_id").alias("sess_a"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"), "slot",
+    )
+    b = slots.select(
+        F.col("user_id").alias("user_b"), F.col("session_id").alias("sess_b"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"), "slot",
+    )
+    pairs = (
+        a.join(b, "slot")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+        )
+        .select("user_a", "sess_a", "user_b", "sess_b")
+        .distinct()  # a pair sharing several hour slots counts once
+    )
+    counted = pairs.groupBy("user_a", "user_b").agg(
+        F.count("*").cast("bigint").alias("n_overlaps")
+    )
+    top = counted.orderBy(
+        F.desc("n_overlaps"), F.asc("user_a"), F.asc("user_b")
+    ).limit(20)
+    wr = Window.orderBy(F.desc("n_overlaps"), F.asc("user_a"), F.asc("user_b"))
+    return top.withColumn("rk", F.row_number().over(wr)).select(
+        "user_a", "user_b", "n_overlaps", "rk"
+    )
+
+
+@register(
     "d_percentiles",
     """
     SELECT event_type,

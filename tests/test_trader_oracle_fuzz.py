@@ -152,7 +152,7 @@ _EVENTS_ONLY = [
     "a_plot_downsample", "a_rows_to_table", "b_eligibility_filter", "b_ffill_gaps",
     "b_time_of_day_band", "b_time_range_projection", "c_asof_forward",
     "c_asof_nearest", "c_asof_tolerance", "c_asof_union_ffill",
-    "c_temporal_scd2_join",
+    "c_interval_overlap_join", "c_temporal_scd2_join",
     "c_block_range_join",
     "c_positional_join", "d_compounded_return", "d_conditional_trade_stats",
     "d_corr_stats", "d_day_of_month_quirk", "d_exceedance_share",
@@ -178,7 +178,7 @@ _EVENTS_ONLY = [
 
 
 def test_events_only_queries_generalize_to_synthetic_feed(spark, tmp_path):
-    """64 oracle queries over the events table hash-match DuckDB on a
+    """65 oracle queries over the events table hash-match DuckDB on a
     seeded random feed the driver never generated — operator semantics
     hold for the DATA CLASS, not one corpus instance."""
     rng = np.random.RandomState(9)
