@@ -698,7 +698,7 @@ def encode_jpeg_deterministic(doc_id: int) -> bytes:
     )
 
 
-def decode_jpeg(b: bytes) -> tuple[int, int, int, int]:
+def _decode_jpeg_unguarded(b: bytes) -> tuple[int, int, int, int]:
     """REAL baseline JPEG decode for single-component (grayscale) images:
     marker walk, DQT/DHT/SOF0/DRI/SOS parse, canonical Huffman decode of
     the entropy stream with 0xFF00 UNSTUFFING and RSTn restart handling
@@ -878,6 +878,21 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, int]:
             mcu += 1
     img = img[:h, :w]
     return w, h, int(img.sum()), w * h
+
+
+def decode_jpeg(b: bytes) -> tuple[int, int, int, int]:
+    """See _decode_jpeg_unguarded for the decode itself. This wrapper
+    enforces the honest-decoder contract on ARBITRARY bytes: structural
+    failures deep in the parse (a corrupt length that walks off the
+    buffer, a Huffman table id that was never defined, a short struct
+    read) surface as ValueError, never as IndexError/KeyError/
+    struct.error — fuzz-pinned in tests."""
+    import struct
+
+    try:
+        return _decode_jpeg_unguarded(b)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
 
 
 def attach_jpeg_payload(docs: DataFrame) -> DataFrame:

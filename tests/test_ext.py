@@ -1471,3 +1471,29 @@ def test_simhash_banding_exact_for_radius_3(spark):
         if bin(sigs[a] ^ sigs[b]).count("1") <= 3
     }
     assert banded == brute
+
+
+def test_decode_jpeg_fuzz_never_leaks_internal_errors():
+    """The honest-decoder contract under fuzz: random byte corruptions of
+    a valid JPEG either still decode (the flip hit a don't-care byte) or
+    raise ValueError — never IndexError/KeyError/struct.error from deep
+    inside the parse, and never a hang."""
+    import random
+
+    from sparkwrangle.ext.multimodal import decode_jpeg, encode_jpeg_deterministic
+
+    random.seed(7)
+    good = encode_jpeg_deterministic(7)
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(200):
+        b = bytearray(good)
+        for _ in range(random.randint(1, 4)):
+            b[random.randrange(len(b))] = random.randrange(256)
+        try:
+            decode_jpeg(bytes(b))
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["rejected"] += 1
+    # the contract: nothing else ever escapes (a non-ValueError would
+    # have propagated out of the loop and failed the test)
+    assert outcomes["rejected"] > 0 and sum(outcomes.values()) == 200
