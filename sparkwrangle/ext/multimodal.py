@@ -366,7 +366,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(b: bytes) -> tuple[int, int, int, int]:
+def _decode_png_unguarded(b: bytes) -> tuple[int, int, int, int]:
     """REAL PNG decode for 8-bit RGB (color type 2, no interlace):
     signature check, chunk walk with CRC-32 verification, multi-IDAT
     concatenation, zlib inflate (stdlib), and full scanline UNFILTERING —
@@ -437,6 +437,20 @@ def decode_png(b: bytes) -> tuple[int, int, int, int]:
         total += sum(line)
         prior = line
     return w, h, total, h * stride
+
+
+def decode_png(b: bytes) -> tuple[int, int, int, int]:
+    """See _decode_png_unguarded for the decode. The wrapper enforces the
+    honest-decoder contract on arbitrary bytes: a truncated chunk whose
+    CRC read walks off the buffer (or a corrupt zlib stream) surfaces as
+    ValueError, never struct.error/zlib.error — fuzz-pinned."""
+    import struct
+    import zlib
+
+    try:
+        return _decode_png_unguarded(b)
+    except (IndexError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt PNG: {type(e).__name__}: {e}") from e
 
 
 def encode_png_deterministic(doc_id: int) -> bytes:

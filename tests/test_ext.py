@@ -1497,3 +1497,44 @@ def test_decode_jpeg_fuzz_never_leaks_internal_errors():
     # the contract: nothing else ever escapes (a non-ValueError would
     # have propagated out of the loop and failed the test)
     assert outcomes["rejected"] > 0 and sum(outcomes.values()) == 200
+
+
+def test_binary_decoders_fuzz_valueerror_only():
+    """Every binary decoder holds the honest-decoder contract under fuzz
+    (random byte corruptions AND truncations of valid payloads): decode
+    or ValueError, never struct.error/zlib.error/IndexError."""
+    import random
+
+    from sparkwrangle.ext.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+        encode_bmp_deterministic,
+        encode_png_deterministic,
+        encode_wav_deterministic,
+        resize_bmp_nearest,
+    )
+
+    cases = [
+        (encode_bmp_deterministic, decode_bmp),
+        (encode_wav_deterministic, decode_wav),
+        (encode_png_deterministic, decode_png),
+        (encode_bmp_deterministic, lambda b: resize_bmp_nearest(b, 8, 6)),
+    ]
+    random.seed(11)
+    for enc, dec in cases:
+        good = enc(12)
+        assert dec(good)
+        for _ in range(150):
+            b = bytearray(good)
+            for _ in range(random.randint(1, 4)):
+                b[random.randrange(len(b))] = random.randrange(256)
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass
+        for cut in range(1, len(good), max(1, len(good) // 40)):
+            try:
+                dec(bytes(good[:cut]))
+            except ValueError:
+                pass
