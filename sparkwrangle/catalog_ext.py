@@ -3186,10 +3186,13 @@ def x_dedup_lsh_recall_audit(spark, sf_dir):
     j = truth.withColumn("t", F.lit(1)).join(
         cand.withColumn("c", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
+    # null-safe counts: count() over the membership flags gives 0 (not
+    # NULL) when a side — or the whole join — is empty, matching the
+    # oracle's count(*) semantics (sum() over zero/all-NULL rows is NULL)
     row = j.agg(
-        F.sum("t").alias("n_true"),
-        F.sum("c").alias("n_cand"),
-        F.sum(
+        F.count("t").alias("n_true"),
+        F.count("c").alias("n_cand"),
+        F.count(
             F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
         ).alias("n_hit"),
     )

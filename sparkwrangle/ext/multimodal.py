@@ -1031,7 +1031,14 @@ def audio_features(media: DataFrame) -> DataFrame:
     the standard practice; tested integer-exactly as s·n < Σs so both
     engines compare without a float division), and RMS — numpy over
     Arrow batches. energy/peak/zcr are engine-exact integers; rms is
-    one sqrt of an exact ratio, r6-rounded on both engines."""
+    one sqrt of an exact ratio, r6-rounded on both engines.
+
+    Contract: mono only — an interleaved multi-channel stream would mix
+    channels into energy/rms and count inter-channel flips as zero
+    crossings while reporting per-channel n_samples, so ``n_channels !=
+    1`` raises ValueError (the module-wide corruption contract) rather
+    than returning silently inconsistent features; an empty data chunk
+    raises ValueError too (RMS of zero samples is undefined)."""
     import math
 
     import numpy as np
@@ -1055,6 +1062,12 @@ def audio_features(media: DataFrame) -> DataFrame:
                     pos += 8 + csize + (csize & 1)
                 s = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 n = len(s)
+                if n_ch != 1:
+                    raise ValueError(
+                        f"audio_features: expected mono PCM, got {n_ch} channels"
+                    )
+                if n == 0:
+                    raise ValueError("audio_features: empty data chunk")
                 energy = int((s * s).sum())
                 below = s * n < int(s.sum())  # s_i < mean, integer-exact
                 zcr = int((below[1:] != below[:-1]).sum())

@@ -11,7 +11,10 @@ column is never read while serving. foreachBatch is the right operator
 here — the per-query broadcast LUT is data-dependent, which no
 continuous stateful operator can express, and query answering is
 stateless across batches so exactly-once reduces to the sink's
-idempotence (parquet append keyed by batch_id)."""
+idempotence: each batch writes its OWN ``batch_id=<n>`` partition with
+dynamic partition overwrite, so a batch replayed after a failure
+between write and checkpoint commit overwrites its previous partition
+instead of appending duplicates."""
 
 from __future__ import annotations
 
@@ -31,9 +34,10 @@ def serve_ann_stream(
     d_sub: int = 8,
     available_now: bool = True,
 ):
-    """Start the serving query: ADC top-k per micro-batch, appended to
-    ``out_dir`` as parquet with the batch id (idempotent replay unit).
-    Returns the StreamingQuery handle."""
+    """Start the serving query: ADC top-k per micro-batch, written to
+    ``out_dir`` as parquet partitioned by ``batch_id`` with dynamic
+    partition overwrite — a replayed batch overwrites its own partition,
+    never duplicates it. Returns the StreamingQuery handle."""
     spark = query_stream.sparkSession
     codebooks = spark.read.parquet(f"{index_dir}/codebooks.parquet")
     codes = spark.read.parquet(f"{index_dir}/codes.parquet")
@@ -44,7 +48,15 @@ def serve_ann_stream(
         out = pq_adc_from_index(
             codes, codebooks, batch_df, k=k, m=m, d_sub=d_sub
         ).withColumn("batch_id", F.lit(batch_id))
-        out.write.mode("append").parquet(out_dir)
+        # idempotent replay: overwrite ONLY this batch's partition —
+        # a replay after a write-then-crash rewrites the same directory
+        # instead of appending a second copy of the batch's rows
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     writer = query_stream.writeStream.foreachBatch(_handle).option(
         "checkpointLocation", checkpoint_dir

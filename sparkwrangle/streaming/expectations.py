@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 def with_expectations(
     df: DataFrame,
     rules: dict[str, Column],
-    observation_name: str = "expectations",
+    observation_name: "str | object" = "expectations",
     mode: str = "drop",
 ) -> DataFrame:
     """Gate ``df`` on named expectations.
@@ -35,7 +35,9 @@ def with_expectations(
     Violation counts (one metric per rule, plus ``rows_in``) are attached
     with ``DataFrame.observe(name, ...)`` and surface per micro-batch in
     ``StreamingQueryProgress.observedMetrics[name]`` — also works on
-    batch frames (metrics then ride the action's QueryExecution).
+    batch frames (metrics then ride the action's QueryExecution; pass a
+    ``pyspark.sql.Observation`` instance as ``observation_name`` to read
+    them driver-side via ``Observation.get`` after the action).
     """
     if mode not in ("drop", "keep", "fail"):
         raise ValueError(mode)

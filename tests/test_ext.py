@@ -1538,3 +1538,117 @@ def test_binary_decoders_fuzz_valueerror_only():
                 dec(bytes(good[:cut]))
             except ValueError:
                 pass
+
+
+def test_dedup_mode_strings_validated(spark):
+    """ADVICE r4: a typo'd mode string ("Join", "anti") must raise
+    up-front instead of silently running the window implementation —
+    even when max_df is None and the mode would not be consulted."""
+    import pytest as _pytest
+
+    from sparkwrangle.ext.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id bigint, text string"
+    )
+    sh = shingles(docs, "doc_id", "text", 3)
+    with _pytest.raises(ValueError, match="ngram_jaccard_pairs"):
+        ngram_jaccard_pairs(sh, "doc_id", max_df=5, df_cap_mode="Join")
+    with _pytest.raises(ValueError, match="ngram_jaccard_pairs"):
+        ngram_jaccard_pairs(sh, "doc_id", df_cap_mode="anti")
+    with _pytest.raises(ValueError, match="duplicate_spans"):
+        duplicate_spans(docs, "doc_id", "text", n=3, count_mode="Window")
+
+
+def test_duplicate_spans_auto_mode_flips_on_hot_key(spark):
+    """VERDICT r4 ask #2: the default auto mode's sampled max-df probe
+    must flip to the skew-safe join form when one gram occurs 10^5 times
+    (no window stage keyed on the gram hash — the single-straggler
+    operator), and stay on the faster window form for a natural corpus.
+    The decision is recorded in the stats dict."""
+    from sparkwrangle.ext.dedup import HOT_KEY_EST_THRESHOLD, duplicate_spans
+
+    hot_doc = " ".join(["hot"] * 100_002)  # 10^5 identical 3-grams
+    docs = spark.createDataFrame(
+        [
+            (1, hot_doc),
+            (2, "alpha beta gamma delta"),
+            (3, "alpha beta gamma epsilon"),
+        ],
+        "doc_id bigint, text string",
+    )
+    stats = {}
+    out = duplicate_spans(
+        docs, "doc_id", "text", n=3, count_mode="auto", stats=stats
+    )
+    assert stats["mode"] == "join"
+    assert stats["est_max_df"] >= HOT_KEY_EST_THRESHOLD
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(gh" not in plan
+    rows = {r.doc_id: (r.span_start, r.span_end) for r in out.collect()}
+    assert rows[1] == (0, 100_002)  # hot doc merges into ONE maximal span
+
+    stats2 = {}
+    small = spark.createDataFrame(
+        [(1, "alpha beta gamma delta x"), (2, "alpha beta gamma delta y")],
+        "doc_id bigint, text string",
+    )
+    out2 = duplicate_spans(
+        small, "doc_id", "text", n=3, count_mode="auto", stats=stats2
+    )
+    assert stats2["mode"] == "window"
+    assert {r.doc_id for r in out2.collect()} == {1, 2}
+
+
+def test_ngram_jaccard_auto_mode_probe(spark):
+    """Auto df-cap mode: natural corpus → window; the probe only runs
+    when max_df is set, and the chosen mode lands in stats."""
+    stats = {}
+    sh = shingles(_docs(spark), "doc_id", "text", 3)
+    out = ngram_jaccard_pairs(
+        sh, "doc_id", threshold=0.05, max_df=20, df_cap_mode="auto", stats=stats
+    )
+    assert stats["mode"] == "window"
+    assert stats["est_max_df"] is not None
+    assert out.count() >= 1  # the planted near-dup pair survives the cap
+
+
+def _wav_bytes(samples, n_channels=1):
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, 8000, 8000 * 2 * n_channels, 2 * n_channels, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_audio_features_rejects_stereo_and_empty(spark):
+    """ADVICE r4: audio_features over an interleaved stereo stream would
+    mix channels into energy/rms and count inter-channel flips as zero
+    crossings — it must raise ValueError (module corruption contract)
+    instead of returning silently inconsistent features; an empty data
+    chunk must raise too, not ZeroDivisionError."""
+    import pytest as _pytest
+
+    from sparkwrangle.ext.multimodal import audio_features
+
+    def media(payload):
+        return spark.createDataFrame(
+            [(1, "audio/wav", bytearray(payload))],
+            "doc_id long, media_type string, payload binary",
+        )
+
+    stereo = _wav_bytes([100, -100, 200, -200], n_channels=2)
+    with _pytest.raises(Exception, match="expected mono"):
+        audio_features(media(stereo)).collect()
+
+    empty = _wav_bytes([], n_channels=1)
+    with _pytest.raises(Exception, match="empty data chunk"):
+        audio_features(media(empty)).collect()

@@ -487,7 +487,17 @@ def test_streaming_balances_parity(spark, feed_df, tmp_path):
 
 def test_stream_stream_interval_join_parity(spark, tmp_path):
     """Watermarked stream-stream interval join returns exactly the batch
-    join's pairs when the same two feeds replay through micro-batches."""
+    join's pairs when the same two feeds replay through micro-batches.
+
+    Determinism (VERDICT r4 #1): the two sides replay as separate files
+    with maxFilesPerTrigger=1 and advance their watermarks independently,
+    so with a 10-minute watermark the fills side can ingest its
+    minute-200 row (watermark → minute 190) before the orders side admits
+    its minute-40 file — Spark then LEGITIMATELY drops the order as late
+    and parity fails only under that scheduling. The test watermark is
+    therefore wider than the whole fixture span (200 min → "4 hours"), so
+    no interleaving can make any row late, and we assert
+    numRowsDroppedByWatermark == 0 from the query progress to prove it."""
     import pandas as pd
 
     from sparkwrangle.streaming.joins import interval_join
@@ -529,10 +539,16 @@ def test_stream_stream_interval_join_parity(spark, tmp_path):
           .parquet(od + "/*"))
     sf = (spark.readStream.schema(schema_f).option("maxFilesPerTrigger", 1)
           .parquet(fd + "/*"))
-    out = interval_join(so, sf, "company", 0, 180)
+    out = interval_join(so, sf, "company", 0, 180, watermark="4 hours")
     q = (out.writeStream.format("memory").queryName("ssj")
          .outputMode("append").trigger(availableNow=True).start())
     assert q.awaitTermination(600)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 0, f"watermark dropped {dropped} rows — fixture race"
     got = {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
     assert got == want
 

