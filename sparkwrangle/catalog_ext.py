@@ -620,6 +620,7 @@ def _pq_oracle_sql(
     route: bool = False,
     rerank: int | None = None,
     sample_mod: int | None = None,
+    query_pred: str = "s.vec_id < 5",
 ) -> str:
     """DuckDB twin of ext.similarity.pq_adc_topk: quantile-seeded
     k-means codebooks (``iters`` Lloyd rounds unrolled as CTE pairs,
@@ -704,7 +705,7 @@ def _pq_oracle_sql(
         SELECT s.vec_id AS query_id, s.subspace, c.cell AS code,
                {d2} AS d2
         FROM subv s JOIN cbf c USING (subspace)
-        WHERE s.vec_id < 5
+        WHERE {query_pred}
     ), scored AS (
         SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.d2) AS adc
         FROM enc e JOIN lut l ON l.subspace = e.subspace AND l.code = e.code
@@ -819,6 +820,43 @@ def x_knn_ivfpq(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 5), k=5, route_col="label",
         train_sample_mod=4,
     )
+    return out.select(
+        "query_id", "neighbor_id", r6("adc_dist").alias("adc_dist"), "rk"
+    )
+
+
+@register(
+    "x_stream_ann_batch_twin",
+    _pq_oracle_sql(sample_mod=4, query_pred="s.vec_id < 8"),
+    doc="Batch embodiment of the streaming ANN server "
+    "(streaming/ann_serving.serve_ann_stream): the persisted-index "
+    "lifecycle — codebooks trained once (sampled pandas trainer), base "
+    "encoded once, both materialized (localCheckpoint stands in for the "
+    "parquet index tools/ann.py writes) — then the SAME pq_adc_from_index "
+    "probe the foreachBatch handler calls, over a replayed query set "
+    "split into two 'micro-batches' and unioned. Serving is stateless "
+    "across batches, so union-of-batches ≡ one batch ≡ this oracle — the "
+    "relational statement of the stream≡batch parity the golden test "
+    "pins. Index is built in-plan so DuckDB can twin it exactly.",
+)
+def x_stream_ann_batch_twin(spark, sf_dir):
+    from sparkwrangle.ext.similarity import (
+        pq_adc_from_index,
+        pq_codebooks,
+        pq_encode_long,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # "build once": the persisted-index artifacts, materialized so both
+    # micro-batch probes read them instead of re-deriving the trainer
+    cb = pq_codebooks(
+        emb, 8, 8, sample_mod=4, pandas_trainer=True
+    ).localCheckpoint()
+    codes = pq_encode_long(emb, cb, 8, 8).localCheckpoint()
+    qset = emb.filter(F.col("vec_id") < 8)
+    b0 = pq_adc_from_index(codes, cb, qset.filter(F.col("vec_id") < 4), k=5)
+    b1 = pq_adc_from_index(codes, cb, qset.filter(F.col("vec_id") >= 4), k=5)
+    out = b0.unionByName(b1)
     return out.select(
         "query_id", "neighbor_id", r6("adc_dist").alias("adc_dist"), "rk"
     )

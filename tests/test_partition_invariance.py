@@ -56,6 +56,7 @@ QUERIES = [
     "x_weighted_sample",        # hash-derived keys + distributed top-k
     "x_negative_sampling",      # pair-hash ranking per anchor
     "tpch_q10_returned_items",  # decimal revenue + TakeOrdered top-20
+    "x_stream_ann_batch_twin",  # persisted-index probe, unioned micro-batches
 ]
 
 

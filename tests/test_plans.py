@@ -95,6 +95,7 @@ _PYTHON_OK = {
     "x_knn_pq_adc",
     "x_knn_pq_rerank",
     "x_knn_ivfpq",
+    "x_stream_ann_batch_twin",  # same sampled pandas trainer as the PQ family
 }
 
 

@@ -247,7 +247,8 @@ _DOCS_EMB_ONLY = [
     "x_sequence_packing", "x_simhash_hamming_pairs", "x_source_blocklist",
     "x_source_mixing_weights",
     "x_span_dedup",
-    "x_stratified_sample", "x_stream_curation_batch_twin", "x_text_normalize",
+    "x_stratified_sample", "x_stream_ann_batch_twin",
+    "x_stream_curation_batch_twin", "x_text_normalize",
     "x_text_stats", "x_tfidf_top_terms", "x_token_count_bpe",
     "x_token_entropy",
     "x_unigram_logprob", "x_vocab_topk", "x_weighted_sample",
