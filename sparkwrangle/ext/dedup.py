@@ -336,11 +336,17 @@ def ngram_jaccard_pairs(
 
     _validate_mode(df_cap_mode, "ngram_jaccard_pairs")
     if max_df is not None:
+        # probe sample is DOC-granular (hash of id_col only): df counts
+        # documents, so whole-doc sampling has the same ×_PROBE_MOD
+        # scaling as row sampling — and because the predicate references
+        # only the pass-through id column, Catalyst pushes it below the
+        # tokenize/explode subtree to the scan, so the probe reads ~1% of
+        # the corpus instead of exploding all of it and filtering after
         df_cap_mode = _resolve_count_mode(
             df_cap_mode,
             sh,
             "shingle",
-            [id_col, "shingle"],
+            [id_col],
             "ngram_jaccard_pairs",
             stats,
         )
