@@ -1075,9 +1075,7 @@ def x_multimodal_wav_decode(spark, sf_dir):
     return decode_features(attach_wav_payload(docs))
 
 
-@register(
-    "x_multimodal_png_decode",
-    """
+_PNG_PIXEL_ORACLE = """
     WITH dims AS (
         SELECT doc_id,
                3 + doc_id % 9 AS w,
@@ -1099,7 +1097,12 @@ def x_multimodal_wav_decode(spark, sf_dir):
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(psum AS DOUBLE) / (w * h * 3) AS px_mean
     FROM sums
-    """,
+    """
+
+
+@register(
+    "x_multimodal_png_decode",
+    _PNG_PIXEL_ORACLE,
     doc="North-star multimodal decode, COMPRESSED image path: each doc "
     "carries a synthesized 8-bit RGB PNG (closed-form pixels; every row "
     "filtered with type y%5, the zlib stream split across two IDAT "
@@ -1116,6 +1119,32 @@ def x_multimodal_png_decode(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return decode_png_features(attach_png_payload(docs))
+
+
+@register(
+    "x_multimodal_png_interlaced",
+    _PNG_PIXEL_ORACLE,
+    doc="Adam7-interlaced (progressive) PNG decode — the same closed-form "
+    "pixels as x_multimodal_png_decode but laid out as the seven Adam7 "
+    "passes, each an independently-filtered sub-image with its own pass "
+    "dimensions and filter sequence ((pass+row)%5), several passes EMPTY "
+    "at these sizes (the no-bytes rule). The oracle is identical to the "
+    "straight-layout entry — which is the point: a decoder that "
+    "unfilters interlaced rows against the full-image prior row, "
+    "miscomputes ceil-divided pass dimensions, or charges empty passes "
+    "a filter byte cannot reproduce the pixel sum. Closes the "
+    "PNG-interlace gap of the r4 residual list with stdlib zlib only "
+    "(ext/multimodal.py _ADAM7/_unfilter_sum; decode parity with the "
+    "plain layout pinned over 200 ids, corruption fuzz ValueError-only).",
+)
+def x_multimodal_png_interlaced(spark, sf_dir):
+    from sparkwrangle.ext.multimodal import (
+        attach_png_interlaced_payload,
+        decode_png_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_png_features(attach_png_interlaced_payload(docs))
 
 
 @register(

@@ -366,13 +366,69 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 pass layout: (x_origin, y_origin, x_step, y_step). Each pass is
+# an independently-filtered sub-image in the decompressed stream; a pass
+# whose sub-image is empty for the given dimensions contributes no bytes
+# (per the PNG spec, not even filter bytes).
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter_sum(raw: bytes, off: int, w_px: int, h_px: int, bpp: int):
+    """Reverse PNG scanline filtering over one (sub-)image whose filtered
+    scanlines start at ``raw[off]``: all five filter types
+    (None/Sub/Up/Average/Paeth) per the spec, filtering relative to the
+    SUB-image's own prior row and left pixel (which is what makes
+    interlaced passes independent). Returns (pixel_byte_sum,
+    bytes_consumed). Raises ValueError on truncation or a bad filter
+    byte."""
+    stride = bpp * w_px
+    need = h_px * (1 + stride)
+    if off + need > len(raw):
+        raise ValueError("decompressed size mismatch")
+    prior = bytearray(stride)
+    total = 0
+    for y in range(h_px):
+        start = off + y * (1 + stride)
+        ftype = raw[start]
+        line = bytearray(raw[start + 1 : start + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        total += sum(line)
+        prior = line
+    return total, need
+
+
 def _decode_png_unguarded(b: bytes) -> tuple[int, int, int, int]:
-    """REAL PNG decode for 8-bit RGB (color type 2, no interlace):
+    """REAL PNG decode for 8-bit RGB (color type 2), both progressive
+    layouts the format defines: non-interlaced and Adam7-interlaced —
     signature check, chunk walk with CRC-32 verification, multi-IDAT
     concatenation, zlib inflate (stdlib), and full scanline UNFILTERING —
     all five PNG filter types (None/Sub/Up/Average/Paeth) are reversed
-    per the spec. Returns (width, height, pixel_byte_sum, n_pixel_bytes).
-    Raises ValueError on anything else — the honest decoder contract.
+    per the spec; for interlace=1 each of the seven Adam7 passes is an
+    independently-filtered sub-image with its own pass dimensions
+    (ceil((w−x0)/dx) × ceil((h−y0)/dy)), empty passes contributing zero
+    bytes. Every pixel lives in exactly one pass, so summing per pass IS
+    the complete decode for the (width, height, pixel_byte_sum,
+    n_pixel_bytes) contract. Raises ValueError on anything else — the
+    honest decoder contract.
 
     This is the proof that 'image decode' is not container-blocked: PNG
     needs only zlib, which is the Python stdlib.
@@ -402,41 +458,27 @@ def _decode_png_unguarded(b: bytes) -> tuple[int, int, int, int]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
         )
     raw = zlib.decompress(bytes(idat))
     bpp = 3
-    stride = bpp * w
-    if len(raw) != h * (1 + stride):
+    if interlace == 0:
+        total, consumed = _unfilter_sum(raw, 0, w, h, bpp)
+    else:
+        total, consumed = 0, 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            s, used = _unfilter_sum(raw, consumed, pw, ph, bpp)
+            total += s
+            consumed += used
+    if consumed != len(raw):
         raise ValueError("decompressed size mismatch")
-    prior = bytearray(stride)
-    total = 0
-    for y in range(h):
-        start = y * (1 + stride)
-        ftype = raw[start]
-        line = bytearray(raw[start + 1 : start + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                ul = prior[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown filter type {ftype}")
-        total += sum(line)
-        prior = line
-    return w, h, total, h * stride
+    return w, h, total, h * bpp * w
 
 
 def decode_png(b: bytes) -> tuple[int, int, int, int]:
@@ -518,6 +560,102 @@ def encode_png_deterministic(doc_id: int) -> bytes:
         + chunk(b"IDAT", z[:half])
         + chunk(b"IDAT", z[half:])
         + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_interlaced_deterministic(doc_id: int) -> bytes:
+    """Adam7-INTERLACED twin of ``encode_png_deterministic``: the same
+    closed-form pixels (so the decode oracle is byte-for-byte the same
+    aggregate), but laid out as the seven Adam7 passes, each pass an
+    independently-filtered sub-image whose rows cycle the filter types
+    ((pass + row) % 5 — so every pass exercises a different filter
+    sequence and a decoder that unfilters against the WRONG prior row,
+    the full-image one, cannot reproduce the pixel sum). The tiny
+    dimensions (3..11 × 2..6) leave several passes empty for most ids,
+    which pins the empty-pass no-bytes rule. The zlib stream is split
+    across two IDAT chunks behind a tEXt chunk, as in the plain
+    encoder."""
+    import struct
+    import zlib
+
+    w = 3 + doc_id % 9
+    h = 2 + doc_id % 5
+    bpp = 3
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        return (
+            (doc_id + 5 * x + 11 * y) % 256,
+            (2 * doc_id + 3 * x) % 256,
+            (x + 7 * y + doc_id) % 256,
+        )
+
+    raw = bytearray()
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = bpp * pw
+        prior = bytes(stride)
+        for ry in range(ph):
+            line = bytearray()
+            for rx in range(pw):
+                line.extend(px(x0 + rx * dx, y0 + ry * dy))
+            ftype = (p + ry) % 5
+            out = bytearray()
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                if ftype == 0:
+                    v = line[i]
+                elif ftype == 1:
+                    v = line[i] - left
+                elif ftype == 2:
+                    v = line[i] - up
+                elif ftype == 3:
+                    v = line[i] - ((left + up) >> 1)
+                else:
+                    v = line[i] - _paeth(left, up, ul)
+                out.append(v & 0xFF)
+            raw.append(ftype)
+            raw.extend(out)
+            prior = bytes(line)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    z = zlib.compress(bytes(raw), 6)
+    half = max(1, len(z) // 2)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"Comment\x00synthetic-adam7")
+        + chunk(b"IDAT", z[:half])
+        + chunk(b"IDAT", z[half:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def attach_png_interlaced_payload(docs: DataFrame) -> DataFrame:
+    """Multimodal table with Adam7-interlaced PNG payloads, generated on
+    executors — same pixels as attach_png_payload, different wire
+    layout."""
+    from pyspark.sql.functions import pandas_udf
+
+    def gen(ids):
+        return pd.Series(
+            [encode_png_interlaced_deterministic(int(i)) for i in ids]
+        )
+
+    gen.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    gen_udf = pandas_udf("binary")(gen)
+    return docs.select(
+        F.col("doc_id"),
+        F.lit("image/png").alias("media_type"),
+        gen_udf(F.col("doc_id")).alias("payload"),
     )
 
 

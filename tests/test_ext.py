@@ -1515,10 +1515,13 @@ def test_binary_decoders_fuzz_valueerror_only():
         resize_bmp_nearest,
     )
 
+    from sparkwrangle.ext.multimodal import encode_png_interlaced_deterministic
+
     cases = [
         (encode_bmp_deterministic, decode_bmp),
         (encode_wav_deterministic, decode_wav),
         (encode_png_deterministic, decode_png),
+        (encode_png_interlaced_deterministic, decode_png),
         (encode_bmp_deterministic, lambda b: resize_bmp_nearest(b, 8, 6)),
     ]
     random.seed(11)
@@ -1652,3 +1655,28 @@ def test_audio_features_rejects_stereo_and_empty(spark):
     empty = _wav_bytes([], n_channels=1)
     with _pytest.raises(Exception, match="empty data chunk"):
         audio_features(media(empty)).collect()
+
+
+def test_png_adam7_interlaced_decode_parity():
+    """Adam7-interlaced PNGs decode to EXACTLY what the straight-layout
+    twin decodes for every (w, h) combination the generator produces
+    (ids 0..44 cover the full 9×5 size grid, including sizes where
+    several Adam7 passes are empty): every pixel lives in exactly one
+    pass, so dimensions, pixel sum and byte count must all agree. A
+    wrong pass-dimension ceil, a filter applied against the full-image
+    prior row, or a filter byte charged to an empty pass all break
+    this."""
+    from sparkwrangle.ext.multimodal import (
+        decode_png,
+        encode_png_deterministic,
+        encode_png_interlaced_deterministic,
+    )
+
+    for i in range(45):
+        plain = decode_png(encode_png_deterministic(i))
+        inter = decode_png(encode_png_interlaced_deterministic(i))
+        assert inter == plain, (i, plain, inter)
+    # the wire layouts really differ (it is not the same file)
+    assert encode_png_deterministic(12) != encode_png_interlaced_deterministic(12)
+    # interlace flag is declared in IHDR
+    assert encode_png_interlaced_deterministic(12)[8 + 8 + 12] == 1

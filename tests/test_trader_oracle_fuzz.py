@@ -240,7 +240,7 @@ _DOCS_EMB_ONLY = [
     "x_knn_lsh_hyperplane", "x_knn_pq_adc", "x_knn_pq_rerank", "x_lang_id",
     "x_length_histogram", "x_minhash_jaccard_est", "x_multimodal_bmp_decode",
     "x_multimodal_features", "x_multimodal_jpeg_decode", "x_multimodal_meta",
-    "x_multimodal_png_decode",
+    "x_multimodal_png_decode", "x_multimodal_png_interlaced",
     "x_multimodal_wav_decode", "x_negative_sampling", "x_pii_redact",
     "x_quality_prune",
     "x_quality_score", "x_repetition_stats", "x_semantic_dedup",
