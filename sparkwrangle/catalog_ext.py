@@ -1147,9 +1147,7 @@ def x_multimodal_png_interlaced(spark, sf_dir):
     return decode_png_features(attach_png_interlaced_payload(docs))
 
 
-@register(
-    "x_multimodal_jpeg_decode",
-    """
+_JPEG_PIXEL_ORACLE = """
     WITH dims AS (
         SELECT doc_id,
                8 * (2 + doc_id % 3) AS w,
@@ -1169,7 +1167,12 @@ def x_multimodal_png_interlaced(spark, sf_dir):
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(psum AS DOUBLE) / (w * h) AS px_mean
     FROM sums
-    """,
+    """
+
+
+@register(
+    "x_multimodal_jpeg_decode",
+    _JPEG_PIXEL_ORACLE,
     doc="North-star multimodal decode, DCT image path: each doc carries a "
     "synthesized BASELINE JFIF (grayscale; per-8x8-block flat values in "
     "closed form of doc_id, encoded as DC-only coefficients under a "
@@ -1192,6 +1195,38 @@ def x_multimodal_jpeg_decode(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return decode_jpeg_features(attach_jpeg_payload(docs))
+
+
+@register(
+    "x_multimodal_jpeg_progressive",
+    _JPEG_PIXEL_ORACLE,
+    doc="PROGRESSIVE (SOF2) JPEG decode — closes the last documented "
+    "decode gap (r4 residual list said progressive JPEG 'needs a real "
+    "dependency'; it needs only numpy). Each doc carries a four-scan "
+    "successive-approximation stream: DC first (Al=1, arithmetic-shift "
+    "point transform) → DC refinement bits → AC first scan over band "
+    "1..63 (point-transformed coefficients through ZRL runs, empty "
+    "bands folded into cross-block EOBRUN skips) → AC refinement "
+    "(newly-nonzero insertion, correction bits for nonzero history "
+    "buffered through EOB runs — full T.81 G.2), with DRI=4 restarts "
+    "running through every scan and a stream-shipped AC Huffman table "
+    "(Annex K has no EOBn symbols). Every block also carries a REAL "
+    "nonzero AC coefficient at DCT(4,4) whose contribution is exactly "
+    "±a per pixel in a zero-sum pattern: the SUM oracle is identical "
+    "to x_multimodal_jpeg_decode by construction, and the per-pixel "
+    "reconstruction (which the sum cannot see) is golden-pinned in "
+    "pytest against the closed form v + a·s[x]·s[y] over the full id "
+    "grid — a decoder that skips the AC scans passes the sum but fails "
+    "the golden.",
+)
+def x_multimodal_jpeg_progressive(spark, sf_dir):
+    from sparkwrangle.ext.multimodal import (
+        attach_jpeg_progressive_payload,
+        decode_jpeg_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_jpeg_features(attach_jpeg_progressive_payload(docs))
 
 
 @register(

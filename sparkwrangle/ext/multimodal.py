@@ -850,17 +850,83 @@ def encode_jpeg_deterministic(doc_id: int) -> bytes:
     )
 
 
-def _decode_jpeg_unguarded(b: bytes) -> tuple[int, int, int, int]:
-    """REAL baseline JPEG decode for single-component (grayscale) images:
-    marker walk, DQT/DHT/SOF0/DRI/SOS parse, canonical Huffman decode of
-    the entropy stream with 0xFF00 UNSTUFFING and RSTn restart handling
-    (DC predictor reset + bit realignment), DC delta reconstruction, AC
-    run-length decode (EOB/ZRL), zigzag dequantization, and the true 8×8
-    inverse DCT as a numpy matrix product (C.T @ coeff @ C with
-    orthonormal basis) — no DCT library needed. Returns (width, height,
-    pixel_sum, n_pixels) of the level-shifted, clamped 8-bit image.
-    Raises ValueError on progressive/multi-component/truncated input —
-    the honest decoder contract."""
+class _JpegBitReader:
+    def __init__(self, data: bytes, start: int) -> None:
+        self.d = data
+        self.p = start
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.p >= len(self.d):
+                raise ValueError("truncated entropy stream")
+            byte = self.d[self.p]
+            self.p += 1
+            if byte == 0xFF:
+                nxt = self.d[self.p] if self.p < len(self.d) else None
+                if nxt == 0x00:
+                    self.p += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker in entropy stream")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def at_marker(self) -> int | None:
+        """Peek: byte-aligned RST/EOI marker next?"""
+        if self.n:
+            return None
+        if self.p + 1 < len(self.d) and self.d[self.p] == 0xFF:
+            nxt = self.d[self.p + 1]
+            if nxt != 0x00:
+                return nxt
+        return None
+
+    def skip_marker(self) -> None:
+        self.p += 2
+        self.acc = 0
+        self.n = 0
+
+
+def _jpeg_huff_decode(rd: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | rd.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg_image(b: bytes):
+    """REAL JPEG decode for single-component (grayscale) images — BOTH
+    entropy organizations the DCT-based format defines: BASELINE (SOF0:
+    one sequential DC+AC scan) and PROGRESSIVE (SOF2: multiple scans —
+    DC first / DC successive-approximation refinement / AC spectral-
+    selection first scans with EOBRUN band-skip coding / AC refinement
+    scans with newly-nonzero insertion and history correction bits, per
+    ITU-T T.81 G.2). Shared machinery: marker walk, DQT/DHT/SOF/DRI/SOS
+    parse, canonical Huffman decode with 0xFF00 UNSTUFFING and RSTn
+    restart handling (DC-predictor + EOBRUN reset, bit realignment —
+    restarts apply per scan), zigzag dequantization, and the true 8×8
+    inverse DCT as a numpy matrix product (C.T @ coeff @ C, orthonormal
+    basis) — no DCT library needed. Returns (width, height, img) with
+    img the level-shifted clamped 8-bit image as an int64 ndarray.
+    Raises ValueError on multi-component/hierarchical/arithmetic/
+    truncated input — the honest decoder contract."""
     import struct
 
     import numpy as np
@@ -871,8 +937,177 @@ def _decode_jpeg_unguarded(b: bytes) -> tuple[int, int, int, int]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
+    progressive = False
     dri = 0
-    scan_at = None
+    coeffs = None  # per-block quantized coefficients in ZIGZAG order
+    n_hblocks = n_vblocks = 0
+
+    def decode_scan(scan_hdr: bytes, start: int) -> int:
+        """Decode ONE scan's entropy data over the persistent coefficient
+        state; returns the byte position just past the scan."""
+        nonlocal coeffs
+        ns = scan_hdr[0]
+        if ns != 1:
+            raise ValueError("multi-component scan unsupported")
+        ss, se = scan_hdr[1 + 2 * ns], scan_hdr[2 + 2 * ns]
+        a_hi, a_lo = scan_hdr[3 + 2 * ns] >> 4, scan_hdr[3 + 2 * ns] & 0xF
+        if not progressive and (ss, se, a_hi, a_lo) != (0, 63, 0, 0):
+            raise ValueError("partial band in a baseline scan")
+        if ss > se or se > 63:
+            raise ValueError("bad spectral selection")
+        dc_sel, ac_sel = scan_hdr[2] >> 4, scan_hdr[2] & 0xF
+        dc_map = htables.get((0, dc_sel))
+        ac_map = htables.get((1, ac_sel))
+        rd = _JpegBitReader(b, start)
+        prev_dc = 0
+        eobrun = 0
+        n_blocks = n_hblocks * n_vblocks
+
+        def refine_nonzero(zz: list[int], k: int, upto: int) -> int:
+            """Advance k to the next zero-history slot ≤ upto, consuming a
+            correction bit for every nonzero-history coefficient passed
+            (T.81 G.2: history bits travel interleaved with the run)."""
+            while k <= upto and zz[k] != 0:
+                if rd.bit() and (abs(zz[k]) & (1 << a_lo)) == 0:
+                    zz[k] += (1 << a_lo) if zz[k] > 0 else -(1 << a_lo)
+                k += 1
+            return k
+
+        def refine_span(zz: list[int], k: int, upto: int) -> None:
+            """EOB-covered band tail: EVERY nonzero-history coefficient in
+            [k, upto] gets its correction bit (zero slots are skipped, not
+            stopped at — unlike the run-advance helper above)."""
+            while k <= upto:
+                if zz[k] != 0:
+                    if rd.bit() and (abs(zz[k]) & (1 << a_lo)) == 0:
+                        zz[k] += (1 << a_lo) if zz[k] > 0 else -(1 << a_lo)
+                k += 1
+
+        for mcu in range(n_blocks):
+            if dri and mcu > 0 and mcu % dri == 0:
+                rd.n = 0
+                m = rd.at_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise ValueError(
+                        "expected restart marker "
+                        f"(scan Ss={ss} Se={se} Ah={a_hi} Al={a_lo} mcu={mcu})"
+                    )
+                rd.skip_marker()
+                prev_dc = 0
+                eobrun = 0
+            zz = coeffs[mcu]
+            if ss == 0 and not progressive:
+                # sequential: DC + full AC band in one pass
+                if dc_map is None or ac_map is None:
+                    raise ValueError("missing Huffman table")
+                s = _jpeg_huff_decode(rd, dc_map)
+                diff = _jpeg_extend(rd.bits(s), s) if s else 0
+                prev_dc += diff
+                zz[0] = prev_dc
+                i = 1
+                while i < 64:
+                    sym = _jpeg_huff_decode(rd, ac_map)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL: 16 zeros
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    i += run
+                    if i > 63 or size == 0:
+                        raise ValueError("corrupt AC run")
+                    zz[i] = _jpeg_extend(rd.bits(size), size)
+                    i += 1
+            elif ss == 0 and a_hi == 0:
+                # progressive DC first scan (point transform a_lo)
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                if dc_map is None:
+                    raise ValueError("missing Huffman table")
+                s = _jpeg_huff_decode(rd, dc_map)
+                diff = _jpeg_extend(rd.bits(s), s) if s else 0
+                prev_dc += diff
+                zz[0] = prev_dc << a_lo
+            elif ss == 0:
+                # progressive DC refinement: one raw bit per block
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                if rd.bit():
+                    zz[0] |= 1 << a_lo
+            elif a_hi == 0:
+                # progressive AC first scan for band [ss, se]
+                if ac_map is None:
+                    raise ValueError("missing Huffman table")
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                i = ss
+                while i <= se:
+                    sym = _jpeg_huff_decode(rd, ac_map)
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            i += 16
+                            continue
+                        # EOBn: run of 2^run + extra empty bands
+                        eobrun = (1 << run) + (rd.bits(run) if run else 0) - 1
+                        break
+                    i += run
+                    if i > se:
+                        raise ValueError("corrupt AC run")
+                    zz[i] = _jpeg_extend(rd.bits(size), size) << a_lo
+                    i += 1
+            else:
+                # progressive AC refinement scan (T.81 G.2)
+                if ac_map is None:
+                    raise ValueError("missing Huffman table")
+                if eobrun > 0:
+                    # inside an EOB run: every nonzero-history coefficient
+                    # in the band still receives its correction bit
+                    refine_span(zz, ss, se)
+                    eobrun -= 1
+                    continue
+                i = ss
+                while i <= se:
+                    sym = _jpeg_huff_decode(rd, ac_map)
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL: skip 16 zero-history slots
+                            skipped = 0
+                            while skipped < 16 and i <= se:
+                                i = refine_nonzero(zz, i, se)
+                                if i > se:
+                                    raise ValueError("corrupt AC refine run")
+                                i += 1  # this slot stays zero
+                                skipped += 1
+                            continue
+                        eobrun = (1 << run) + (rd.bits(run) if run else 0)
+                        break
+                    if size != 1:
+                        raise ValueError("corrupt AC refinement size")
+                    newval = (1 << a_lo) if rd.bit() else -(1 << a_lo)
+                    # advance past `run` zero-history slots (correction
+                    # bits for nonzero-history slots along the way)
+                    while True:
+                        i = refine_nonzero(zz, i, se)
+                        if i > se:
+                            raise ValueError("corrupt AC refine run")
+                        if run == 0:
+                            break
+                        run -= 1
+                        i += 1
+                    zz[i] = newval
+                    i += 1
+                if eobrun > 0:
+                    # the EOB covers the REST of this block's band too
+                    refine_span(zz, i, se)
+                    eobrun -= 1
+        # skip to the next marker (encoder 1-pads to byte alignment)
+        p = rd.p
+        while p + 1 < len(b) and not (b[p] == 0xFF and b[p + 1] != 0x00):
+            p += 1
+        return p
+
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -889,10 +1124,19 @@ def _decode_jpeg_unguarded(b: bytes) -> tuple[int, int, int, int]:
                     raise ValueError("16-bit quant tables unsupported")
                 qtables[tq] = list(body[i + 1 : i + 65])
                 i += 65
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             sof = body
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("non-baseline JPEG unsupported")
+            progressive = marker == 0xC2
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", sof, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    f"unsupported JPEG: precision={prec} components={ncomp}"
+                )
+            n_hblocks = (w + 7) // 8
+            n_vblocks = (h + 7) // 8
+            coeffs = [[0] * 64 for _ in range(n_hblocks * n_vblocks)]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("lossless/arithmetic/hierarchical JPEG unsupported")
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -907,129 +1151,245 @@ def _decode_jpeg_unguarded(b: bytes) -> tuple[int, int, int, int]:
         elif marker == 0xDD:
             (dri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
-            scan_at = pos + 2 + seglen
-            scan_hdr = body
-            break
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            pos = decode_scan(body, pos + 2 + seglen)
+            continue
         pos += 2 + seglen
-    if sof is None or scan_at is None:
+    if sof is None or coeffs is None:
         raise ValueError("missing SOF/SOS")
     prec, h, w, ncomp = struct.unpack_from(">BHHB", sof, 0)
-    if prec != 8 or ncomp != 1:
-        raise ValueError(f"unsupported JPEG: precision={prec} components={ncomp}")
     qtab = qtables[sof[8]]
-    ns = scan_hdr[0]
-    if ns != 1:
-        raise ValueError("multi-component scan unsupported")
-    dc_map = htables[(0, scan_hdr[2] >> 4)]
-    ac_map = htables[(1, scan_hdr[2] & 0xF)]
 
-    class _BitReader:
-        def __init__(self, data: bytes, start: int) -> None:
-            self.d = data
-            self.p = start
-            self.acc = 0
-            self.n = 0
-
-        def bit(self) -> int:
-            if self.n == 0:
-                if self.p >= len(self.d):
-                    raise ValueError("truncated entropy stream")
-                byte = self.d[self.p]
-                self.p += 1
-                if byte == 0xFF:
-                    nxt = self.d[self.p] if self.p < len(self.d) else None
-                    if nxt == 0x00:
-                        self.p += 1  # stuffed byte
-                    else:
-                        raise ValueError("unexpected marker in entropy stream")
-                self.acc = byte
-                self.n = 8
-            self.n -= 1
-            return (self.acc >> self.n) & 1
-
-        def bits(self, k: int) -> int:
-            v = 0
-            for _ in range(k):
-                v = (v << 1) | self.bit()
-            return v
-
-        def at_marker(self) -> int | None:
-            """Peek: byte-aligned RST/EOI marker next?"""
-            if self.n:
-                return None
-            if self.p + 1 < len(self.d) and self.d[self.p] == 0xFF:
-                nxt = self.d[self.p + 1]
-                if nxt != 0x00:
-                    return nxt
-            return None
-
-        def skip_marker(self) -> None:
-            self.p += 2
-            self.acc = 0
-            self.n = 0
-
-    def huff_decode(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length <= 16:
-            code = (code << 1) | rd.bit()
-            length += 1
-            sym = table.get((code, length))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-    def extend(v: int, s: int) -> int:
-        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+    import numpy as np
 
     # orthonormal DCT basis: pixel = C.T @ coeff @ C
     k = np.arange(8)
     C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.sqrt(2.0 / 8)
     C[0, :] = np.sqrt(1.0 / 8)
-
-    bw_blocks = (w + 7) // 8
-    bh_blocks = (h + 7) // 8
-    img = np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.int64)
-    rd = _BitReader(b, scan_at)
-    prev_dc = 0
-    mcu = 0
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
-            if dri and mcu > 0 and mcu % dri == 0:
-                # byte-align then consume the RSTn marker
-                rd.n = 0
-                m = rd.at_marker()
-                if m is None or not (0xD0 <= m <= 0xD7):
-                    raise ValueError("expected restart marker")
-                rd.skip_marker()
-                prev_dc = 0
-            s = huff_decode(rd, dc_map)
-            diff = extend(rd.bits(s), s) if s else 0
-            prev_dc += diff
-            zz = [0] * 64
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = huff_decode(rd, ac_map)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL: 16 zeros
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                i += run
-                if i > 63 or size == 0:
-                    raise ValueError("corrupt AC run")
-                zz[i] = extend(rd.bits(size), size)
-                i += 1
+    img = np.zeros((n_vblocks * 8, n_hblocks * 8), dtype=np.int64)
+    for by in range(n_vblocks):
+        for bx in range(n_hblocks):
+            zz = coeffs[by * n_hblocks + bx]
             coeff = np.zeros(64, dtype=np.float64)
             for i in range(64):
                 coeff[_JPEG_ZIGZAG[i]] = zz[i] * qtab[i]
             block = C.T @ coeff.reshape(8, 8) @ C
             px = np.clip(np.round(block + 128), 0, 255).astype(np.int64)
             img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-            mcu += 1
-    img = img[:h, :w]
+    return w, h, img[:h, :w]
+
+
+def _decode_jpeg_unguarded(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, pixel_sum, n_pixels) over _decode_jpeg_image —
+    the aggregate contract shared by every binary decoder here."""
+    w, h, img = _decode_jpeg_image(b)
     return w, h, int(img.sum()), w * h
+
+
+# Custom AC Huffman table for the progressive scans: Annex K's sequential
+# AC table has NO EOBn symbols (n >= 1) — progressive streams always ship
+# their own tables. Symbols: EOB0, EOB1(+1 bit), EOB2(+2 bits),
+# (run=6,size=1) (the coefficient at zigzag band position 39 sits 38
+# zeros into the band: two ZRLs + a 6-run), ZRL. Canonical lengths
+# 2,2,3,3,3.
+_JPEG_PROG_AC_BITS = [0, 2, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_VALS = [0x00, 0x61, 0x10, 0x20, 0xF0]
+
+
+def encode_jpeg_progressive_deterministic(doc_id: int) -> bytes:
+    """PROGRESSIVE (SOF2) twin of ``encode_jpeg_deterministic`` — same
+    dimensions and the same closed-form DC content, plus one REAL AC
+    coefficient per block: quantized value a = ((3·id+5·bx+7·by)%5)−2 ∈
+    {−2..2} at DCT position (4,4) (zeroed when the block's flat value v
+    is within 2 of the 0/255 clip rails). Under the flat Q=8 table that
+    basis contributes EXACTLY ±a per pixel in a zero-sum 2×2-checker
+    pattern — pixels stay integers, the block SUM stays 64·v (the same
+    aggregate oracle as the baseline twin), and the per-pixel image is
+    v + a·s[x]·s[y] with s = [+,−,−,+,+,−,−,+] (golden-pinned).
+
+    Four scans exercise every progressive entropy path of T.81 G.1:
+      1. DC first, Al=1       (delta-coded arithmetic-shifted DC)
+      2. DC refinement, Ah=1  (one raw bit per block)
+      3. AC first, band 1..63, Al=1  (point-transformed |a|÷2: ±2 → ±1
+         coded through ZRL runs; ±1/0 → 0 folded into cross-block
+         EOBRUN band skips)
+      4. AC refinement, Ah=1→Al=0 (newly-nonzero ±1 insertion after
+         zero-history runs, CORRECTION BITS for ±2 history buffered
+         through EOB runs — the full G.2 machinery)
+    DRI=4 restarts run through every scan (DC predictor + EOBRUN reset),
+    and the stream ships its own AC Huffman table because Annex K's
+    sequential table has no EOBn symbols."""
+    import struct
+
+    w = 8 * (2 + doc_id % 3)
+    h = 8 * (1 + doc_id % 4)
+    zz_band = _JPEG_ZIGZAG.index(36)  # band position of DCT (4,4)
+    dc_tbl = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tbl = _huff_canonical(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    R = _JPEG_RESTART_INTERVAL
+
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = (7 * doc_id + 13 * bx + 29 * by) % 256
+            a = ((3 * doc_id + 5 * bx + 7 * by) % 5) - 2 if 2 <= v <= 253 else 0
+            blocks.append((v - 128, a))
+
+    def put_rst(bw: _BitWriter, rst: int) -> int:
+        bw.align()
+        bw.out.extend(bytes([0xFF, 0xD0 + rst]))
+        return (rst + 1) % 8
+
+    # --- scan 1: DC first, Ss=Se=0, Ah=0, Al=1 ---------------------------
+    bw = _BitWriter()
+    prev = 0
+    rst = 0
+    for m, (dc, _a) in enumerate(blocks):
+        if m and m % R == 0:
+            rst = put_rst(bw, rst)
+            prev = 0
+        val = dc >> 1  # arithmetic shift: T.81 DC point transform
+        diff = val - prev
+        prev = val
+        s = abs(diff).bit_length()
+        code, length = dc_tbl[s]
+        bw.put(code, length)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw.align()
+    scan1 = (bytes([1, 1, 0x00, 0, 0, 0x01]), bytes(bw.out))
+
+    # --- scan 2: DC refinement, Ah=1, Al=0 (raw bits) --------------------
+    bw = _BitWriter()
+    rst = 0
+    for m, (dc, _a) in enumerate(blocks):
+        if m and m % R == 0:
+            rst = put_rst(bw, rst)
+        bw.put(dc & 1, 1)
+    bw.align()
+    scan2 = (bytes([1, 1, 0x00, 0, 0, 0x10]), bytes(bw.out))
+
+    # --- scan 3: AC first, Ss=1, Se=63, Ah=0, Al=1 -----------------------
+    bw = _BitWriter()
+    rst = 0
+    eob = 0
+
+    def flush_eob3() -> None:
+        nonlocal eob
+        if eob:
+            n = eob.bit_length() - 1
+            code, length = ac_tbl[n << 4]
+            bw.put(code, length)
+            if n:
+                bw.put(eob - (1 << n), n)
+            eob = 0
+
+    for m, (_dc, a) in enumerate(blocks):
+        if m and m % R == 0:
+            flush_eob3()
+            rst = put_rst(bw, rst)
+        pt = abs(a) >> 1  # point transform truncates toward zero
+        pt = pt if a >= 0 else -pt
+        if pt == 0:
+            eob += 1
+            continue
+        flush_eob3()
+        run = zz_band - 1  # zeros before (4,4) inside the band
+        while run > 15:
+            code, length = ac_tbl[0xF0]
+            bw.put(code, length)
+            run -= 16
+        s = 1  # |pt| == 1 always here
+        code, length = ac_tbl[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(pt if pt > 0 else pt + (1 << s) - 1, s)
+        eob += 1  # rest of the band is zero -> EOB joins the next run
+    flush_eob3()
+    bw.align()
+    scan3 = (bytes([1, 1, 0x00, 1, 63, 0x01]), bytes(bw.out))
+
+    # --- scan 4: AC refinement, Ss=1, Se=63, Ah=1, Al=0 ------------------
+    bw = _BitWriter()
+    rst = 0
+    eob = 0
+    be: list[int] = []  # correction bits buffered through the EOB run
+
+    def flush_eob4() -> None:
+        nonlocal eob, be
+        if eob:
+            n = eob.bit_length() - 1
+            code, length = ac_tbl[n << 4]
+            bw.put(code, length)
+            if n:
+                bw.put(eob - (1 << n), n)
+            for bit in be:
+                bw.put(bit, 1)
+            eob = 0
+            be = []
+
+    for m, (_dc, a) in enumerate(blocks):
+        if m and m % R == 0:
+            flush_eob4()
+            rst = put_rst(bw, rst)
+        history = (abs(a) >> 1) << 1 if a >= 0 else -(((-a) >> 1) << 1)
+        r = 0
+        br: list[int] = []
+        emitted = False
+        for k in range(1, 64):
+            hist_k = history if k == zz_band else 0
+            val_k = a if k == zz_band else 0
+            if hist_k != 0:
+                br.append(abs(val_k) & 1)  # correction bit at Al=0
+                continue
+            if val_k == 0:
+                r += 1
+                continue
+            # newly nonzero (|val_k| == 1)
+            flush_eob4()
+            while r > 15:
+                code, length = ac_tbl[0xF0]
+                bw.put(code, length)
+                for bit in br:
+                    bw.put(bit, 1)
+                br = []
+                r -= 16
+            code, length = ac_tbl[(r << 4) | 1]
+            bw.put(code, length)
+            bw.put(1 if val_k > 0 else 0, 1)
+            for bit in br:
+                bw.put(bit, 1)
+            br = []
+            r = 0
+            emitted = True
+        if r > 0 or br or not emitted:
+            eob += 1
+            be.extend(br)
+    flush_eob4()
+    bw.align()
+    scan4 = (bytes([1, 1, 0x00, 1, 63, 0x10]), bytes(bw.out))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qtab = bytes([0]) + bytes([8] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS)
+        + bytes(_JPEG_PROG_AC_VALS)
+    )
+    out = (
+        bytes([0xFF, 0xD8])
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, qtab)
+        + seg(0xC2, sof)  # SOF2: progressive DCT
+        + seg(0xC4, dht)
+        + seg(0xDD, struct.pack(">H", R))
+    )
+    for hdr, data in (scan1, scan2, scan3, scan4):
+        out += seg(0xDA, hdr) + data
+    return out + bytes([0xFF, 0xD9])
 
 
 def decode_jpeg(b: bytes) -> tuple[int, int, int, int]:
@@ -1054,6 +1414,27 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
 
     def gen(ids):
         return pd.Series([encode_jpeg_deterministic(int(i)) for i in ids])
+
+    gen.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    gen_udf = pandas_udf("binary")(gen)
+    return docs.select(
+        F.col("doc_id"),
+        F.lit("image/jpeg").alias("media_type"),
+        gen_udf(F.col("doc_id")).alias("payload"),
+    )
+
+
+def attach_jpeg_progressive_payload(docs: DataFrame) -> DataFrame:
+    """Multimodal table with REAL progressive-JPEG (SOF2) payloads,
+    generated on executors — same aggregate closed form as the baseline
+    payloads (the per-block AC detail is pixel-sum-neutral), different
+    entropy organization: four successive-approximation scans."""
+    from pyspark.sql.functions import pandas_udf
+
+    def gen(ids):
+        return pd.Series(
+            [encode_jpeg_progressive_deterministic(int(i)) for i in ids]
+        )
 
     gen.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     gen_udf = pandas_udf("binary")(gen)

@@ -891,7 +891,10 @@ def test_decode_jpeg_roundtrip_and_errors():
         assert decode_jpeg(bytes(tampered))[2] != decode_jpeg(good)[2]
     except ValueError:
         pass
-    # progressive SOF refused
+    # relabeling a baseline stream as SOF2 is refused: progressive scans
+    # must be DC-only (Ss=Se=0) or AC-band (Ss>0) — a full 0..63 scan
+    # under SOF2 violates T.81 and the scan validator catches it (real
+    # progressive streams are decoded; see the jpeg_progressive tests)
     prog = bytearray(good)
     prog[prog.index(b"\xff\xc0") + 1] = 0xC2
     with _pytest.raises(ValueError):
@@ -1517,11 +1520,19 @@ def test_binary_decoders_fuzz_valueerror_only():
 
     from sparkwrangle.ext.multimodal import encode_png_interlaced_deterministic
 
+    from sparkwrangle.ext.multimodal import (
+        decode_jpeg,
+        encode_jpeg_deterministic,
+        encode_jpeg_progressive_deterministic,
+    )
+
     cases = [
         (encode_bmp_deterministic, decode_bmp),
         (encode_wav_deterministic, decode_wav),
         (encode_png_deterministic, decode_png),
         (encode_png_interlaced_deterministic, decode_png),
+        (encode_jpeg_deterministic, decode_jpeg),
+        (encode_jpeg_progressive_deterministic, decode_jpeg),
         (encode_bmp_deterministic, lambda b: resize_bmp_nearest(b, 8, 6)),
     ]
     random.seed(11)
@@ -1680,3 +1691,41 @@ def test_png_adam7_interlaced_decode_parity():
     assert encode_png_deterministic(12) != encode_png_interlaced_deterministic(12)
     # interlace flag is declared in IHDR
     assert encode_png_interlaced_deterministic(12)[8 + 8 + 12] == 1
+
+
+def test_jpeg_progressive_decode_per_pixel_golden():
+    """The progressive (SOF2) four-scan stream reconstructs the EXACT
+    per-pixel image v + a·s[x]·s[y] (s the sign pattern of the DCT(4,4)
+    basis) — the proof the AC scans are really decoded: the AC detail is
+    pixel-SUM-neutral by construction, so only a per-pixel check can
+    distinguish a real progressive decoder from one that silently drops
+    the AC scans. Also pins aggregate parity with the baseline twin and
+    that the wire formats genuinely differ (SOF2 vs SOF0)."""
+    import numpy as np
+
+    from sparkwrangle.ext.multimodal import (
+        _decode_jpeg_image,
+        decode_jpeg,
+        encode_jpeg_deterministic,
+        encode_jpeg_progressive_deterministic,
+    )
+
+    s = [1, -1, -1, 1, 1, -1, -1, 1]
+    for i in range(24):  # full 3x4 size grid, twice over the a-phase
+        w, h = 8 * (2 + i % 3), 8 * (1 + i % 4)
+        exp = np.zeros((h, w), dtype=np.int64)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = (7 * i + 13 * bx + 29 * by) % 256
+                a = ((3 * i + 5 * bx + 7 * by) % 5) - 2 if 2 <= v <= 253 else 0
+                for y in range(8):
+                    for x in range(8):
+                        exp[by * 8 + y, bx * 8 + x] = v + a * s[x] * s[y]
+        gw, gh, img = _decode_jpeg_image(encode_jpeg_progressive_deterministic(i))
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(img, exp), i
+        assert decode_jpeg(
+            encode_jpeg_progressive_deterministic(i)
+        ) == decode_jpeg(encode_jpeg_deterministic(i))
+    prog = encode_jpeg_progressive_deterministic(12)
+    assert b"\xff\xc2" in prog and b"\xff\xc2" not in encode_jpeg_deterministic(12)

@@ -79,6 +79,7 @@ _PYTHON_OK = {
     "x_multimodal_png_decode",  # binary synth + real zlib/unfilter decode
     "x_multimodal_png_interlaced",  # same decode, Adam7 wire layout
     "x_multimodal_jpeg_decode",  # binary synth + real Huffman/IDCT decode
+    "x_multimodal_jpeg_progressive",  # four-scan SOF2 decode, same kernel
     "x_image_resize",  # nearest-neighbor BMP resample, Arrow-batched
     "x_audio_features",  # PCM DSP features (energy/peak/zcr/rms)
     "x_frame_sampling",

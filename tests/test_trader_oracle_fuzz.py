@@ -239,7 +239,8 @@ _DOCS_EMB_ONLY = [
     "x_knn_ivf_label", "x_knn_ivf_nprobe", "x_knn_ivf_trained", "x_knn_ivfpq",
     "x_knn_lsh_hyperplane", "x_knn_pq_adc", "x_knn_pq_rerank", "x_lang_id",
     "x_length_histogram", "x_minhash_jaccard_est", "x_multimodal_bmp_decode",
-    "x_multimodal_features", "x_multimodal_jpeg_decode", "x_multimodal_meta",
+    "x_multimodal_features", "x_multimodal_jpeg_decode",
+    "x_multimodal_jpeg_progressive", "x_multimodal_meta",
     "x_multimodal_png_decode", "x_multimodal_png_interlaced",
     "x_multimodal_wav_decode", "x_negative_sampling", "x_pii_redact",
     "x_quality_prune",
