@@ -695,6 +695,142 @@ def lsh_verified_pairs(
     return cand.join(jac, ["id_a", "id_b"], "inner").select("id_a", "id_b")
 
 
+def prefix_filter_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    order: str = "df",
+) -> DataFrame:
+    """EXACT similarity self-join by prefix filtering (AllPairs, Bayardo
+    et al. WWW'07, + PPJoin's positional filter, Xiao et al. WWW'08) —
+    the LOSSLESS complement to MinHash-LSH: every pair with Jaccard ≥
+    ``threshold`` is returned, no probabilistic recall, and the self-join
+    never touches all pairs.
+
+    Why it is exact: fix any consistent total order over shingles and
+    define each doc's *prefix* as its first ``p = sz − ceil(t·sz) + 1``
+    shingles in that order. If J(A,B) ≥ t then |A∩B| ≥ t·max(|A|,|B|),
+    and two sets whose overlap is that large MUST share a token inside
+    both prefixes — so the prefix×prefix equi-join loses no true pair.
+    Candidates then pass a length filter (t·|A| ≤ |B| ≤ |A|/t) and
+    PPJoin's positional bound before the exact Jaccard verify; filters
+    only ever discard pairs the verify would discard, so output equals
+    the brute-force join (pinned by test and by the uncapped oracle).
+
+    ``order`` picks the total order:
+
+    * ``"df"`` (default): ascending document frequency, rarest first —
+      the literature's order; prefixes hold the rarest shingles, so the
+      candidate join's fan-out Σ df_prefix(s)² is minimized. Costs one
+      map-side-combinable groupBy(shingle).count() plus a join back to
+      the shingle stream (same key as the count, so the join inserts no
+      extra exchange beyond the count's own shuffle).
+    * ``"hash"``: xxhash64(shingle) — orderless corpora or when the df
+      pass is not worth it; zero extra jobs, average-case prefixes.
+
+    Scale shape (100 TB): no window over any corpus-wide key — the only
+    windows partition by the DOC (bounded by doc length). The candidate
+    join is an equi-join on shingle (AQE-skew-splittable), its fan-out
+    bounded by prefix df², and the verify fan-out by the candidate set —
+    never Σ df(shingle)² over the corpus like the df-capped brute form.
+
+    Positional-filter soundness under a consistent order: prefixes are
+    downward-closed in the global order, so any common shingle ranked
+    before a pair's LAST prefix match would itself be a prefix match —
+    hence every unmatched common shingle ranks after (max_pa, max_pb)
+    and overlap ≤ pm + min(sz_a − max_pa, sz_b − max_pb).
+
+    ``sh`` MUST be one row per (doc, shingle) — ``shingles(...,
+    distinct=True)`` — positions and sizes are set-semantics; a multiset
+    input would corrupt both (unlike the minhash path, which tolerates it).
+    """
+    from pyspark.sql import Window
+
+    if order not in ("df", "hash"):
+        raise ValueError(f"prefix_filter_pairs: order must be 'df' or 'hash', got {order!r}")
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"prefix_filter_pairs: threshold must be in (0, 1], got {threshold!r}")
+    t = float(threshold)
+    if order == "df":
+        dfc = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        src = sh.join(dfc, "shingle")
+        order_cols = [F.col("_df"), F.col("shingle")]
+    else:
+        src = sh
+        order_cols = [F.xxhash64("shingle"), F.col("shingle")]
+    wdoc = Window.partitionBy(id_col)
+    ranked = src.select(
+        id_col,
+        "shingle",
+        F.row_number().over(wdoc.orderBy(*order_cols)).alias("pos"),
+        F.count("*").over(wdoc).alias("sz"),
+    )
+    # prefix length p = sz − ceil(t·sz) + 1; the 1e-9 slack keeps a float
+    # product like 3.0000000004 from ceiling to 4 and shortening the
+    # prefix (which would be a FALSE-NEGATIVE bug, not a slowdown)
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (ida < idb)
+            # length filter: J ≥ t ⟹ t·|A| ≤ |B| and t·|B| ≤ |A|
+            & (F.lit(t) * F.col("a.sz") <= F.col("b.sz") + F.lit(1e-9))
+            & (F.lit(t) * F.col("b.sz") <= F.col("a.sz") + F.lit(1e-9)),
+        )
+        .groupBy(ida.alias("id_a"), idb.alias("id_b"))
+        .agg(
+            F.count("*").alias("pm"),
+            F.max("a.pos").alias("max_pa"),
+            F.max("b.pos").alias("max_pb"),
+            F.max("a.sz").alias("sz_a"),  # constant per group
+            F.max("b.sz").alias("sz_b"),
+        )
+        # positional filter: overlap ≤ pm + min(remaining suffix lengths);
+        # J ≥ t ⟺ (1+t)·overlap ≥ t·(sz_a+sz_b), so prune when even the
+        # bound cannot reach it
+        .filter(
+            (
+                F.col("pm")
+                + F.least(
+                    F.col("sz_a") - F.col("max_pa"), F.col("sz_b") - F.col("max_pb")
+                )
+            )
+            * F.lit(1.0 + t)
+            >= F.lit(t) * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9)
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        # the pair list is near-dup-sized and consumed TWICE (the verify
+        # join chain and the final size join) — materialize it once or
+        # the whole prefix subtree (df count + join + windows + self-join)
+        # re-evaluates per consumer, same policy as lsh_verified_pairs
+        .localCheckpoint()
+    )
+    # exact verify: count the true intersection for candidates only —
+    # the pair list is near-dup-sized, so AQE broadcasts it and fan-out
+    # is |candidates| × doc length, not a corpus self-join
+    asv = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    bsv = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(asv, "id_a")
+        .join(bsv, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = cand.join(inter, ["id_a", "id_b"]).withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard"
+    )
+
+
 def positional_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:

@@ -1627,6 +1627,84 @@ def test_ngram_jaccard_auto_mode_probe(spark):
     assert out.count() >= 1  # the planted near-dup pair survives the cap
 
 
+def _prefix_filter_corpus(spark):
+    """Adversarial corpus for the exact prefix-filter join: identical
+    pairs (J=1.0), one-edit near-dups, mid-similarity pairs straddling
+    common thresholds, disjoint docs, sub-shingle-length shorts, and a
+    family of seeded vocab-overlap docs producing a spread of Jaccard
+    values (so filters face pairs just above AND just below threshold)."""
+    import random
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, base.replace("today", "now")),  # one-token edit
+        (3, "completely different words about spark catalyst plans and shuffles"),
+        (4, "tiny doc"),  # < 3 tokens → no shingles
+        (5, ""),
+    ]
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    for i in range(6, 36):
+        n = rng.randint(6, 24)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_filter_join_equals_bruteforce(spark):
+    """LOSSLESSNESS: prefix+length+positional filtering followed by the
+    exact verify must equal the uncapped brute-force Jaccard self-join —
+    at several thresholds and under BOTH global orders (df, hash). A
+    single dropped true pair (false negative from a filter bound, a
+    ceil() float overshoot, or an inconsistent tie-break in the global
+    order) fails the tuple-set compare."""
+    from sparkwrangle.ext.dedup import prefix_filter_pairs
+
+    sh = shingles(_prefix_filter_corpus(spark), "doc_id", "text", 3)
+
+    def norm(df):
+        return sorted(
+            (r.id_a, r.id_b, r.inter, r.sz_a, r.sz_b, round(r.jaccard, 9))
+            for r in df.collect()
+        )
+
+    for t in (0.3, 0.5, 0.8, 1.0):
+        brute = norm(ngram_jaccard_pairs(sh, "doc_id", threshold=t))
+        for order in ("df", "hash"):
+            got = norm(prefix_filter_pairs(sh, "doc_id", threshold=t, order=order))
+            assert got == brute, f"threshold={t} order={order}"
+        if t <= 0.5:
+            assert brute  # the planted dups make low thresholds nonempty
+
+
+def test_prefix_filter_join_plan_shape(spark):
+    """Scale guards: no cartesian product anywhere, and no window
+    partitioned by the corpus-wide shingle key — the only windows may
+    partition by the doc id (bounded by doc length)."""
+    from sparkwrangle.ext.dedup import prefix_filter_pairs
+
+    sh = shingles(_prefix_filter_corpus(spark), "doc_id", "text", 3)
+    out = prefix_filter_pairs(sh, "doc_id", threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(shingle" not in plan
+
+
+def test_prefix_filter_join_validates_args(spark):
+    import pytest as _pytest
+
+    from sparkwrangle.ext.dedup import prefix_filter_pairs
+
+    sh = shingles(_docs(spark), "doc_id", "text", 3)
+    with _pytest.raises(ValueError, match="prefix_filter_pairs"):
+        prefix_filter_pairs(sh, "doc_id", order="DF")
+    with _pytest.raises(ValueError, match="prefix_filter_pairs"):
+        prefix_filter_pairs(sh, "doc_id", threshold=0.0)
+    with _pytest.raises(ValueError, match="prefix_filter_pairs"):
+        prefix_filter_pairs(sh, "doc_id", threshold=1.5)
+
+
 def _wav_bytes(samples, n_channels=1):
     import struct
 

@@ -231,6 +231,7 @@ _DOCS_EMB_ONLY = [
     "x_dedup_lsh_recall_audit", "x_dedup_minhash_lsh",
     "x_dedup_minhash_mapside", "x_dedup_minhash_sigs",
     "x_dedup_ngram_jaccard", "x_dedup_pipeline_end_to_end",
+    "x_dedup_prefix_filter_join",
     "x_audio_features", "x_image_resize",
     "x_dedup_simhash", "x_doc_chunking", "x_doc_fingerprint",
     "x_embedding_neardup", "x_embedding_normalize", "x_embedding_quantize",
@@ -257,7 +258,7 @@ _DOCS_EMB_ONLY = [
 
 
 def test_llm_pipeline_queries_generalize_to_synthetic_corpus(spark, tmp_path):
-    """76 LLM-pipeline oracle queries (the whole dedup / ANN / text /
+    """77 LLM-pipeline oracle queries (the whole dedup / ANN / text /
     multimodal x_ family) hash-match DuckDB on a fully SYNTHETIC corpus —
     random multilingual word salad with planted near-dups and random
     embeddings the driver never generated."""
