@@ -57,6 +57,7 @@ QUERIES = [
     "x_negative_sampling",      # pair-hash ranking per anchor
     "tpch_q10_returned_items",  # decimal revenue + TakeOrdered top-20
     "x_stream_ann_batch_twin",  # persisted-index probe, unioned micro-batches
+    "x_dedup_prefix_filter_join",  # prefix-filter candidates + exact verify
 ]
 
 
