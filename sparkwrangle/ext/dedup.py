@@ -840,18 +840,149 @@ def positional_shingles(
     its own projection below the Generate; no per-gram slice allocation);
     posexplode supplies the offset for free."""
     t1 = df.select(id_col, tokenize(F.col(text_col)).alias("_t"))
-    sz = F.size("_t")
+    return t1.select(
+        id_col, F.posexplode(_gram_array_expr("_t", n)).alias("pos", "shingle")
+    )
+
+
+def _gram_array_expr(tokens_col: str, n: int) -> Column:
+    """n-gram strings of a token-array column as an ARRAY expression
+    (the zipped-slice shape of shingles(), before any explode) — shared
+    by positional_shingles and the explode-free span-mode probe."""
+    sz = F.size(tokens_col)
     shifted = [
-        F.slice(F.col("_t"), i + 1, sz - (n - 1)).alias(f"t{i}") for i in range(n)
+        F.slice(F.col(tokens_col), i + 1, sz - (n - 1)).alias(f"t{i}")
+        for i in range(n)
     ]
-    grams = F.when(
+    return F.when(
         sz >= n,
         F.transform(
             F.arrays_zip(*shifted),
             lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return t1.select(id_col, F.posexplode(grams).alias("pos", "shingle"))
+
+
+def _gram_hash_array_expr(tokens_col: str, n: int) -> Column:
+    """Per-gram 64-bit hashes WITHOUT building gram strings: xxhash64
+    over the n zipped token fields directly (equality-only use — the
+    probe; positional_shingles keeps real strings for the oracle-portable
+    h60). Measured slightly faster than concat_ws+hash at sf0.1 and
+    allocation-free per gram, which is what matters on a wide corpus."""
+    sz = F.size(tokens_col)
+    shifted = [
+        F.slice(F.col(tokens_col), i + 1, sz - (n - 1)).alias(f"t{i}")
+        for i in range(n)
+    ]
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.arrays_zip(*shifted),
+            lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _span_probe_max_gram_count(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> dict:
+    """Estimate the hottest n-gram's corpus-wide occurrence count WITHOUT
+    exploding the corpus, as max(within, cross) of two cheap views:
+
+    * ``within``: EXACT max occurrence count of any single gram inside
+      one document — per row, hash the gram array, sort it, and fold for
+      the longest equal-run (equal hashes sort adjacent, so the longest
+      run IS the top gram's count). Pure map-side whole-stage-codegen
+      expressions: rows stay 1-per-doc, no explode, no shuffle beyond
+      the final scalar max. This catches the single-pathological-document
+      case DETERMINISTICALLY (a row-sampled probe only catches it with
+      sampling luck, and pays a full tokenize+explode pass to try).
+    * ``cross``: occurrence count over a deterministic 1/_PROBE_MOD
+      doc-granular hash-sample, scaled by _PROBE_MOD — catches
+      boilerplate grams spread across many documents; the predicate
+      references only ``id_col``, so Catalyst pushes it to the scan and
+      the probe reads ~1% of the corpus.
+
+    A gram split adversarially between one document and a broad spread
+    shows ≥ half its true count to one of the two views, so the combined
+    estimate underestimates by at most 2× — within the deliberate margin
+    of HOT_KEY_EST_THRESHOLD (50k vs a real partition's row budget).
+    Hash collisions merge runs/counts and only ever OVERestimate (a
+    conservative flip to the skew-safe form)."""
+    toks = df.select(id_col, tokenize(F.col(text_col)).alias("_t"))
+    ghs = F.array_sort(_gram_hash_array_expr("_t", n))
+    within = toks.select(
+        F.aggregate(
+            ghs,
+            F.struct(
+                F.lit(None).cast("bigint").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(
+                    acc.getField("prev").isNotNull() & (x == acc.getField("prev")),
+                    acc.getField("run") + 1,
+                )
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc.getField("best"),
+                    F.when(
+                        acc.getField("prev").isNotNull()
+                        & (x == acc.getField("prev")),
+                        acc.getField("run") + 1,
+                    ).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.getField("best"),
+        ).alias("m")
+    ).agg(F.max("m").alias("m")).first()["m"]
+    sampled = toks.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(_PROBE_MOD)) == 0)
+    cross = (
+        sampled.select(F.explode(_gram_hash_array_expr("_t", n)).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("m"))
+        .first()["m"]
+    )
+    return {
+        "est_within_doc": int(within or 0),
+        "est_cross_doc": int(cross or 0) * _PROBE_MOD,
+    }
+
+
+def _resolve_span_mode(
+    mode: str,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    stats: dict | None,
+) -> str:
+    """Validate ``mode`` and, for ``"auto"``, run the explode-free span
+    probe (see _span_probe_max_gram_count) to pick window vs join."""
+    _validate_mode(mode, "duplicate_spans")
+    if mode != "auto":
+        if stats is not None:
+            stats["mode"] = mode
+            stats["est_max_df"] = None
+        return mode
+    ests = _span_probe_max_gram_count(df, id_col, text_col, n)
+    est = max(ests.values())
+    picked = "join" if est >= HOT_KEY_EST_THRESHOLD else "window"
+    _log.info(
+        "duplicate_spans: auto count-mode probe within=%d cross=%d -> %s",
+        ests["est_within_doc"],
+        ests["est_cross_doc"],
+        picked,
+    )
+    if stats is not None:
+        stats["mode"] = picked
+        stats["est_max_df"] = est
+        stats.update(ests)
+    return picked
 
 
 def duplicate_spans(
@@ -877,12 +1008,20 @@ def duplicate_spans(
 
     ``count_mode`` picks how the corpus-wide gram count is computed:
 
-    * ``"auto"`` (default): a deterministic 1% hash-sampled probe over the
-      positional-gram stream (one cheap job) estimates the hottest gram's
-      occurrence count; below ``HOT_KEY_EST_THRESHOLD`` it runs the
+    * ``"auto"`` (default): an explode-free two-view probe estimates the
+      hottest gram's occurrence count — an EXACT map-side within-doc max
+      (sorted gram-hash runs folded per row: no explode, no shuffle, so a
+      single pathological document flips DETERMINISTICALLY) combined with
+      a scan-pushed 1% doc-sampled cross-doc count (boilerplate spread
+      over many docs); below ``HOT_KEY_EST_THRESHOLD`` it runs the
       ``"window"`` form, at/above it the skew-safe ``"join"`` form — so
-      the scale-safe plan engages without a caller flag. Decision logged
-      and recorded in ``stats`` (keys ``mode``, ``est_max_df``).
+      the scale-safe plan engages without a caller flag. An adversarial
+      concentrated/spread split shows ≥ half its count to one view, so
+      the estimate is within 2× — inside the threshold's deliberate
+      margin. NOTE: auto runs the probe jobs EAGERLY at plan-construction
+      time (the choice shapes the plan); pass an explicit mode to stay
+      fully lazy. Decision logged and recorded in ``stats`` (keys
+      ``mode``, ``est_max_df``, ``est_within_doc``, ``est_cross_doc``).
     * ``"window"``: ``count(*) OVER (PARTITION BY gh)`` — the
       position stream is scanned ONCE and shuffled once (keyed by content
       hash, so natural corpora spread evenly). Measured 2.6× faster than
@@ -901,11 +1040,9 @@ def duplicate_spans(
       form by test."""
     from pyspark.sql import Window
 
+    count_mode = _resolve_span_mode(count_mode, df, id_col, text_col, n, stats)
     g = positional_shingles(df, id_col, text_col, n)
     g = g.select(id_col, "pos", h60(F.col("shingle")).alias("gh"))
-    count_mode = _resolve_count_mode(
-        count_mode, g, "gh", [id_col, "pos"], "duplicate_spans", stats
-    )
     if count_mode == "join":
         occs = (
             g.groupBy("gh").agg(F.count("*").alias("occ"))

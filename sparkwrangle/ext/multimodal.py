@@ -227,25 +227,42 @@ def encode_wav_deterministic(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def attach_wav_payload(docs: DataFrame) -> DataFrame:
-    """Multimodal table with REAL audio payloads: each doc carries the
-    deterministic synthetic WAV for its doc_id, generated on executors."""
+def _payload_table(
+    docs: DataFrame,
+    media_type: str,
+    encoder,
+    uri_prefix: str | None = None,
+) -> DataFrame:
+    """Shared attach-payload scaffold for every synthetic binary format:
+    Arrow-batched executor-side generation of ``encoder(doc_id)`` bytes
+    (payloads are born on executors, never the driver) plus the typed
+    metadata columns. Payload is generated in its OWN projection and
+    n_bytes derived in a second one — a single-select
+    octet_length(udf(...)) would reference the UDF twice."""
     from pyspark.sql.functions import pandas_udf
 
     def gen(ids):
-        return pd.Series([encode_wav_deterministic(int(i)) for i in ids])
+        return pd.Series([encoder(int(i)) for i in ids])
 
     gen.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     gen_udf = pandas_udf("binary")(gen)
     with_payload = docs.select(
         F.col("doc_id"), gen_udf(F.col("doc_id")).alias("payload")
     )
-    return with_payload.select(
-        F.col("doc_id"),
-        F.lit("audio/wav").alias("media_type"),
-        F.concat(F.lit("mem://wav/"), F.col("doc_id")).alias("uri"),
-        F.octet_length("payload").cast("long").alias("n_bytes"),
-        F.col("payload"),
+    cols = [F.col("doc_id"), F.lit(media_type).alias("media_type")]
+    if uri_prefix is not None:
+        cols += [
+            F.concat(F.lit(uri_prefix), F.col("doc_id")).alias("uri"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ]
+    return with_payload.select(*cols, F.col("payload"))
+
+
+def attach_wav_payload(docs: DataFrame) -> DataFrame:
+    """Multimodal table with REAL audio payloads: each doc carries the
+    deterministic synthetic WAV for its doc_id, generated on executors."""
+    return _payload_table(
+        docs, "audio/wav", encode_wav_deterministic, uri_prefix="mem://wav/"
     )
 
 
@@ -253,24 +270,8 @@ def attach_bmp_payload(docs: DataFrame) -> DataFrame:
     """Multimodal table with REAL binary payloads: each doc carries the
     deterministic synthetic BMP for its doc_id (Arrow-batched generation —
     bytes are born on executors, never the driver)."""
-    from pyspark.sql.functions import pandas_udf
-
-    def gen(ids):
-        return pd.Series([encode_bmp_deterministic(int(i)) for i in ids])
-
-    gen.__annotations__ = {"ids": pd.Series, "return": pd.Series}
-    gen_udf = pandas_udf("binary")(gen)
-    # payload generated once, n_bytes derived in a second projection (a
-    # single-select octet_length(udf(...)) would reference the UDF twice)
-    with_payload = docs.select(
-        F.col("doc_id"), gen_udf(F.col("doc_id")).alias("payload")
-    )
-    return with_payload.select(
-        F.col("doc_id"),
-        F.lit("image/bmp").alias("media_type"),
-        F.concat(F.lit("mem://bmp/"), F.col("doc_id")).alias("uri"),
-        F.octet_length("payload").cast("long").alias("n_bytes"),
-        F.col("payload"),
+    return _payload_table(
+        docs, "image/bmp", encode_bmp_deterministic, uri_prefix="mem://bmp/"
     )
 
 
@@ -643,39 +644,12 @@ def attach_png_interlaced_payload(docs: DataFrame) -> DataFrame:
     """Multimodal table with Adam7-interlaced PNG payloads, generated on
     executors — same pixels as attach_png_payload, different wire
     layout."""
-    from pyspark.sql.functions import pandas_udf
-
-    def gen(ids):
-        return pd.Series(
-            [encode_png_interlaced_deterministic(int(i)) for i in ids]
-        )
-
-    gen.__annotations__ = {"ids": pd.Series, "return": pd.Series}
-    gen_udf = pandas_udf("binary")(gen)
-    return docs.select(
-        F.col("doc_id"),
-        F.lit("image/png").alias("media_type"),
-        gen_udf(F.col("doc_id")).alias("payload"),
-    )
+    return _payload_table(docs, "image/png", encode_png_interlaced_deterministic)
 
 
 def attach_png_payload(docs: DataFrame) -> DataFrame:
     """Multimodal table with REAL PNG payloads, generated on executors."""
-    from pyspark.sql.functions import pandas_udf
-
-    def gen(ids):
-        return pd.Series([encode_png_deterministic(int(i)) for i in ids])
-
-    gen.__annotations__ = {"ids": pd.Series, "return": pd.Series}
-    gen_udf = pandas_udf("binary")(gen)
-    with_payload = docs.select(
-        F.col("doc_id"), gen_udf(F.col("doc_id")).alias("payload")
-    )
-    return with_payload.select(
-        F.col("doc_id"),
-        F.lit("image/png").alias("media_type"),
-        F.col("payload"),
-    )
+    return _payload_table(docs, "image/png", encode_png_deterministic)
 
 
 def decode_png_features(media: DataFrame) -> DataFrame:
@@ -940,6 +914,7 @@ def _decode_jpeg_image(b: bytes):
     progressive = False
     dri = 0
     coeffs = None  # per-block quantized coefficients in ZIGZAG order
+    saw_scan = False
     n_hblocks = n_vblocks = 0
 
     def decode_scan(scan_hdr: bytes, start: int) -> int:
@@ -1153,12 +1128,17 @@ def _decode_jpeg_image(b: bytes):
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("SOS before SOF")
+            saw_scan = True
             pos = decode_scan(body, pos + 2 + seglen)
             continue
         pos += 2 + seglen
-    if sof is None or coeffs is None:
+    # coeffs alone is not evidence of a scan — it is allocated at SOF
+    # parse, so headers-without-SOS would otherwise "decode" to a
+    # fabricated flat-gray image instead of honoring the ValueError-only
+    # corruption contract
+    if sof is None or coeffs is None or not saw_scan:
         raise ValueError("missing SOF/SOS")
-    prec, h, w, ncomp = struct.unpack_from(">BHHB", sof, 0)
+    _, h, w, _ = struct.unpack_from(">BHHB", sof, 0)
     qtab = qtables[sof[8]]
 
     import numpy as np
@@ -1410,18 +1390,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, int]:
 def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
     """Multimodal table with REAL baseline-JPEG payloads, generated on
     executors (Arrow-batched, never on the driver)."""
-    from pyspark.sql.functions import pandas_udf
-
-    def gen(ids):
-        return pd.Series([encode_jpeg_deterministic(int(i)) for i in ids])
-
-    gen.__annotations__ = {"ids": pd.Series, "return": pd.Series}
-    gen_udf = pandas_udf("binary")(gen)
-    return docs.select(
-        F.col("doc_id"),
-        F.lit("image/jpeg").alias("media_type"),
-        gen_udf(F.col("doc_id")).alias("payload"),
-    )
+    return _payload_table(docs, "image/jpeg", encode_jpeg_deterministic)
 
 
 def attach_jpeg_progressive_payload(docs: DataFrame) -> DataFrame:
@@ -1429,20 +1398,7 @@ def attach_jpeg_progressive_payload(docs: DataFrame) -> DataFrame:
     generated on executors — same aggregate closed form as the baseline
     payloads (the per-block AC detail is pixel-sum-neutral), different
     entropy organization: four successive-approximation scans."""
-    from pyspark.sql.functions import pandas_udf
-
-    def gen(ids):
-        return pd.Series(
-            [encode_jpeg_progressive_deterministic(int(i)) for i in ids]
-        )
-
-    gen.__annotations__ = {"ids": pd.Series, "return": pd.Series}
-    gen_udf = pandas_udf("binary")(gen)
-    return docs.select(
-        F.col("doc_id"),
-        F.lit("image/jpeg").alias("media_type"),
-        gen_udf(F.col("doc_id")).alias("payload"),
-    )
+    return _payload_table(docs, "image/jpeg", encode_jpeg_progressive_deterministic)
 
 
 def decode_jpeg_features(media: DataFrame) -> DataFrame:

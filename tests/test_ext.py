@@ -1510,20 +1510,16 @@ def test_binary_decoders_fuzz_valueerror_only():
 
     from sparkwrangle.ext.multimodal import (
         decode_bmp,
+        decode_jpeg,
         decode_png,
         decode_wav,
         encode_bmp_deterministic,
-        encode_png_deterministic,
-        encode_wav_deterministic,
-        resize_bmp_nearest,
-    )
-
-    from sparkwrangle.ext.multimodal import encode_png_interlaced_deterministic
-
-    from sparkwrangle.ext.multimodal import (
-        decode_jpeg,
         encode_jpeg_deterministic,
         encode_jpeg_progressive_deterministic,
+        encode_png_deterministic,
+        encode_png_interlaced_deterministic,
+        encode_wav_deterministic,
+        resize_bmp_nearest,
     )
 
     cases = [
@@ -1552,6 +1548,31 @@ def test_binary_decoders_fuzz_valueerror_only():
                 dec(bytes(good[:cut]))
             except ValueError:
                 pass
+
+
+def test_jpeg_headers_without_scan_raise():
+    """Regression: a JPEG with full headers (SOF/DQT/DHT) but NO SOS scan
+    must raise ValueError — the coefficient array is allocated at SOF
+    parse, so without an explicit scan check the decoder fabricated a
+    flat-gray image from the all-zero coefficients (silently passing the
+    fuzz suite, which only asserts the error TYPE, and any sum oracle
+    that happened to match mid-gray)."""
+    import pytest as _pytest
+
+    from sparkwrangle.ext.multimodal import (
+        decode_jpeg,
+        encode_jpeg_deterministic,
+        encode_jpeg_progressive_deterministic,
+    )
+
+    for enc in (encode_jpeg_deterministic, encode_jpeg_progressive_deterministic):
+        good = enc(3)
+        sos = good.index(b"\xff\xda")
+        headers_only = good[:sos] + b"\xff\xd9"  # headers, then straight to EOI
+        with _pytest.raises(ValueError, match="missing SOF/SOS"):
+            decode_jpeg(headers_only)
+        with _pytest.raises(ValueError):
+            decode_jpeg(good[:sos])  # plain truncation before the scan
 
 
 def test_dedup_mode_strings_validated(spark):
