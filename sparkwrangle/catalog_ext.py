@@ -750,7 +750,8 @@ def _pq_oracle_sql(
         FROM subv s JOIN cbf c USING (subspace)
         WHERE {query_pred}
     ), scored AS (
-        SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.d2) AS adc
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(sum(CAST(l.d2 AS DECIMAL(38,18))) AS DOUBLE) AS adc
         FROM enc e JOIN lut l ON l.subspace = e.subspace AND l.code = e.code
         {"JOIN embeddings eb ON eb.vec_id = e.vec_id "
          "JOIN embeddings ea ON ea.vec_id = l.query_id "

@@ -53,6 +53,13 @@ def pagerank(
     round (the standard correction — dropping it leaks rank mass).
     Returns (node, rank) after the final round; Σ rank ≈ 1.
 
+    PRECONDITION: ``nodes`` must contain every id appearing in ``edges``
+    (src AND dst). A dst absent from the node table silently drops the
+    mass sent to it (the contribution row dies in the vertex join) and
+    Σ rank drifts below 1 — build nodes from the edge list's endpoint
+    union (as the catalog does) when in doubt; the function does not
+    spend a join checking.
+
     The node count and per-round dangling mass stay IN-PLAN as broadcast
     1-row aggregates — no driver-side collect anywhere.
 

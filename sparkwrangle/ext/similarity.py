@@ -155,7 +155,18 @@ def assign_cells(
     """IVF assignment step: route each vector to its ``n_best`` nearest
     trained centroids by cosine (centroid table broadcast — it is |cells|
     rows; deterministic ranking tiebreak by cell id). Output: (id, cell,
-    cell_rk). n_best=1 is index routing; n_best=nprobe is query fan-out."""
+    cell_rk). n_best=1 is index routing; n_best=nprobe is query fan-out.
+
+    Cell ids must be NUMERIC: the n_best=1 combinable argmax tiebreaks via
+    max(struct(cos, −cell)), and a string cell would silently cast the
+    negation to NULL (non-deterministic ties) instead of erroring."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(centroids.schema["cell"].dataType, NumericType):
+        raise ValueError(
+            f"assign_cells: cell id must be numeric for the deterministic "
+            f"argmax tiebreak, got {centroids.schema['cell'].dataType}"
+        )
     v = vectors.select(
         F.col(id_col), F.col(vec_col).alias("v_vec"), _norm(F.col(vec_col)).alias("v_norm")
     )
@@ -236,6 +247,12 @@ def lsh_band_buckets(
     band_val) — the join key for candidate generation, all JVM-side fold
     expressions."""
     n = len(planes)
+    if bands <= 0 or n % bands != 0:
+        raise ValueError(
+            f"lsh_band_buckets: bands must evenly divide the plane count "
+            f"(got {n} planes, {bands} bands) — a remainder would silently "
+            f"drop the last {n % bands if bands > 0 else n} sign bits"
+        )
     per = n // bands
     bits = [
         (_dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) >= 0).cast("int")
@@ -269,13 +286,21 @@ def lsh_band_buckets_vectorized(
     multiply-then-add order is bit-identical IEEE to the fold form and the
     SQL oracle — numpy's pairwise-summing ``dot``/``sum`` would not be,
     and a sign bit sits exactly on the 0 boundary. Property-tested equal
-    to the fold form; output schema identical (id, band, band_val)."""
+    to the fold form; output schema identical (id, band, band_val).
+    Requires non-null embeddings (np.stack raises on a None row); the
+    fold-form twin instead degrades a NULL vector to null band values —
+    filter nulls before either path for identical behavior."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     P = np.asarray(planes, dtype=np.float64)
     n_planes, dim = P.shape
+    if bands <= 0 or n_planes % bands != 0:
+        raise ValueError(
+            f"lsh_band_buckets_vectorized: bands must evenly divide the "
+            f"plane count (got {n_planes} planes, {bands} bands)"
+        )
     per = n_planes // bands
 
     # explicit eval-type annotations (module has PEP-563 string
@@ -386,8 +411,13 @@ def embedding_neardup_pairs_gemm(
 
     At 100 TB the group axis is the IVF cell; a cell too big for one task
     splits into row blocks with block-GEMM over the same grouping. Output
-    matches :func:`embedding_neardup_pairs` exactly (cross-checked in
-    tests); cos_sim is raw double — callers round for cross-engine hashes.
+    matches :func:`embedding_neardup_pairs` on pair MEMBERSHIP away from
+    the threshold boundary (cross-checked in tests); the caveat is honest:
+    BLAS sums dot products in an implementation-defined order, so a pair
+    whose fold-order cosine sits within ~1 ulp of ``threshold`` can fall
+    on either side of the cut depending on the BLAS build — if exact
+    boundary semantics matter, use the relational form. cos_sim is raw
+    double — callers round for cross-engine hashes.
     """
     import numpy as np
     import pandas as pd
@@ -498,7 +528,16 @@ def _pq_means(assigned: DataFrame, d_sub: int) -> DataFrame:
     reassembly, which costs an extra shuffle and a d_sub× row expansion
     per Lloyd round (measured: the explode form made codebook training
     ~2× slower at sf0.1; values are identical — same multiset per
-    position, same r6 round)."""
+    position, same r6 round).
+
+    Residual grain risk (documented, accepted): avg() accumulates raw
+    doubles, so a cell mean landing within ~1 ulp of a 5e-7 half-up
+    boundary could r6-round differently across engines/partitionings.
+    Probability ~1e-10 per centroid per round on real data; if a round's
+    gate ever flags a PQ query, this is the first suspect (the rf-grain
+    playbook in NOTES.md) — the full fix is a DECIMAL sum-then-divide
+    mirrored in the oracle AND the pandas trainer, a three-way sync not
+    worth the risk while the gates stay green."""
     per = assigned.groupBy("subspace", "cell").agg(
         *[F.round(F.avg(F.col("sv")[j]), 6).alias(f"_c{j}") for j in range(d_sub)]
     )
@@ -799,7 +838,17 @@ def pq_adc_topk(
         .join(F.broadcast(lut), join_keys)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d2").alias("adc_dist"))
+        .agg(
+            # DECIMAL accumulator: the m per-subspace d2 values arrive in
+            # shuffle order, and a raw double sum is order-sensitive in the
+            # last ulp — with duplicate/near-dup vectors (equal true
+            # distances) that ulp decides the rank tiebreak, so the sum
+            # must be order-invariant and engine-identical (same idiom as
+            # pagerank; oracle mirrors the cast chain)
+            F.sum(F.col("d2").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
@@ -945,7 +994,17 @@ def pq_adc_from_index(
         .join(F.broadcast(lut), ["subspace", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d2").alias("adc_dist"))
+        .agg(
+            # DECIMAL accumulator: the m per-subspace d2 values arrive in
+            # shuffle order, and a raw double sum is order-sensitive in the
+            # last ulp — with duplicate/near-dup vectors (equal true
+            # distances) that ulp decides the rank tiebreak, so the sum
+            # must be order-invariant and engine-identical (same idiom as
+            # pagerank; oracle mirrors the cast chain)
+            F.sum(F.col("d2").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")

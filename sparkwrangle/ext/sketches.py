@@ -69,20 +69,23 @@ def cms_estimates(
     rows d of counter[d][bucket_d(item)]. CMS guarantees est ≥ true count.
     The sketch side is ≤ depth·width rows → broadcast join, no shuffle of
     the probe side beyond its own groupBy."""
-    probes = items.select(
+    probes = items.withColumn("_rid", F.monotonically_increasing_id()).select(
         "*",
         F.posexplode(cms_buckets(F.col(item_col), depth, width, seed)).alias(
             "d", "bucket"
         ),
     )
+    # _rid in the regroup key keeps the probe ROW-PRESERVING (duplicate
+    # probe rows each keep their own estimate row); dropped before return.
     keep = [c for c in items.columns]
     # LEFT join + coalesce(cnt, 0): an item whose (d, bucket) rows are all
     # absent from the sketch was never inserted — CMS point-query semantics
     # say it estimates ~0, not "silently dropped from the output".
     return (
         probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
-        .groupBy(*keep)
+        .groupBy(*keep, "_rid")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+        .drop("_rid")
     )
 
 
@@ -124,9 +127,15 @@ def hll_rho(h: Column) -> Column:
 
 def hll_registers(df: DataFrame, item_col: str, keys: list[str] | None = None) -> DataFrame:
     """(keys..., reg, mx): per-register max leading-1 position — a
-    map-side-combinable MAX, ≤ m rows per key group."""
+    map-side-combinable MAX, ≤ m rows per key group.
+
+    NULL items are dropped up front (standard count-distinct semantics):
+    without the filter a NULL hashes to a phantom (reg=NULL, mx=NULL) row
+    that inflates ``present`` in hll_estimate while adding nothing to the
+    harmonic sum."""
+    base = df.filter(F.col(item_col).isNotNull())
     h = h60(F.col(item_col))
-    base = df.select(*(keys or []), (h % HLL_M).alias("reg"), hll_rho(h).alias("rho"))
+    base = base.select(*(keys or []), (h % HLL_M).alias("reg"), hll_rho(h).alias("rho"))
     return base.groupBy(*(keys or []), "reg").agg(F.max("rho").alias("mx"))
 
 
@@ -225,17 +234,22 @@ def bloom_probe(
     in the (broadcast) bitmap. Bloom guarantee: every true member hits
     (no false negatives); non-members hit with p ≈ (1−e^{−kn/m})^k.
     The probe is k narrow lookups against ≤ m/WORD broadcast rows — no
-    shuffle of the probe side."""
-    probes = df.select(
+    shuffle of the probe side.
+
+    Row-preserving: duplicate probe rows each get their own bloom_hit —
+    the regroup key includes an internal per-row id (dropped from the
+    output; it never surfaces, so output determinism is unaffected)."""
+    probes = df.withColumn("_rid", F.monotonically_increasing_id()).select(
         "*", F.posexplode(F.array(*_bloom_positions(F.col(hash_col), seed))).alias("j", "p")
     )
     word = F.floor(F.col("p") / BLOOM_WORD).cast("bigint")
     bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD} AS INT))")
     hit = (
-        probes.select(*df.columns, word.alias("word_idx"), bit.alias("b"))
+        probes.select(*df.columns, "_rid", word.alias("word_idx"), bit.alias("b"))
         .join(F.broadcast(bitmap), "word_idx", "left")
         .select(
             *df.columns,
+            "_rid",
             ((F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("b"))) != 0).alias(
                 "_set"
             ),
@@ -245,7 +259,11 @@ def bloom_probe(
     # position multiple times, which would turn the row-count-dependent sum
     # into a false NEGATIVE — violating the Bloom guarantee. AND over the
     # per-position hits is duplicate-insensitive.
-    return hit.groupBy(*df.columns).agg(F.bool_and("_set").alias("bloom_hit"))
+    return (
+        hit.groupBy(*df.columns, "_rid")
+        .agg(F.bool_and("_set").alias("bloom_hit"))
+        .drop("_rid")
+    )
 
 
 def bloom_bitmap_sql(src: str, hash_expr: str, seed: int = 7) -> str:
@@ -286,8 +304,11 @@ def histogram_quantiles(
     from pyspark.sql import Window
 
     keys = keys or []
-    v = df.select(*keys, F.col(value_col).alias("v")).filter(
-        F.col("v").isNotNull()
+    # NaN must go with the NULLs: Spark orders NaN above all doubles, so a
+    # single NaN makes max(v) = NaN, poisoning the bin ratio for EVERY row
+    # (floor(NaN*256) lands all rows in bin 0 with NaN estimates, silently)
+    v = df.select(*keys, F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull() & ~F.isnan("v")
     )
     st = v.groupBy(*keys).agg(
         F.min("v").alias("mn"),

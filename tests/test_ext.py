@@ -1123,9 +1123,94 @@ def test_bloom_probe_duplicate_rows_no_false_negative(spark):
     probe = spark.createDataFrame(
         [("doc-1",), ("doc-1",), ("doc-1",), ("absent",)], "key string"
     ).select("key", h60(F.col("key")).alias("h"))
-    got = {r.key: r.bloom_hit for r in bloom_probe(probe, "h", bitmap).collect()}
+    rows = bloom_probe(probe, "h", bitmap).collect()
+    got = {r.key: r.bloom_hit for r in rows}
     assert got["doc-1"] is True  # duplicated member row still hits
     assert got["absent"] is False
+    # row-preserving: the 3 duplicate member rows each keep their own
+    # output row (the old groupBy over value columns collapsed them)
+    assert len(rows) == 4
+    assert sorted(r.key for r in rows) == ["absent", "doc-1", "doc-1", "doc-1"]
+
+
+def test_sketch_probes_preserve_duplicate_rows(spark):
+    """cms_estimates is row-preserving too: probing the same item twice
+    yields two estimate rows, not a silently-collapsed one — repeated
+    transactions with no unique key must not undercount downstream."""
+    from sparkwrangle.ext.sketches import cms_estimates, cms_sketch
+
+    src = spark.createDataFrame([("a",)] * 5 + [("b",)], "item string")
+    sketch = cms_sketch(src, "item")
+    probe = spark.createDataFrame([("a",), ("a",), ("b",)], "item string")
+    rows = cms_estimates(probe, sketch, "item").collect()
+    assert sorted(r.item for r in rows) == ["a", "a", "b"]
+    assert all(r.cms_est >= 1 for r in rows)
+
+
+def test_hll_null_items_ignored(spark):
+    """NULL items are not countable values: they must neither create a
+    phantom register (inflating `present`) nor NULL out the estimate on
+    an all-NULL column."""
+    from sparkwrangle.ext.sketches import hll_estimate, hll_registers
+
+    mixed = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("a",)], "item string"
+    )
+    regs = hll_registers(mixed, "item")
+    assert regs.filter(F.col("reg").isNull()).count() == 0
+    est = hll_estimate(regs).first()["hll_raw"]
+    assert 1.0 <= est <= 4.0  # 2 distinct non-null items, small-range exact-ish
+    all_null = spark.createDataFrame([(None,), (None,)], "item string")
+    assert hll_registers(all_null, "item").count() == 0
+
+
+def test_histogram_quantiles_nan_excluded(spark):
+    """One NaN must not poison every bin: Spark orders NaN above all
+    doubles, so an unfiltered NaN becomes max(v) and turns the bin ratio
+    NaN for every row. NaN rows are excluded like NULLs."""
+    from sparkwrangle.ext.sketches import histogram_quantiles
+
+    vals = [(float(i),) for i in range(1, 101)] + [(float("nan"),)]
+    df = spark.createDataFrame(vals, "v double")
+    rows = histogram_quantiles(df, "v", [0.5]).collect()
+    assert len(rows) == 1
+    assert abs(rows[0].est - 50.0) < 2.0  # median of 1..100, NaN ignored
+
+
+def test_lsh_band_buckets_validates_band_split(spark):
+    """bands must divide the plane count — a remainder would silently
+    drop the trailing sign bits from every signature."""
+    import pytest as _pytest
+
+    from sparkwrangle.ext.similarity import (
+        hyperplane_planes,
+        lsh_band_buckets,
+        lsh_band_buckets_vectorized,
+    )
+
+    df = spark.createDataFrame([(1, [0.1] * 8)], "vec_id long, embedding array<double>")
+    planes = hyperplane_planes(16, 8)
+    with _pytest.raises(ValueError, match="bands"):
+        lsh_band_buckets(df, planes, 5)
+    with _pytest.raises(ValueError, match="bands"):
+        lsh_band_buckets_vectorized(df, planes, 5)
+
+
+def test_assign_cells_requires_numeric_cell_id(spark):
+    """String cell ids would turn the argmax tiebreak's unary minus into
+    a silent NULL cast (non-deterministic ties) — reject them up front."""
+    import pytest as _pytest
+
+    from sparkwrangle.ext.similarity import assign_cells
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "cell string, centroid array<double>"
+    )
+    with _pytest.raises(ValueError, match="numeric"):
+        assign_cells(vecs, cents)
 
 
 def test_ewma_null_run_start_emits_null_not_nan(spark):
