@@ -75,7 +75,11 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic language ID: CJK-script ratio → 'zh'; otherwise the
+    """Deterministic language ID: mostly-NON-ASCII text → 'zh' (an honest
+    simplification: the signal is the non-ASCII character ratio, not a
+    CJK codepoint check, so Cyrillic/Greek/Arabic-heavy text also lands
+    in the 'zh' bucket — distinguishing scripts needs per-range codepoint
+    classes this n-gram heuristic deliberately omits); otherwise the
     latin language whose stopword list hits most (ties break by fixed
     language order en→de→es→fr; no hit at all → 'und')."""
     t = F.col(text_col)
@@ -156,6 +160,11 @@ def bm25_scores(
     row that broadcasts back; the score is a FIXED-order sum of per-term
     contributions, so no float aggregation order can differ across
     engines or partitionings. Adds a raw ``bm25`` column (caller rounds).
+
+    Zero-token documents (empty/punctuation-only text) are EXCLUDED from
+    the output, not scored 0 — they also do not count toward N or avgdl
+    (a 0-length dl would otherwise skew the length normalization); join
+    scores back to the corpus by id if full coverage is needed.
     """
     t = tokenize(F.col(text_col))
     dls = df.withColumn("_t", t).filter(F.size("_t") > 0).withColumn(

@@ -87,8 +87,16 @@ def curate_stream(
     scales as a table. Semantics are identical (any overlapping
     n-gram hash marks the document contaminated); the parity test pins
     stream ≡ batch.
+
+    Un-scoreable documents (no ``[a-z0-9]`` tokens — CJK, punctuation-only,
+    empty — where add_text_stats leaves quality NULL) gate as quality 0.0:
+    kept only when the caller sets ``min_quality <= 0``. Without the
+    coalesce a NULL quality was dropped by the comparison even at
+    min_quality=0, silently and unconditionally.
     """
-    scored = add_text_stats(docs).filter(F.col("quality") >= min_quality)
+    scored = add_text_stats(docs).filter(
+        F.coalesce(F.col("quality"), F.lit(0.0)) >= min_quality
+    )
     red = redact_pii(scored)
     sh_arr = _shingle_hash_array(F.col("text"), shingle_n)
     if isinstance(eval_hashes, DataFrame):

@@ -41,15 +41,21 @@ def with_expectations(
     """
     if mode not in ("drop", "keep", "fail"):
         raise ValueError(mode)
+    # NULL-evaluating rules count as VIOLATIONS (coalesce to false), so
+    # the metrics stay consistent with the gate: filter(all_ok) drops a
+    # NULL row and assert_true raises on it — without the coalesce,
+    # sum((~ok)) skips NULL and a monitor would see rows_in − Σviolations
+    # ≠ rows_out exactly where the gate silently dropped rows
+    nn = {name: F.coalesce(ok, F.lit(False)) for name, ok in rules.items()}
     metrics = [F.count(F.lit(1)).alias("rows_in")] + [
         F.sum((~ok).cast("long")).alias(f"violations_{name}")
-        for name, ok in rules.items()
+        for name, ok in nn.items()
     ]
     observed = df.observe(observation_name, *metrics)
     if mode == "keep":
         return observed
     all_ok = None
-    for ok in rules.values():
+    for ok in nn.values():
         all_ok = ok if all_ok is None else (all_ok & ok)
     if all_ok is None:
         return observed

@@ -81,4 +81,9 @@ def incremental_pairs_stream(
     )
     if pairs.isStreaming:
         return pairs.dropDuplicatesWithinWatermark(["id_a", "id_b"])
-    return pairs.dropDuplicates(["id_a", "id_b"])
+    # deterministic batch twin: keep the EARLIEST ts per pair (the
+    # event-time analog of the stream's first-arrival keep) — a bare
+    # dropDuplicates keeps an arbitrary partition's row, so a doc
+    # re-arriving with a new ts within one batch would make repeated
+    # runs return different ts values for the same pair
+    return pairs.groupBy("id_a", "id_b").agg(F.min(ts_col).alias(ts_col))

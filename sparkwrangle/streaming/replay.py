@@ -70,10 +70,14 @@ def stage_replay(
     buffers partial ticks either way). Modification times are spaced so
     the file source replays in staging order.
     """
-    os.makedirs(directory, exist_ok=True)
     bounds = feed.agg(
         F.min("feed_seq").alias("lo"), F.max("feed_seq").alias("hi")
     ).collect()[0]
+    if bounds.lo is None:
+        # fail BEFORE creating the directory — int(None) used to throw a
+        # bare TypeError after mkdir, leaving a half-staged directory
+        raise ValueError("stage_replay: feed is empty, nothing to stage")
+    os.makedirs(directory, exist_ok=True)
     lo, hi = int(bounds.lo), int(bounds.hi)
     span = max(hi - lo + 1, 1)
     paths = []

@@ -150,6 +150,15 @@ def _split_ticks(
     state, every tick is padded to it, and the LAST tick of a batch is
     buffered until all its ticker_idx rows have arrived (earlier ticks
     play as-is — feed order means their missing rows can never come).
+
+    FEED CONTRACT: ticks are DENSE — the feed builder emits one row per
+    (tick, ticker) for the whole universe (pipelines/intraday.py does).
+    Completeness of the trailing tick is judged by index coverage, so a
+    deliberately sparse FINAL tick would be indistinguishable from rows
+    still in flight and stay buffered through end-of-stream (a sparse
+    non-final tick is fine: the next tick's arrival releases it). Feeds
+    with genuinely sparse ticks need an explicit end-of-tick marker,
+    which this synthetic-replay surface does not model.
     """
     if pending is not None:
         pdf = pd.concat([pending, pdf], ignore_index=True)

@@ -37,18 +37,16 @@ from pyspark.sql.streaming.stateful_processor import (
 from sparkwrangle.stateful.trader import TraderState
 from sparkwrangle.streaming.trader_stream import (
     _OUT_SCHEMA,
+    _STATE_SCHEMA,
     _decode_state,
     _encode_state,
     _split_ticks,
 )
 
-# transformWithState value-state schema — same fields/order as the
-# applyInPandasWithState tuple so the codecs are shared verbatim.
-_TWS_STATE_SCHEMA = (
-    "balance double, cpt string, shares string, base_shares string, "
-    "n_trades int, last_prices string, deadline_ms bigint, n_idx int, "
-    "pending string"
-)
+# transformWithState value-state schema IS the applyInPandasWithState
+# tuple schema — imported, not re-declared, so a state-tuple change
+# cannot drift the two operators apart (the codecs are shared verbatim).
+_TWS_STATE_SCHEMA = _STATE_SCHEMA
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

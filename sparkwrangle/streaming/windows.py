@@ -116,7 +116,10 @@ def windowed_hll_registers(
         else stream
     )
     h = h60(F.col(item_col))
-    base = src.select(
+    # NULL items are dropped like the batch twin (sketches.hll_registers):
+    # a NULL would otherwise become a phantom (window, reg=NULL) register
+    # row that inflates `present` in the read-side hll_estimate
+    base = src.filter(F.col(item_col).isNotNull()).select(
         F.col(ts_col), *(keys or []), (h % HLL_M).alias("reg"), hll_rho(h).alias("rho")
     )
     return (

@@ -619,3 +619,89 @@ def test_expectations_fail_mode_pass_path_and_batch_metrics(spark):
     assert m2["rows_in"] == 4
     assert m2["violations_not_null"] == 1
     assert m2["violations_nonneg"] == 2
+
+
+def test_curate_stream_unscoreable_docs_gate_as_zero(spark):
+    """A doc with no [a-z0-9] tokens (quality NULL from add_text_stats)
+    gates as quality 0.0: dropped at the default threshold, KEPT at
+    min_quality=0 — previously the NULL comparison dropped it even at 0,
+    silently and unconditionally."""
+    import datetime
+
+    from sparkwrangle.streaming.curation import curate_stream
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, "the quick brown fox and the lazy dog with many common words "
+         * 5, "en", "s1"),
+        (2, t0, "!!! ??? ***", "und", "s1"),  # punctuation-only → quality NULL
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string, lang string, source string"
+    )
+    kept_default = curate_stream(docs, eval_hashes=[]).select("doc_id").collect()
+    assert [r.doc_id for r in kept_default] == [1]
+    kept_zero = (
+        curate_stream(docs, eval_hashes=[], min_quality=0.0)
+        .select("doc_id")
+        .collect()
+    )
+    assert sorted(r.doc_id for r in kept_zero) == [1, 2]
+
+
+def test_expectations_null_rules_count_as_violations(spark):
+    """A rule that evaluates to NULL (naively-written `value > 0` against
+    a NULL value) drops the row, so it must COUNT as a violation — the
+    metrics must reconcile with the gate: rows_in − violations == rows_out
+    for a single rule, with no hand-written null-safety required."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from sparkwrangle.streaming.expectations import with_expectations
+
+    df = spark.createDataFrame([(1.0,), (None,), (-1.0,)], "value double")
+    obs = Observation("exp_null")
+    kept = with_expectations(
+        df, {"pos": F.col("value") > 0}, observation_name=obs, mode="drop"
+    ).collect()
+    assert [r.value for r in kept] == [1.0]
+    m = obs.get
+    assert m["rows_in"] == 3
+    assert m["violations_pos"] == 2  # the NULL row counts, not just -1.0
+    assert m["rows_in"] - m["violations_pos"] == len(kept)
+
+
+def test_windowed_hll_ignores_null_items(spark):
+    """Streaming twin of the r5 hll_registers NULL guard: a NULL item
+    must not create a phantom (window, reg=NULL) register row."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from sparkwrangle.streaming.windows import windowed_hll_registers
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(t0, "a"), (t0, None), (t0, "b")]
+    bdf = spark.createDataFrame(rows, "ts timestamp, user string")
+    regs = windowed_hll_registers(bdf, "user", window="1 hour")
+    assert regs.filter(F.col("reg").isNull()).count() == 0
+    assert regs.count() == 2  # one register per non-null distinct user
+
+
+def test_stage_replay_rejects_empty_feed(spark, tmp_path):
+    """An empty feed must raise a clear ValueError BEFORE creating the
+    staging directory (int(None) used to throw a bare TypeError after
+    mkdir, leaving a half-staged directory)."""
+    import os
+
+    import pytest as _pytest
+
+    from sparkwrangle.streaming.replay import stage_replay
+
+    empty = spark.createDataFrame(
+        [], "feed_seq bigint, company string, ticker_idx int, price double"
+    )
+    target = str(tmp_path / "stage_empty")
+    with _pytest.raises(ValueError, match="empty"):
+        stage_replay(empty, target)
+    assert not os.path.exists(target)
