@@ -176,8 +176,15 @@ def compact_table(
     files; at 100 TB the resulting open/footer-read overhead dominates
     scans and the NameNode/listing cost grows unbounded. Compaction sizes
     the output from the data's actual on-disk bytes, repartitions by
-    round-robin (no key skew), and rewrites atomically via a temp dir +
-    rename so concurrent readers never see a half-written table.
+    round-robin (no key skew), and swaps the rewrite in with two renames
+    (old table aside, new table in) so a concurrent reader resolving the
+    path sees either the old layout or the new one, never a missing or
+    half-written directory.
+
+    Hive-style partition layouts (``key=value`` subdirectories) are
+    PRESERVED: the rewrite re-applies ``partitionBy`` on the inferred
+    partition columns — flattening them would silently strip partition
+    pruning from every downstream reader.
 
     Returns (files_before, files_after).
     """
@@ -193,12 +200,34 @@ def compact_table(
             ]
         return out
 
+    def _partition_cols(p):
+        # walk the first directory chain: every level of a hive layout is
+        # a single repeated key=value naming scheme
+        cols = []
+        cur = p
+        while True:
+            subs = [
+                d
+                for d in os.listdir(cur)
+                if os.path.isdir(os.path.join(cur, d)) and "=" in d
+            ]
+            if not subs:
+                return cols
+            cols.append(subs[0].split("=", 1)[0])
+            cur = os.path.join(cur, subs[0])
+
     before = _data_files(path)
     total_mb = sum(os.path.getsize(f) for f in before) / (1024 * 1024)
     n_files = max(1, round(total_mb / target_file_mb))
+    pcols = _partition_cols(path)
     df = spark.read.format(fmt).load(path)
     tmp = path.rstrip("/") + "._compact_tmp"
-    df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
-    shutil.rmtree(path)
+    writer = df.repartition(n_files).write.mode("overwrite").format(fmt)
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.save(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(before), len(_data_files(path))

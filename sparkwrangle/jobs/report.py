@@ -50,13 +50,23 @@ def downsample_series(
     engines.
     """
     x = F.col(x_col)
-    # epoch seconds for timestamps, raw value otherwise — integer math
+    # epoch seconds for timestamps, epoch days for dates, raw value for
+    # numerics — integer math throughout. Anything else is rejected up
+    # front: a string x would silently null-cast and filter EVERY row,
+    # and Spark disallows date→bigint outright (plan-time error).
     dt = dict(df.dtypes)[x_col]
-    xi = (
-        x.cast("bigint")
-        if dt not in ("timestamp", "timestamp_ntz")
-        else F.unix_timestamp(x)
-    )
+    if dt in ("timestamp", "timestamp_ntz"):
+        xi = F.unix_timestamp(x)
+    elif dt == "date":
+        xi = F.datediff(x, F.lit("1970-01-01")).cast("bigint")
+    elif dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
+        "decimal"
+    ):
+        xi = x.cast("bigint")
+    else:
+        raise ValueError(
+            f"downsample_series: x_col {x_col!r} has unplottable type {dt}"
+        )
     base = df.select(
         (
             F.col(series_col).cast("string")
@@ -141,11 +151,17 @@ def line_chart_svg(
     BOUNDED output of ``downsample_series``, never a raw table. Pure
     string assembly, deterministic: series sorted by name, points by x.
     """
+    from xml.sax.saxutils import escape as _esc
+
+    # every user-controlled string (title, labels, series names) is
+    # XML-escaped — a series like "AT&T" or a "<" in the title would
+    # otherwise produce malformed markup that SVG parsers reject whole
+    title, x_label, y_label = _esc(title), _esc(x_label), _esc(y_label)
     pts: dict[str, list[tuple[float, float]]] = {}
     for s, x, y in rows:
         if x is None or y is None:
             continue
-        pts.setdefault(str(s), []).append((float(x), float(y)))
+        pts.setdefault(_esc(str(s)), []).append((float(x), float(y)))
     margin, mtop = 60, 40
     iw, ih = width - 2 * margin, height - mtop - margin
     out = [

@@ -42,6 +42,21 @@ def read_sheet(path: str, sheet: str = "xl/worksheets/sheet1.xml") -> list[list]
             if not m:
                 continue
             col, row = _col_index(m.group(1)), int(m.group(2)) - 1
+            if c.get("t") == "inlineStr":
+                # inline strings carry no <v>: the text lives in <is><t>
+                # (possibly split across runs) — skipping on the missing
+                # <v> would silently drop every inline-string cell
+                is_el = c.find("m:is", _NS)
+                if is_el is None:
+                    continue
+                cells[(row, col)] = "".join(
+                    t.text or ""
+                    for t in is_el.iter(
+                        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"
+                    )
+                )
+                max_r, max_c = max(max_r, row), max(max_c, col)
+                continue
             v = c.find("m:v", _NS)
             if v is None or v.text is None:
                 continue

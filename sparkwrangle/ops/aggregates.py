@@ -28,25 +28,35 @@ def compounded_return(df: DataFrame, ret_col: str) -> DataFrame:
     return df.agg(F.exp(F.sum(ret_col)).alias("compounded"))
 
 
+def trade_report_cols(
+    roi_col: str = "roi", type_col: str = "close_type"
+) -> dict[str, F.Column]:
+    """The cell-33 aggregate expressions, shared by ``trade_stats`` and
+    ``pipelines.intraday.trade_report`` so the two report surfaces cannot
+    drift (zero-roi trades count in NEITHER bucket — reference cell 33:
+    a zero-roi close, e.g. mc at unchanged prices, is excluded from the
+    win share on both sides of the ratio)."""
+    roi, typ = F.col(roi_col), F.col(type_col)
+    n_wins = F.count(F.when(roi > 0, 1))
+    n_losses = F.count(F.when(roi < 0, 1))
+    return {
+        "n_wins": n_wins,
+        "n_losses": n_losses,
+        "win_share": n_wins / (n_wins + n_losses),
+        "avg_profit": F.avg(F.when(roi > 0, roi)),
+        "avg_loss": F.avg(F.when(roi < 0, roi)),
+        "mc_loss_share": F.count(F.when((roi < 0) & (typ == "mc"), 1)) / n_losses,
+    }
+
+
 def trade_stats(df: DataFrame, roi_col: str = "roi", type_col: str = "close_type") -> DataFrame:
     """Single-pass conditional trade statistics (D7) — the cell-33 report
     (intra_day_arbitrage.ipynb:11686-11714): win share, avg profit/loss,
     market-close loss share."""
-    roi, typ = F.col(roi_col), F.col(type_col)
-    n_wins = F.count(F.when(roi > 0, 1))
-    n_losses = F.count(F.when(roi < 0, 1))
+    c = trade_report_cols(roi_col, type_col)
     return df.agg(
         F.count("*").alias("n_trades"),
-        # wins/(wins+losses), zero-roi trades excluded — matching reference
-        # cell 33 (a zero-roi close, e.g. mc at unchanged prices, counts in
-        # neither bucket) and pipelines.intraday.trade_report.
-        (n_wins / (n_wins + n_losses)).alias("win_share"),
-        F.avg(F.when(roi > 0, roi)).alias("avg_profit"),
-        F.avg(F.when(roi < 0, roi)).alias("avg_loss"),
-        (
-            F.count(F.when((roi < 0) & (typ == "mc"), 1))
-            / F.count(F.when(roi < 0, 1))
-        ).alias("mc_loss_share"),
+        *[c[k].alias(k) for k in ("win_share", "avg_profit", "avg_loss", "mc_loss_share")],
     )
 
 

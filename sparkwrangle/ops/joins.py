@@ -51,7 +51,13 @@ def asof_union_ffill(
     out_col = out_col or value_col
     by = by or []
     lcols = left.columns
-    lhs = left.withColumn("__src", F.lit(1)).withColumn(f"__r_{value_col}", F.lit(None).cast("double"))
+    # placeholder cast uses the RIGHT column's ACTUAL type: a hard "double"
+    # would make the union widen bigint values (ids above 2^53 round) or
+    # flip string/decimal columns' types — silently
+    rv_type = right.schema[value_col].dataType
+    lhs = left.withColumn("__src", F.lit(1)).withColumn(
+        f"__r_{value_col}", F.lit(None).cast(rv_type)
+    )
     rhs = right.select(
         *[F.col(c) for c in by],
         F.col(on),
@@ -131,9 +137,11 @@ def asof_join(
     out_col = out_col or value_col
     by = by or []
     lcols = left.columns
+    # same type-faithful placeholder rule as asof_union_ffill above
+    rv_type = right.schema[value_col].dataType
     lhs = (
         left.withColumn("__src", F.lit(1))
-        .withColumn("__rv", F.lit(None).cast("double"))
+        .withColumn("__rv", F.lit(None).cast(rv_type))
         .withColumn("__rts", F.lit(None).cast("timestamp"))
     )
     rhs = right.select(

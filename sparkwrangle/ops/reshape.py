@@ -28,10 +28,15 @@ def pivot_wide(
 ) -> DataFrame:
     """Wide reshape (G3): per-company balance columns
     (intra_day_arbitrage.ipynb:11144-11158). Passing ``values`` explicitly
-    skips the extra distinct-scan Spark otherwise runs to discover them."""
+    skips the extra distinct-scan Spark otherwise runs to discover them.
+
+    Cells aggregate with MIN, not first(): identical when (index, pivot)
+    is unique — the balance-pivot contract — and DETERMINISTIC when a
+    duplicate slips in (first() keeps whichever partition's row the
+    scheduler delivers, which can differ between runs and task retries)."""
     g = df.groupBy(index_col)
     p = g.pivot(pivot_col, values) if values else g.pivot(pivot_col)
-    return p.agg(F.first(value_col))
+    return p.agg(F.min(value_col))
 
 
 def unpivot_long(

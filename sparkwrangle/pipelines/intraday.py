@@ -207,18 +207,10 @@ def balance_report(balances: DataFrame) -> DataFrame:
 
 
 def trade_report(trades: DataFrame) -> DataFrame:
-    """Cell 33: win share, avg profit/loss, market-close loss share (D7)."""
-    roi, typ = F.col("roi"), F.col("close_type")
-    return trades.agg(
-        F.count(F.when(roi > 0, 1)).alias("n_wins"),
-        F.count(F.when(roi < 0, 1)).alias("n_losses"),
-        (
-            F.count(F.when(roi > 0, 1))
-            / (F.count(F.when(roi > 0, 1)) + F.count(F.when(roi < 0, 1)))
-        ).alias("win_share"),
-        F.avg(F.when(roi > 0, roi)).alias("avg_profit"),
-        F.avg(F.when(roi < 0, roi)).alias("avg_loss"),
-        (
-            F.count(F.when((roi < 0) & (typ == "mc"), 1)) / F.count(F.when(roi < 0, 1))
-        ).alias("mc_loss_share"),
-    )
+    """Cell 33: win share, avg profit/loss, market-close loss share (D7).
+    The aggregate expressions are SHARED with ops.aggregates.trade_stats
+    (trade_report_cols) so the two report surfaces cannot drift."""
+    from sparkwrangle.ops.aggregates import trade_report_cols
+
+    c = trade_report_cols()
+    return trades.agg(*[expr.alias(name) for name, expr in c.items()])

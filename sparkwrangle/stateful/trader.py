@@ -35,9 +35,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+# strictly after 16:29:00 (ref :152-159) — single source of truth; the
+# vectorized skip-ahead mask in run_trader_on_feed reuses this constant,
+# so a cutoff change cannot silently desync the two paths
+_MARKET_CLOSE_CUTOFF_SEC = 16 * 3600 + 29 * 60
+
+
 def _is_closing(minute_of_day_sec: int) -> bool:
     """Market closing check: strictly after 16:29:00 (ref :152-159)."""
-    return minute_of_day_sec > 16 * 3600 + 29 * 60
+    return minute_of_day_sec > _MARKET_CLOSE_CUTOFF_SEC
 
 
 class TraderState:
@@ -190,7 +196,7 @@ class TraderState:
 
 def run_trader_on_feed(
     feed: pd.DataFrame, params: dict
-) -> tuple[list[tuple[str, float]], list[tuple]]:
+) -> tuple[list[tuple[str, float]], list[tuple], list[float]]:
     """Run one company's feed through the state machine.
 
     ``feed`` is long format with columns: ts, ticker_idx (0 = base, listing
@@ -245,7 +251,7 @@ def run_trader_on_feed(
         trig_any = (r_vals > st.min_deviation).any(axis=1) if r_vals.size else np.zeros(n, bool)
     else:
         trig_any = (np.abs(r_vals) > st.min_deviation).any(axis=1) if r_vals.size else np.zeros(n, bool)
-    closing = sods > 16 * 3600 + 29 * 60
+    closing = sods > _MARKET_CLOSE_CUTOFF_SEC
     cand_idx = np.flatnonzero(trig_any & ~closing)
 
     bal = np.empty(n, dtype=float)

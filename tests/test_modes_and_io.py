@@ -100,6 +100,76 @@ def test_compact_table_preserves_rows(spark, tmp_path):
     assert got.agg(F.sum("id")).collect()[0][0] == want
 
 
+def test_compact_table_preserves_partition_layout(spark, tmp_path):
+    """Compacting a hive-partitioned table must keep the key=value
+    directory layout (the rewrite previously flattened the partition
+    column into plain files, silently stripping partition pruning from
+    every downstream reader)."""
+    import os
+
+    from sparkwrangle.io import compact_table
+
+    p = str(tmp_path / "part")
+    df = spark.range(0, 2000).withColumn("part", (F.col("id") % 3).cast("string"))
+    df.repartition(16).write.partitionBy("part").parquet(p)
+    compact_table(spark, p, target_file_mb=128)
+    subs = sorted(d for d in os.listdir(p) if d.startswith("part="))
+    assert subs == ["part=0", "part=1", "part=2"]
+    got = spark.read.parquet(p)
+    assert got.count() == 2000
+    assert sorted(str(r.part) for r in got.select("part").distinct().collect()) == [
+        "0", "1", "2",
+    ]
+    # the old-table side directory must be gone after the swap
+    assert not os.path.exists(p + "._compact_old")
+    assert not os.path.exists(p + "._compact_tmp")
+
+
+def test_asof_join_preserves_value_type(spark):
+    """A bigint right-value column must come back bigint — the old
+    hard-coded double placeholder widened the union, rounding ids above
+    2^53 and silently changing column types."""
+    import datetime
+
+    from sparkwrangle.ops.joins import asof_join
+
+    t = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    big = 9007199254740993  # 2^53 + 1: survives bigint, rounds in double
+    left = spark.createDataFrame([(t,)], "ts timestamp")
+    right = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 9, 0, 0), big)],
+        "ts timestamp, order_id bigint",
+    )
+    out = asof_join(left, right, on="ts", by=[], value_col="order_id")
+    assert dict(out.dtypes)["order_id"] == "bigint"
+    assert out.collect()[0]["order_id"] == big
+
+
+def test_xlsx_inline_strings(tmp_path):
+    """Cells written as inline strings (t='inlineStr', text in <is><t>,
+    no <v>) must be read — writers that emit them are common, and the
+    old reader silently dropped every such cell."""
+    import zipfile
+
+    from sparkwrangle.jobs.xlsx_lite import read_sheet
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>Tick</t><t>er</t></is></c>'
+        '<c r="B1"><v>42</v></c>'
+        "</row>"
+        "</sheetData></worksheet>"
+    )
+    p = str(tmp_path / "t.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    rows = read_sheet(p)
+    assert rows == [["Ticker", 42]]
+
+
 def test_register_views_reports_skipped_tables(spark, tmp_path):
     """A partial dataset surfaces its missing tables UP FRONT: the
     present tables register as views, the absent ones come back in the

@@ -86,6 +86,44 @@ def test_write_report_svg_end_to_end(spark, tmp_path):
     assert svg1.count("<polyline") == 1
 
 
+def test_downsample_date_xcol_and_bad_type(spark):
+    """DateType x plots as epoch days (Spark forbids date->bigint casts,
+    so the old path raised at plan time); a string x raises a clear
+    ValueError instead of silently null-casting every row away."""
+    import datetime
+
+    import pytest as _pytest
+
+    from sparkwrangle.jobs.report import downsample_series
+
+    rows = [
+        (datetime.date(2024, 1, 1) + datetime.timedelta(days=i), float(i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "d date, v double")
+    out = downsample_series(df, "d", "v", max_points=5).collect()
+    assert 1 <= len(out) <= 5
+    assert sum(r.n for r in out) == 10
+    sdf = spark.createDataFrame([("a", 1.0)], "s string, v double")
+    with _pytest.raises(ValueError, match="unplottable"):
+        downsample_series(sdf, "s", "v")
+
+
+def test_svg_escapes_markup_characters():
+    """Series names / titles containing &, <, > must be XML-escaped —
+    'AT&T' used to produce malformed markup that SVG parsers reject."""
+    import xml.etree.ElementTree as ET
+
+    from sparkwrangle.jobs.report import line_chart_svg
+
+    svg = line_chart_svg(
+        [("AT&T", 0.0, 1.0), ("AT&T", 1.0, 2.0), ("a<b", 0.0, 3.0)],
+        title="p&l <net>",
+    )
+    assert "AT&amp;T" in svg and "a&lt;b" in svg
+    ET.fromstring(svg)  # parses as well-formed XML
+
+
 def test_profile_table_cli_shape(spark):
     """One-pass sketch profiler: plausible HLL cardinalities (events has
     exactly 5 event types, ~150 users at sf0.001-scale fixtures), bin
