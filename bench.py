@@ -19,6 +19,7 @@ plan regressions.
 from __future__ import annotations
 
 import json
+import re
 import os
 import sys
 import time
@@ -32,7 +33,10 @@ from sparkwrangle.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    # tolerate non-sf<number> directory names (partial-dataset layouts):
+    # the sf field is informational, never worth crashing the bench over
+    _m = re.fullmatch(r"sf([0-9.]+)", Path(sf_dir).name)
+    sf = float(_m.group(1)) if _m else None
     spark = get_spark("sparkwrangle-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -62,7 +66,7 @@ def main() -> None:
     # effective speed fluctuates several-fold between windows — NOTES.md).
     # Default 1 keeps the driver-observed metric exactly what it always
     # was: one cold build+drain per query.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
     for name, spec in sorted(CATALOG.items()):
         best = None

@@ -520,10 +520,11 @@ def d_conditional_trade_stats(spark, sf_dir):
     "d_first_last_span",
     """
     SELECT user_id,
-           round(arg_min(value, ts), 6) AS first_value,
-           round(arg_max(value, ts), 6) AS last_value,
+           round((min({'ts': ts, 'eid': event_id, 'val': value})).val, 6) AS first_value,
+           round((max({'ts': ts, 'eid': event_id, 'val': value})).val, 6) AS last_value,
            date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days,
-           round(arg_max(value, ts) / arg_min(value, ts) - 1, 6) AS roi
+           round((max({'ts': ts, 'eid': event_id, 'val': value})).val
+                 / (min({'ts': ts, 'eid': event_id, 'val': value})).val - 1, 6) AS roi
     FROM events
     GROUP BY user_id
     """,
@@ -533,11 +534,16 @@ def d_conditional_trade_stats(spark, sf_dir):
 )
 def d_first_last_span(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    # first/last ordered by (ts, event_id) — event_id makes the order key
+    # UNIQUE, so a duplicate (user, ts) pair cannot make min_by/max_by
+    # pick partition-dependent rows (the module determinism rule; the
+    # oracle's named-struct min/max compares the same key lexicographically)
+    o = F.struct("ts", "event_id")
     return ev.groupBy("user_id").agg(
-        r6(F.min_by("value", "ts")).alias("first_value"),
-        r6(F.max_by("value", "ts")).alias("last_value"),
+        r6(F.min_by("value", o)).alias("first_value"),
+        r6(F.max_by("value", o)).alias("last_value"),
         F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("span_days"),
-        r6(F.max_by("value", "ts") / F.min_by("value", "ts") - 1).alias("roi"),
+        r6(F.max_by("value", o) / F.min_by("value", o) - 1).alias("roi"),
     )
 
 
@@ -583,7 +589,8 @@ def d_day_of_month_quirk(spark, sf_dir):
     "d_final_above_share",
     """
     WITH finals AS (
-        SELECT user_id, arg_max(value, ts) AS final FROM events GROUP BY user_id
+        SELECT user_id, (max({'ts': ts, 'eid': event_id, 'val': value})).val AS final
+        FROM events GROUP BY user_id
     )
     SELECT round(avg(CASE WHEN final > 50.0 THEN 1 ELSE 0 END), 6) AS share_above
     FROM finals
@@ -595,7 +602,7 @@ def d_final_above_share(spark, sf_dir):
     from sparkwrangle.ops.aggregates import final_above_share
 
     ev = _t(spark, sf_dir, "events")
-    out = final_above_share(ev, ["user_id"], "ts", "value", 50.0)
+    out = final_above_share(ev, ["user_id"], "ts", "value", 50.0, tiebreak_col="event_id")
     return out.select(r6("share_above").alias("share_above"))
 
 
@@ -1056,20 +1063,11 @@ def s1_compounded_return(spark, sf_dir):
     return trades.agg(rf(dsum(rf(F.col("return")))).alias("log_compounded"))
 
 
-@register(
-    "s2_intraday_trader",
-    None,
-    doc="S2/S3: per-tick intraday trader state machine "
-    "(IntradayRegionArbitrage.py:35-159) via applyInPandas per company — "
-    "TP/SL/market-close ledger with quirks K.1/K.3 preserved. "
-    "Golden-tested vs pandas oracle on FIXTURES.md synthetic data.",
-)
-def s2_intraday_trader(spark, sf_dir):
-    from sparkwrangle.stateful.trader import backtest_trades
-
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.withColumn("feed_seq", F.row_number().over(w))
+def _s2_two_leg_feed(seq):
+    """Shared base/arb two-leg union for BOTH S2 regimes (full event-time
+    and restricted NTZ): the price/ret maps (value/10+50, value+1,
+    (value-50)/200) live HERE once — editing them in one regime but not
+    the other would silently diverge the two traders."""
     base = seq.select(
         F.col("user_id").alias("company"),
         "feed_seq",
@@ -1086,7 +1084,24 @@ def s2_intraday_trader(spark, sf_dir):
         (F.col("value") + 1.0).alias("price"),
         ((F.col("value") - 50.0) / 200.0).alias("ret"),
     )
-    feed = base.unionByName(arb)
+    return base.unionByName(arb)
+
+
+@register(
+    "s2_intraday_trader",
+    None,
+    doc="S2/S3: per-tick intraday trader state machine "
+    "(IntradayRegionArbitrage.py:35-159) via applyInPandas per company — "
+    "TP/SL/market-close ledger with quirks K.1/K.3 preserved. "
+    "Golden-tested vs pandas oracle on FIXTURES.md synthetic data.",
+)
+def s2_intraday_trader(spark, sf_dir):
+    from sparkwrangle.stateful.trader import backtest_trades
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("feed_seq", F.row_number().over(w))
+    feed = _s2_two_leg_feed(seq)
     params = dict(
         bal=1000.0,
         min_deviation=0.1,
@@ -1227,33 +1242,19 @@ def _s2_restricted_feed(spark, sf_dir):
     trader twins (synthesized NTZ tick times from event_id arithmetic)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
-    sod = F.lit(9 * 3600) + (F.col("event_id") * 7919) % 28800
+    # ONE source of truth for the synthesized second-of-day: _S2_SOD_SQL
+    # is the same string the recursive-CTE oracles interpolate, so the
+    # Spark feed and its DuckDB twins cannot silently desynchronize
     seq = ev.withColumn("feed_seq", F.row_number().over(w)).withColumn(
         "ts",
         F.expr(
-            "make_timestamp_ntz(2024, 1, 1, "
-            "cast((9*3600 + (event_id * 7919) % 28800) / 3600 as int), "
-            "cast(((9*3600 + (event_id * 7919) % 28800) % 3600) / 60 as int), "
-            "cast((9*3600 + (event_id * 7919) % 28800) % 60 as int))"
+            f"make_timestamp_ntz(2024, 1, 1, "
+            f"cast({_S2_SOD_SQL} / 3600 as int), "
+            f"cast(({_S2_SOD_SQL} % 3600) / 60 as int), "
+            f"cast({_S2_SOD_SQL} % 60 as int))"
         ),
     )
-    base = seq.select(
-        F.col("user_id").alias("company"),
-        "feed_seq",
-        "ts",
-        F.lit(0).alias("ticker_idx"),
-        (F.col("value") / 10.0 + 50.0).alias("price"),
-        F.lit(None).cast("double").alias("ret"),
-    )
-    arb = seq.select(
-        F.col("user_id").alias("company"),
-        "feed_seq",
-        "ts",
-        F.lit(1).alias("ticker_idx"),
-        (F.col("value") + 1.0).alias("price"),
-        ((F.col("value") - 50.0) / 200.0).alias("ret"),
-    )
-    return base.unionByName(arb)
+    return _s2_two_leg_feed(seq)
 
 
 @register(

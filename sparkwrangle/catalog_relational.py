@@ -253,7 +253,8 @@ def q_global_sort_limit(spark, sf_dir):
     "k6_faithful_ticker_share",
     """
     WITH finals AS (
-        SELECT user_id, arg_max(value, ts) AS final FROM events GROUP BY user_id
+        SELECT user_id, (max({'ts': ts, 'eid': event_id, 'val': value})).val AS final
+        FROM events GROUP BY user_id
     ), trimmed AS (
         -- K.6: columns[:-2] drops TOTAL *and* the last ticker column;
         -- 'last' = highest key in processing order
@@ -274,7 +275,9 @@ def k6_faithful_ticker_share(spark, sf_dir):
     trimmed = ev.crossJoin(F.broadcast(last)).filter(
         F.col("user_id") < F.col("last_uid")
     )
-    out = final_above_share(trimmed, ["user_id"], "ts", "value", 50.0)
+    out = final_above_share(
+        trimmed, ["user_id"], "ts", "value", 50.0, tiebreak_col="event_id"
+    )
     return out.select(r6("share_above").alias("share_above"))
 
 

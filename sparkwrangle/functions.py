@@ -21,8 +21,18 @@ from pyspark.sql.functions import pandas_udf
 def zscore_pandas_udf(v: pd.Series, mean: pd.Series, std: pd.Series) -> pd.Series:
     """Arrow-vectorized (value − mean)/std. Batch-local numpy arithmetic;
     the group statistics arrive as columns so the UDF stays stateless and
-    embarrassingly parallel."""
-    return (v - mean) / std
+    embarrassingly parallel.
+
+    Degenerate groups must come back NULL, matching the built-in exactly:
+    a 1-row group has std NULL (Arrow delivers it as NaN) and a constant
+    group has std 0 — the builtin's non-ANSI x/NULL and x/0 both yield
+    NULL, while raw pandas division would emit NaN/±inf, silently
+    breaking the pinned equivalence on any data with such a group."""
+    out = (v - mean) / std
+    ok = std.notna() & (std != 0.0)
+    # object dtype carries real None (Arrow null) — float NaN would come
+    # back as Spark NaN, which is NOT the builtin's NULL
+    return out.astype(object).where(ok, None)
 
 
 def zscore_builtin(df: DataFrame, value_col: str, keys: list[str]) -> DataFrame:

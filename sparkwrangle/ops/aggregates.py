@@ -82,11 +82,21 @@ def portfolio_total(df: DataFrame, ts_col: str, balance_col: str) -> DataFrame:
 
 
 def final_above_share(
-    df: DataFrame, keys: list[str], ts_col: str, value_col: str, threshold: float
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    threshold: float,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Profitable-ticker share (D10): fraction of series whose final value
-    beats the threshold (intra_day_arbitrage.ipynb:11708-11711)."""
-    finals = df.groupBy(*keys).agg(F.max_by(value_col, ts_col).alias("final"))
+    beats the threshold (intra_day_arbitrage.ipynb:11708-11711).
+
+    Pass ``tiebreak_col`` (a unique row id) whenever (keys, ts) is not
+    provably unique: max_by on a tied ordering key keeps whichever row a
+    partition delivers first — run-to-run nondeterminism."""
+    order = F.struct(ts_col, tiebreak_col) if tiebreak_col else F.col(ts_col)
+    finals = df.groupBy(*keys).agg(F.max_by(value_col, order).alias("final"))
     return finals.agg(
         F.avg((F.col("final") > F.lit(threshold)).cast("int")).alias("share_above")
     )

@@ -84,6 +84,26 @@ def test_pandas_udf_equals_builtin_zscore(spark):
             assert abs(a[k] - b[k]) < 1e-12
 
 
+def test_zscore_udf_null_on_degenerate_groups(spark):
+    """The UDF path must return NULL (not NaN/inf) for single-row and
+    constant groups, exactly like the builtin's non-ANSI x/NULL and x/0 —
+    the equivalence claim has to hold on data WITH such groups, not only
+    on corpora that happen to lack them."""
+    from sparkwrangle.functions import zscore_builtin, zscore_udf_path
+
+    rows = [
+        (1, 1, 10.0),  # single-row group → std NULL
+        (2, 2, 5.0), (3, 2, 5.0),  # constant group → std 0
+        (4, 3, 1.0), (5, 3, 3.0),  # normal group
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    a = {r.event_id: r.zscore for r in zscore_builtin(df, "value", ["user_id"]).collect()}
+    b = {r.event_id: r.zscore for r in zscore_udf_path(df, "value", ["user_id"]).collect()}
+    assert a[1] is None and b[1] is None
+    assert a[2] is None and b[2] is None and a[3] is None and b[3] is None
+    assert abs(a[4] - b[4]) < 1e-12 and abs(a[5] - b[5]) < 1e-12
+
+
 def test_compact_table_preserves_rows(spark, tmp_path):
     """Compaction collapses a fragmented table to sized files with
     identical contents, atomically (original path stays a valid table)."""

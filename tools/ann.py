@@ -46,10 +46,9 @@ def build(spark, sf_dir: str, index_dir: str) -> dict:
     return {
         "action": "build",
         "index_dir": index_dir,
-        "n_vectors": spark.read.parquet(f"{index_dir}/codes.parquet")
-        .select("vec_id")
-        .distinct()
-        .count(),
+        # count the narrow SOURCE column, not a shuffle-distinct over the
+        # 8x-long codes artifact just written — same number, no index scan
+        "n_vectors": emb.select("vec_id").distinct().count(),
         "n_codebook_rows": cb_mat.count(),
     }
 

@@ -94,16 +94,27 @@ def main() -> None:
         )
         trades, balances = intraday_backtest(feed, params)
         r = balance_report(balances).collect()[0]
-        print(f"Total ROI: {r.roi:.3%}")
+
+        # every metric can legitimately be NULL (empty balances, a
+        # single-day span making 365/0 NULL, an all-win or all-loss trade
+        # log) — a bare f"{None:.3%}" would crash the report AFTER the
+        # backtest already ran
+        def pct(x, digits=3):
+            return f"{x:.{digits}%}" if x is not None else "n/a"
+
+        print(f"Total ROI: {pct(r.roi)}")
         print(f"Over: {r.span_days} days")
-        print(f"Annualized ROI: {r.annualized_roi:.3%}")
+        print(f"Annualized ROI: {pct(r.annualized_roi)}")
         t = trade_report(trades).collect()[0]
         if t.n_wins is not None and (t.n_wins + (t.n_losses or 0)) > 0:
-            print(f"Percent of winning trades: {t.win_share:.2%}")
-            print(f"Average loss: {t.avg_loss:.4%}, Average profit: {t.avg_profit:.4%}")
+            print(f"Percent of winning trades: {pct(t.win_share, 2)}")
+            print(
+                f"Average loss: {pct(t.avg_loss, 4)}, "
+                f"Average profit: {pct(t.avg_profit, 4)}"
+            )
             if t.mc_loss_share is not None:
                 print(
-                    f"Percent of loosing trades due to market close: {t.mc_loss_share:.2%}"
+                    f"Percent of loosing trades due to market close: {pct(t.mc_loss_share, 2)}"
                 )
 
 

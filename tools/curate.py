@@ -48,7 +48,7 @@ def main() -> None:
                 "docs_total": n_in,
                 "docs_train": n_train,
                 "docs_kept": n_out,
-                "attrition_pct": round(100.0 * (1 - n_out / n_train), 2),
+                "attrition_pct": round(100.0 * (1 - n_out / n_train), 2) if n_train else None,
             }
         )
     )
