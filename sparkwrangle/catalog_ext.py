@@ -287,6 +287,16 @@ def x_dedup_prefix_filter_join(spark, sf_dir):
     )
 
 
+# ONE definition of the 4x4 band-hash CASE arms over the 16-minhash
+# signature — seven oracles band identically, and a banding change
+# applied to six copies but missed in the seventh would silently
+# diverge that entry from the Spark engine's lsh_candidate_pairs.
+_BAND_CASE_SQL = "\n                    ".join(
+    [f"WHEN {b} THEN " + h60_sql(f"concat_ws('_', mh{b*4}, mh{b*4+1}, mh{b*4+2}, mh{b*4+3})") for b in range(3)]
+    + ["ELSE " + h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")]
+)
+
+
 def _minhash_sql(k: int = 16) -> str:
     mins = ",\n           ".join(
         f"min({universal_hash_sql(h60_sql('shingle'), a, b)}) AS mh{i}"
@@ -324,10 +334,7 @@ def x_dedup_minhash_sigs(spark, sf_dir):
     , bands AS (
         SELECT doc_id, b.band,
                CASE b.band
-                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
-                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
-                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
-                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+                    {_BAND_CASE_SQL}
                END AS bh
         FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
     )
@@ -383,10 +390,7 @@ def x_dedup_minhash_mapside(spark, sf_dir):
     , bands AS (
         SELECT doc_id, b.band,
                CASE b.band
-                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
-                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
-                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
-                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+                    {_BAND_CASE_SQL}
                END AS bh
         FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
     ), cand AS (
@@ -682,7 +686,7 @@ def _pq_oracle_sql(
     def _pq_sample_cte(s: int | None) -> str:
         if s is None:
             return ""
-        h = "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        h = h60_sql("CAST(vec_id AS VARCHAR)")  # the one portable hash definition
         return f""", subv_t AS (
         SELECT * FROM subv WHERE {h} % {s} = 0
     )"""
@@ -1367,10 +1371,7 @@ def x_audio_features(spark, sf_dir):
     , bands AS (
         SELECT doc_id, b.band,
                CASE b.band
-                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
-                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
-                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
-                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+                    {_BAND_CASE_SQL}
                END AS bh
         FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
     ), cand AS (
@@ -1521,7 +1522,6 @@ def x_ivf_centroids(spark, sf_dir):
     "full coarse quantizer behind x_knn_ivf_label.",
 )
 def x_ivf_assign(spark, sf_dir):
-    from pyspark.sql import Window
 
     from sparkwrangle.ext.similarity import _dot, _norm
 
@@ -1725,10 +1725,7 @@ _LSH_PAIRS_SQL = (
     , bands AS (
         SELECT doc_id, b.band,
                CASE b.band
-                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
-                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
-                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
-                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+                    {_BAND_CASE_SQL}
                END AS bh
         FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
     ),
@@ -2328,7 +2325,6 @@ def x_perplexity_prune(spark, sf_dir):
     "first merge candidates.",
 )
 def x_bpe_pair_counts(spark, sf_dir):
-    from pyspark.sql import Window
 
     from sparkwrangle.ext.text import tokenize
 
@@ -2454,10 +2450,7 @@ def x_embedding_quantize(spark, sf_dir):
     , bands AS (
         SELECT doc_id, b.band,
                CASE b.band
-                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
-                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
-                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
-                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+                    {_BAND_CASE_SQL}
                END AS bh
         FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
     ), cand AS (
@@ -2695,7 +2688,7 @@ def x_sequence_packing(spark, sf_dir):
     vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
     tot AS (SELECT sum(cnt) AS n FROM vocab)
     SELECT t.doc_id, count(*) AS n_tokens,
-           {rf_sql("avg(-ln(CAST(v.cnt AS DOUBLE) / tot.n))")} AS avg_nll
+           {rf_sql("CAST(sum(CAST(-ln(CAST(v.cnt AS DOUBLE) / tot.n) AS DECIMAL(25,15))) AS DOUBLE) / count(*)")} AS avg_nll
     FROM toks t JOIN vocab v ON t.tok = v.tok, tot
     GROUP BY t.doc_id
     """,
@@ -2715,9 +2708,13 @@ def x_unigram_logprob(spark, sf_dir):
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").alias("n"))
     scored = toks.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(tot))
+    # per-doc mean NLL via the DECIMAL accumulator (same rule as
+    # x_perplexity_prune: a float avg of ln values is order-sensitive in
+    # the last ulps, and the rf floor makes that visible at a boundary)
+    nll = (-F.log(F.col("cnt").cast("double") / F.col("n"))).cast("decimal(25,15)")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        rf(F.avg(-F.log(F.col("cnt").cast("double") / F.col("n")))).alias("avg_nll"),
+        rf(F.sum(nll).cast("double") / F.count("*")).alias("avg_nll"),
     )
 
 
@@ -3125,7 +3122,7 @@ def _curation_sql() -> str:
             SELECT t.doc_id, {h60_sql('g8.s')} AS shash
             FROM toks t
             JOIN reps r ON t.doc_id = r.doc_id,
-            LATERAL (SELECT {g8.replace('unnest', 'unnest', 1)} AS s) g8
+            LATERAL (SELECT {g8} AS s) g8
         ) s JOIN ev8 e ON s.shash = e.shash
     )
     SELECT k.doc_id, k.lang, k.source, k.n_tokens
@@ -3196,9 +3193,16 @@ def x_curation_pipeline_end_to_end(spark, sf_dir):
     )
 
 
-def _zorder_sql(bits: int = 16) -> str:
-    """Bit-interleave user_id (even positions) with second-of-day (odd)."""
-    terms = []
+def _zorder_sql(bits: int = 17) -> str:
+    """Bit-interleave user_id (even positions) with second-of-day (odd),
+    then carry user_id's REMAINING high bits above the interleaved
+    section. bits=17 covers second-of-day completely (86399 < 2^17); 16
+    bits silently dropped bit 16, aliasing every evening timestamp into
+    the early-morning key space — the one failure mode a shared-oracle
+    gate cannot catch, since both engines truncated identically. The
+    high-bits term keeps the code injective for ANY user_id instead of
+    quietly wrapping ids at 2^bits."""
+    terms = [f"((u >> {bits}) << {2 * bits})"]
     for i in range(bits):
         terms.append(f"(((u >> {i}) & 1) << {2 * i})")
         terms.append(f"(((s >> {i}) & 1) << {2 * i + 1})")
@@ -3223,7 +3227,7 @@ def _zorder_sql(bits: int = 16) -> str:
     LIMIT 100
     """,
     doc="Z-order layout key: bit-interleave (user_id, second-of-day) into "
-    "one 32-bit Morton code — the multi-dimensional sort key that makes "
+    "one 34-bit Morton code (+ user high bits) — the multi-dimensional sort key that makes "
     "parquet row-group min/max skip on BOTH dimensions at once. At "
     "100 TB this is the write-path ordering for tables queried by "
     "either user or time slice; the expression is a fixed fold of "
@@ -3236,8 +3240,10 @@ def x_zorder_layout(spark, sf_dir):
     s = (
         F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
     ).cast("bigint")
-    z = F.lit(0).cast("bigint")
-    for i in range(16):
+    # 17 bits (full second-of-day range) + user high bits above — mirrors
+    # _zorder_sql exactly; see its docstring for the bit-16 aliasing bug
+    z = F.shiftleft(F.shiftright(u, 17), 34)
+    for i in range(17):
         z = z.bitwiseOR(
             F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), 2 * i)
         ).bitwiseOR(
@@ -3263,10 +3269,7 @@ def x_zorder_layout(spark, sf_dir):
     , bands AS (
         SELECT doc_id, b.band,
                CASE b.band
-                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
-                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
-                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
-                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+                    {_BAND_CASE_SQL}
                END AS bh
         FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
     ), cand AS (
@@ -3369,10 +3372,7 @@ def x_dedup_lsh_recall_audit(spark, sf_dir):
     , bands AS (
         SELECT doc_id, b.band,
                CASE b.band
-                    WHEN 0 THEN {h60_sql("concat_ws('_', mh0, mh1, mh2, mh3)")}
-                    WHEN 1 THEN {h60_sql("concat_ws('_', mh4, mh5, mh6, mh7)")}
-                    WHEN 2 THEN {h60_sql("concat_ws('_', mh8, mh9, mh10, mh11)")}
-                    ELSE {h60_sql("concat_ws('_', mh12, mh13, mh14, mh15)")}
+                    {_BAND_CASE_SQL}
                END AS bh
         FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
     ), cand AS (

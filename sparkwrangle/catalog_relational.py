@@ -693,7 +693,8 @@ def ep2_trader_percent_ledger(spark, sf_dir):
 @register(
     "q_salted_skew_agg",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 6) AS total,
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(25,8))) AS DOUBLE), 6) AS total,
            min(value) AS vmin, max(value) AS vmax
     FROM events GROUP BY event_type
     """,
@@ -706,18 +707,29 @@ def q_salted_skew_agg(spark, sf_dir):
     from sparkwrangle.ops.skew import salted_agg
 
     ev = _t(spark, sf_dir, "events")
+    # the salted sum goes through the DECIMAL accumulator (module rule:
+    # big double sums must be order-invariant) — the two-phase partial
+    # merge order differs from DuckDB's single pass, and a float total
+    # landing near a 5e-7 round boundary would hash-flip intermittently
+    ev = ev.withColumn("value_d", F.col("value").cast("decimal(25,8)"))
     out = salted_agg(
         ev,
         ["event_type"],
         {
             "n": ("count", "*"),
-            "total": ("sum", "value"),
+            "total": ("sum", "value_d"),
             "vmin": ("min", "value"),
             "vmax": ("max", "value"),
         },
         salt_buckets=16,
     )
-    return out.select("event_type", "n", r6("total").alias("total"), "vmin", "vmax")
+    return out.select(
+        "event_type",
+        "n",
+        r6(F.col("total").cast("double")).alias("total"),
+        "vmin",
+        "vmax",
+    )
 
 
 @register(

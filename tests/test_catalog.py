@@ -50,3 +50,32 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(sdf.columns) == sorted(dcols)
     assert len(srows) == len(drows)
     assert _norm(sdf.columns, srows) == _norm(dcols, drows)
+
+
+def test_zorder_covers_full_second_of_day(spark, tmp_path):
+    """Regression: second-of-day needs 17 bits (86399 < 2^17); the old
+    16-bit interleave dropped bit 16, giving IDENTICAL Morton codes to
+    01:48:00 (s=6480) and 18:40:16 (s=72016) — every evening timestamp
+    aliased into the early-morning key space, and the shared-truncation
+    oracle could never catch it."""
+    import pandas as pd
+
+    d = tmp_path / "z"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 01:48:00", "2024-01-01 18:40:16"]
+            ),
+            "user_id": [7, 7],
+            "event_type": ["view", "view"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    ).to_parquet(d / "events.parquet", index=False)
+    rows = {r.event_id: r.zval for r in CATALOG["x_zorder_layout"].fn(
+        spark, str(d)
+    ).collect()}
+    assert rows[1] != rows[2]
+    assert rows[2] > rows[1]  # the evening key sorts after the morning key
