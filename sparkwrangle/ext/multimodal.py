@@ -106,6 +106,24 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+def _bmp_header(b: bytes) -> tuple[int, int, int]:
+    """Validated 24-bpp BMP header fields (pixel_offset, width, height
+    with sign — positive means bottom-up row order). ONE header parse
+    shared by decode_bmp and resize_bmp_nearest so a validation fix
+    cannot apply to one and miss the other."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", b, 10)
+    width, height = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    return offset, width, height
+
+
 def decode_bmp(b: bytes) -> tuple[int, int, int, int]:
     """Parse a 24-bpp uncompressed BMP: returns (width, height,
     channel_byte_sum, channel_byte_count) over the pixel array, EXCLUDING
@@ -118,16 +136,7 @@ def decode_bmp(b: bytes) -> tuple[int, int, int, int]:
     Raises ValueError on anything that is not an uncompressed 24-bpp BMP
     (the honest behavior for a decoder, instead of a silent fake value).
     """
-    import struct
-
-    if len(b) < 54 or b[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    (offset,) = struct.unpack_from("<I", b, 10)
-    width, height = struct.unpack_from("<ii", b, 18)
-    (bpp,) = struct.unpack_from("<H", b, 28)
-    (compression,) = struct.unpack_from("<I", b, 30)
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    offset, width, height = _bmp_header(b)
     h = abs(height)
     stride = (3 * width + 3) & ~3
     row_bytes = 3 * width
@@ -169,14 +178,24 @@ def encode_bmp_deterministic(doc_id: int) -> bytes:
 
 
 def decode_wav(b: bytes) -> tuple[int, int, int, int]:
-    """Parse a PCM 16-bit WAV: returns (n_samples, sample_rate,
-    sample_sum, n_channels) from a real RIFF chunk walk — 'fmt ' is
-    located by ITERATING chunks (not a fixed offset: writers put LIST/
-    INFO chunks before 'data', and chunk sizes pad to even — both
-    handled), samples decoded little-endian signed. Raises ValueError on
-    non-RIFF/WAVE payloads, non-PCM encodings, or bit depths ≠ 16 — the
-    honest behavior for a decoder.
-    """
+    """See _decode_wav_unguarded for the parse. The wrapper enforces the
+    honest-decoder contract on arbitrary bytes — a short fmt chunk
+    (struct.error) or a declared zero channel count (ZeroDivisionError)
+    surfaces as ValueError, same pattern as decode_png/decode_jpeg."""
+    import struct
+
+    try:
+        return _decode_wav_unguarded(b)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt WAV: {type(e).__name__}: {e}") from e
+
+
+def _wav_chunks(b: bytes) -> tuple[bytes, bytes]:
+    """RIFF chunk walk shared by the decoder and audio_features: locate
+    'fmt ' and 'data' by ITERATING chunks (not a fixed offset — writers
+    put LIST/INFO chunks before 'data', and chunk sizes pad to even).
+    One walk definition means a padding/truncation fix cannot apply to
+    the decoder but miss the feature extractor."""
     import struct
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -195,10 +214,24 @@ def decode_wav(b: bytes) -> tuple[int, int, int, int]:
         pos += 8 + csize + (csize & 1)  # chunks pad to even length
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    return fmt, data
+
+
+def _decode_wav_unguarded(b: bytes) -> tuple[int, int, int, int]:
+    """Parse a PCM 16-bit WAV: returns (n_samples, sample_rate,
+    sample_sum, n_channels); samples decoded little-endian signed.
+    Raises ValueError on non-RIFF/WAVE payloads, non-PCM encodings, or
+    bit depths ≠ 16 — the honest behavior for a decoder.
+    """
+    import struct
+
+    fmt, data = _wav_chunks(b)
     audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
     (bits,) = struct.unpack_from("<H", fmt, 14)
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    if n_channels == 0:
+        raise ValueError("corrupt WAV: fmt declares 0 channels")
     n = len(data) // 2
     samples = struct.unpack_from(f"<{n}h", data, 0)
     return n // n_channels, sample_rate, sum(samples), n_channels
@@ -231,14 +264,18 @@ def _payload_table(
     docs: DataFrame,
     media_type: str,
     encoder,
-    uri_prefix: str | None = None,
+    uri_prefix: str,
 ) -> DataFrame:
     """Shared attach-payload scaffold for every synthetic binary format:
     Arrow-batched executor-side generation of ``encoder(doc_id)`` bytes
-    (payloads are born on executors, never the driver) plus the typed
-    metadata columns. Payload is generated in its OWN projection and
-    n_bytes derived in a second one — a single-select
-    octet_length(udf(...)) would reference the UDF twice."""
+    (payloads are born on executors, never the driver) plus the FULL
+    typed metadata (doc_id, media_type, uri, n_bytes, payload) — every
+    attach table satisfies the same media schema, so any MEDIA_SCHEMA
+    consumer (decode_features reads n_bytes) composes with any format
+    instead of hitting an executor-side KeyError on the thin ones.
+    Payload is generated in its OWN projection and n_bytes derived in a
+    second one — a single-select octet_length(udf(...)) would reference
+    the UDF twice."""
     from pyspark.sql.functions import pandas_udf
 
     def gen(ids):
@@ -249,13 +286,13 @@ def _payload_table(
     with_payload = docs.select(
         F.col("doc_id"), gen_udf(F.col("doc_id")).alias("payload")
     )
-    cols = [F.col("doc_id"), F.lit(media_type).alias("media_type")]
-    if uri_prefix is not None:
-        cols += [
-            F.concat(F.lit(uri_prefix), F.col("doc_id")).alias("uri"),
-            F.octet_length("payload").cast("long").alias("n_bytes"),
-        ]
-    return with_payload.select(*cols, F.col("payload"))
+    return with_payload.select(
+        F.col("doc_id"),
+        F.lit(media_type).alias("media_type"),
+        F.concat(F.lit(uri_prefix), F.col("doc_id")).alias("uri"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.col("payload"),
+    )
 
 
 def attach_wav_payload(docs: DataFrame) -> DataFrame:
@@ -496,6 +533,67 @@ def decode_png(b: bytes) -> tuple[int, int, int, int]:
         raise ValueError(f"corrupt PNG: {type(e).__name__}: {e}") from e
 
 
+def _png_pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """The closed-form RGB pixel shared by BOTH PNG encoders (plain and
+    Adam7) — one definition, so the two wire layouts provably encode the
+    same image and share one decode oracle."""
+    return (
+        (doc_id + 5 * x + 11 * y) % 256,
+        (2 * doc_id + 3 * x) % 256,
+        (x + 7 * y + doc_id) % 256,
+    )
+
+
+def _png_filter_row(line: bytes, prior: bytes, ftype: int, bpp: int = 3) -> bytearray:
+    """Apply PNG filter ``ftype`` to one scanline against ``prior`` —
+    the single filter-encode implementation for both encoders."""
+    out = bytearray()
+    for i in range(len(line)):
+        left = line[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        ul = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            v = line[i]
+        elif ftype == 1:
+            v = line[i] - left
+        elif ftype == 2:
+            v = line[i] - up
+        elif ftype == 3:
+            v = line[i] - ((left + up) >> 1)
+        else:
+            v = line[i] - _paeth(left, up, ul)
+        out.append(v & 0xFF)
+    return out
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def _png_wrap(w: int, h: int, interlace: int, raw: bytes, comment: bytes) -> bytes:
+    """Assemble the PNG file: IHDR, a tEXt chunk BEFORE the image data,
+    and the zlib stream split across TWO IDAT chunks (fixed-offset or
+    single-IDAT readers must fail)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, interlace)
+    z = zlib.compress(raw, 6)
+    half = max(1, len(z) // 2)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Comment\x00" + comment)
+        + _png_chunk(b"IDAT", z[:half])
+        + _png_chunk(b"IDAT", z[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_png_deterministic(doc_id: int) -> bytes:
     """Synthesize a valid 8-bit RGB PNG whose pixels are a closed form of
     ``doc_id`` — the oracle counterpart of ``decode_png``: width =
@@ -504,64 +602,20 @@ def encode_png_deterministic(doc_id: int) -> bytes:
     skips real unfiltering cannot reproduce the pixel sum; the zlib
     stream is split across TWO IDAT chunks and a tEXt chunk precedes
     them, so fixed-offset or single-IDAT readers fail too."""
-    import struct
-    import zlib
-
     w = 3 + doc_id % 9
     h = 2 + doc_id % 5
-    bpp, stride = 3, 3 * w
-
-    def px(x: int, y: int) -> tuple[int, int, int]:
-        return (
-            (doc_id + 5 * x + 11 * y) % 256,
-            (2 * doc_id + 3 * x) % 256,
-            (x + 7 * y + doc_id) % 256,
-        )
-
-    rows = []
+    stride = 3 * w
     prior = bytes(stride)
     raw = bytearray()
     for y in range(h):
         line = bytearray()
         for x in range(w):
-            line.extend(px(x, y))
+            line.extend(_png_pixel(doc_id, x, y))
         ftype = y % 5
-        out = bytearray()
-        for i in range(stride):
-            left = line[i - bpp] if i >= bpp else 0
-            up = prior[i]
-            ul = prior[i - bpp] if i >= bpp else 0
-            if ftype == 0:
-                v = line[i]
-            elif ftype == 1:
-                v = line[i] - left
-            elif ftype == 2:
-                v = line[i] - up
-            elif ftype == 3:
-                v = line[i] - ((left + up) >> 1)
-            else:
-                v = line[i] - _paeth(left, up, ul)
-            out.append(v & 0xFF)
         raw.append(ftype)
-        raw.extend(out)
+        raw.extend(_png_filter_row(line, prior, ftype))
         prior = bytes(line)
-        rows.append(line)
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    z = zlib.compress(bytes(raw), 6)
-    half = max(1, len(z) // 2)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"tEXt", b"Comment\x00synthetic")
-        + chunk(b"IDAT", z[:half])
-        + chunk(b"IDAT", z[half:])
-        + chunk(b"IEND", b"")
-    )
+    return _png_wrap(w, h, 0, bytes(raw), b"synthetic")
 
 
 def encode_png_interlaced_deterministic(doc_id: int) -> bytes:
@@ -576,80 +630,39 @@ def encode_png_interlaced_deterministic(doc_id: int) -> bytes:
     which pins the empty-pass no-bytes rule. The zlib stream is split
     across two IDAT chunks behind a tEXt chunk, as in the plain
     encoder."""
-    import struct
-    import zlib
-
     w = 3 + doc_id % 9
     h = 2 + doc_id % 5
     bpp = 3
-
-    def px(x: int, y: int) -> tuple[int, int, int]:
-        return (
-            (doc_id + 5 * x + 11 * y) % 256,
-            (2 * doc_id + 3 * x) % 256,
-            (x + 7 * y + doc_id) % 256,
-        )
-
     raw = bytearray()
     for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
         pw = (w - x0 + dx - 1) // dx
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        stride = bpp * pw
-        prior = bytes(stride)
+        prior = bytes(bpp * pw)
         for ry in range(ph):
             line = bytearray()
             for rx in range(pw):
-                line.extend(px(x0 + rx * dx, y0 + ry * dy))
+                line.extend(_png_pixel(doc_id, x0 + rx * dx, y0 + ry * dy))
             ftype = (p + ry) % 5
-            out = bytearray()
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                up = prior[i]
-                ul = prior[i - bpp] if i >= bpp else 0
-                if ftype == 0:
-                    v = line[i]
-                elif ftype == 1:
-                    v = line[i] - left
-                elif ftype == 2:
-                    v = line[i] - up
-                elif ftype == 3:
-                    v = line[i] - ((left + up) >> 1)
-                else:
-                    v = line[i] - _paeth(left, up, ul)
-                out.append(v & 0xFF)
             raw.append(ftype)
-            raw.extend(out)
+            raw.extend(_png_filter_row(line, prior, ftype))
             prior = bytes(line)
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
-    z = zlib.compress(bytes(raw), 6)
-    half = max(1, len(z) // 2)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"tEXt", b"Comment\x00synthetic-adam7")
-        + chunk(b"IDAT", z[:half])
-        + chunk(b"IDAT", z[half:])
-        + chunk(b"IEND", b"")
-    )
+    return _png_wrap(w, h, 1, bytes(raw), b"synthetic-adam7")
 
 
 def attach_png_interlaced_payload(docs: DataFrame) -> DataFrame:
     """Multimodal table with Adam7-interlaced PNG payloads, generated on
     executors — same pixels as attach_png_payload, different wire
     layout."""
-    return _payload_table(docs, "image/png", encode_png_interlaced_deterministic)
+    return _payload_table(
+        docs, "image/png", encode_png_interlaced_deterministic, "mem://png7/"
+    )
 
 
 def attach_png_payload(docs: DataFrame) -> DataFrame:
     """Multimodal table with REAL PNG payloads, generated on executors."""
-    return _payload_table(docs, "image/png", encode_png_deterministic)
+    return _payload_table(docs, "image/png", encode_png_deterministic, "mem://png/")
 
 
 def decode_png_features(media: DataFrame) -> DataFrame:
@@ -662,6 +675,15 @@ def decode_png_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ws, hs, means = [], [], []
             for b in pdf["payload"]:
+                if b is None or len(b) == 0:
+                    # NULL payloads (outer joins, failed fetches in the
+                    # pointer-table flow) yield null features like
+                    # decode_features — bytes(None) would TypeError the
+                    # whole stage
+                    ws.append(None)
+                    hs.append(None)
+                    means.append(None)
+                    continue
                 w, h, total, cnt = decode_png(bytes(b))
                 ws.append(w)
                 hs.append(h)
@@ -1390,7 +1412,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, int]:
 def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
     """Multimodal table with REAL baseline-JPEG payloads, generated on
     executors (Arrow-batched, never on the driver)."""
-    return _payload_table(docs, "image/jpeg", encode_jpeg_deterministic)
+    return _payload_table(docs, "image/jpeg", encode_jpeg_deterministic, "mem://jpeg/")
 
 
 def attach_jpeg_progressive_payload(docs: DataFrame) -> DataFrame:
@@ -1398,7 +1420,9 @@ def attach_jpeg_progressive_payload(docs: DataFrame) -> DataFrame:
     generated on executors — same aggregate closed form as the baseline
     payloads (the per-block AC detail is pixel-sum-neutral), different
     entropy organization: four successive-approximation scans."""
-    return _payload_table(docs, "image/jpeg", encode_jpeg_progressive_deterministic)
+    return _payload_table(
+        docs, "image/jpeg", encode_jpeg_progressive_deterministic, "mem://jpegp/"
+    )
 
 
 def decode_jpeg_features(media: DataFrame) -> DataFrame:
@@ -1411,6 +1435,11 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ws, hs, means = [], [], []
             for raw in pdf["payload"]:
+                if raw is None or len(raw) == 0:
+                    ws.append(None)
+                    hs.append(None)
+                    means.append(None)
+                    continue
                 w, h, total, cnt = decode_jpeg(bytes(raw))
                 ws.append(w)
                 hs.append(h)
@@ -1446,16 +1475,7 @@ def resize_bmp_nearest(b: bytes, out_w: int, out_h: int) -> tuple[int, int, int]
     rows and fails the closed-form oracle). Returns (out_w, out_h,
     channel_byte_sum over the resized grid). Integer index math only —
     no interpolation arithmetic to diverge between engines."""
-    import struct
-
-    if len(b) < 54 or b[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    (offset,) = struct.unpack_from("<I", b, 10)
-    width, height = struct.unpack_from("<ii", b, 18)
-    (bpp,) = struct.unpack_from("<H", b, 28)
-    (compression,) = struct.unpack_from("<I", b, 30)
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    offset, width, height = _bmp_header(b)
     h = abs(height)
     bottom_up = height > 0
     stride = (3 * width + 3) & ~3
@@ -1481,6 +1501,9 @@ def resize_features(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFra
         for pdf in batches:
             sums = []
             for raw in pdf["payload"]:
+                if raw is None or len(raw) == 0:
+                    sums.append(None)
+                    continue
                 _, _, total = resize_bmp_nearest(bytes(raw), out_w, out_h)
                 sums.append(total)
             yield pd.DataFrame(
@@ -1524,17 +1547,14 @@ def audio_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ns, energies, peaks, zcrs, rmss = [], [], [], [], []
             for raw in pdf["payload"]:
+                if raw is None or len(raw) == 0:
+                    for lst in (ns, energies, peaks, zcrs, rmss):
+                        lst.append(None)
+                    continue
                 b = bytes(raw)
                 n_samp, _, _, n_ch = decode_wav(b)
-                # re-walk to the data chunk for the raw samples
-                pos = 12
-                data = None
-                while pos + 8 <= len(b):
-                    cid = b[pos : pos + 4]
-                    (csize,) = struct.unpack_from("<I", b, pos + 4)
-                    if cid == b"data":
-                        data = b[pos + 8 : pos + 8 + csize]
-                    pos += 8 + csize + (csize & 1)
+                # the SAME chunk walk the decoder validated with
+                _, data = _wav_chunks(b)
                 s = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 n = len(s)
                 if n_ch != 1:

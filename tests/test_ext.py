@@ -1635,6 +1635,85 @@ def test_binary_decoders_fuzz_valueerror_only():
                 pass
 
 
+def test_wav_contract_zero_channels_and_short_fmt():
+    """Two WAV payloads that used to escape the ValueError-only contract:
+    fmt declaring 0 channels (ZeroDivisionError) and a truncated fmt
+    chunk (struct.error) — both must surface as ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from sparkwrangle.ext.multimodal import decode_wav
+
+    fmt0 = struct.pack("<HHIIHH", 1, 0, 8000, 0, 2, 16)
+    zero_ch = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt0)) + fmt0
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with _pytest.raises(ValueError, match="0 channels"):
+        decode_wav(zero_ch)
+    short = (
+        b"RIFF" + struct.pack("<I", 50) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(short)
+
+
+def test_feature_extractors_null_payload_rows(spark):
+    """A NULL payload row (outer join / failed fetch in the pointer-table
+    flow) must yield null features, not a stage-killing TypeError from
+    bytes(None) — matching decode_features' existing behavior."""
+    from sparkwrangle.ext.multimodal import (
+        attach_jpeg_payload,
+        decode_jpeg_features,
+        decode_png_features,
+    )
+
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    media = attach_jpeg_payload(docs).withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 2, F.lit(None).cast("binary")).otherwise(
+            F.col("payload")
+        ),
+    )
+    rows = {r.doc_id: r for r in decode_jpeg_features(media).collect()}
+    assert rows[1].px_mean is not None and rows[1].width is not None
+    assert rows[2].px_mean is None and rows[2].width is None
+    # png path shares the guard
+    from sparkwrangle.ext.multimodal import attach_png_payload
+
+    media_p = attach_png_payload(docs).withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 2, F.lit(None).cast("binary")).otherwise(
+            F.col("payload")
+        ),
+    )
+    prows = {r.doc_id: r for r in decode_png_features(media_p).collect()}
+    assert prows[1].px_mean is not None and prows[2].px_mean is None
+
+
+def test_attach_tables_share_full_media_schema(spark):
+    """Every attach table carries (doc_id, media_type, uri, n_bytes,
+    payload), so MEDIA_SCHEMA consumers like decode_features compose with
+    any format — the PNG/JPEG tables used to omit uri/n_bytes and
+    KeyError inside the executor."""
+    from sparkwrangle.ext.multimodal import (
+        attach_jpeg_progressive_payload,
+        attach_png_payload,
+        decode_features,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for attach in (attach_png_payload, attach_jpeg_progressive_payload):
+        tbl = attach(docs)
+        assert tbl.columns == ["doc_id", "media_type", "uri", "n_bytes", "payload"]
+    out = decode_features(attach_png_payload(docs)).collect()
+    assert len(out) == 1 and out[0].byte_mean is not None
+
+
 def test_jpeg_headers_without_scan_raise():
     """Regression: a JPEG with full headers (SOF/DQT/DHT) but NO SOS scan
     must raise ValueError — the coefficient array is allocated at SOF
