@@ -287,6 +287,47 @@ def x_dedup_prefix_filter_join(spark, sf_dir):
     )
 
 
+@register(
+    "x_fuzzy_edit_join",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               array_to_string(list_slice(regexp_extract_all(lower(text),
+                   '[a-z0-9]+'), 1, 5), ' ') AS sl
+        FROM documents
+    ), f AS (SELECT doc_id, sl FROM s WHERE length(sl) >= 4)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.sl, b.sl) AS dist
+    FROM f a JOIN f b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.sl) - length(b.sl)) <= 2
+    WHERE levenshtein(a.sl, b.sl) <= 2
+    """,
+    doc="EXACT edit-distance similarity self-join via q-gram prefix "
+    "filtering (Ed-Join, Xiao et al. VLDB'08) — blocked entity "
+    "resolution over a normalized 5-token entity key (fuzzy record "
+    "linkage: near-identical titles/names within Levenshtein <= 2). "
+    "One edit rewrites at most q distinct character q-grams, so two "
+    "strings within distance k must share a gram inside both (k*q+1)-"
+    "long rarest-first gram prefixes; candidates pass a length filter "
+    "and an exact levenshtein verify. The ORACLE is the brute-force "
+    "all-pairs join — hash equality IS the losslessness proof. No "
+    "corpus-wide window (rank partitions by doc only); candidate "
+    "fan-out bounded by prefix-df^2, verify by the candidate set — "
+    "never O(n^2) strings.",
+)
+def x_fuzzy_edit_join(spark, sf_dir):
+    from sparkwrangle.ext.dedup import edit_distance_pairs
+    from sparkwrangle.ext.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(
+        "doc_id",
+        F.array_join(F.slice(tokenize("text"), 1, 5), " ").alias("sl"),
+    ).filter(F.length("sl") >= 4)
+    return edit_distance_pairs(keys, "doc_id", "sl", k=2, q=2)
+
+
 # ONE definition of the 4x4 band-hash CASE arms over the 16-minhash
 # signature — seven oracles band identically, and a banding change
 # applied to six copies but missed in the seventh would silently

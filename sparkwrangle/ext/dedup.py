@@ -831,6 +831,136 @@ def prefix_filter_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "s",
+    k: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """EXACT edit-distance similarity self-join by q-gram prefix filtering
+    (Ed-Join, Xiao et al. VLDB'08) — blocked entity resolution / fuzzy
+    record linkage: every (a, b) pair with ``levenshtein(a, b) <= k`` is
+    returned, and the self-join never evaluates all pairs.
+
+    Why it is exact (set semantics): one edit operation rewrites at most
+    ``q`` character q-grams, and a DISTINCT gram leaves the gram set only
+    if every occurrence is destroyed, so ``ed(a, b) <= k`` implies
+    ``|G(a) \\ G(b)| <= k*q`` (symmetrically for b). Fix any consistent
+    total order over grams and take each string's first ``k*q + 1`` grams
+    as its *prefix*. When BOTH gram sets have at least ``k*q + 1``
+    elements and the prefixes share no gram, the whole prefix of the
+    side whose (k*q+1)-th gram ranks lower is missing from the other SET
+    — |difference| >= k*q + 1 > k*q, contradiction. Hence the prefix x
+    prefix equi-join loses no true pair between *long* strings.
+
+    The prefix bound says NOTHING about strings with fewer than
+    ``k*q + 1`` grams (``len < q*(k+1)``): "ab" and "ba" are within
+    distance 2 yet share no gram at all. Pairs touching such a *short*
+    string go through a separate length-banded pass — shorts equi-join
+    (on exploded candidate length len±k) against every string short
+    enough to pass the length filter. Both unioned candidate sets then
+    pass the length filter (``ed >= |len(a) - len(b)|``) and an exact
+    ``levenshtein`` verify, so output equals the brute-force join (the
+    catalog oracle IS the brute force — hash equality proves
+    losslessness; the brute-equality test plants start-of-string edits,
+    tiny-gram-set strings, and boundary length gaps).
+
+    The total order is ascending document frequency with the gram string
+    as tiebreak (rarest first), minimizing candidate fan-out exactly as
+    in ``prefix_filter_pairs``. Strings shorter than ``q`` carry no gram
+    and are excluded by contract (filter them upstream; this function
+    drops them).
+
+    Scale shape (100 TB): no corpus-wide window — the only window
+    partitions by the STRING's id (bounded by string length). The
+    candidate join is an equi-join on gram (AQE-skew-splittable), its
+    fan-out bounded by prefix-df^2; the verify touches candidates only,
+    each a bounded-length string comparison. The short pass is an
+    equi-join on length over strings of length < q*(k+1)+k only —
+    quadratic ONLY within a length band of the short-string population
+    (entity keys that short are pre-deduplicated exactly in any real
+    pipeline; the pass exists for losslessness, not volume). This is the
+    same plan family as the lossless set-similarity join, specialized to
+    edit distance.
+
+    Returns (id_a, id_b, dist) with ``id_a < id_b``, dist = exact
+    Levenshtein distance <= k.
+    """
+    from pyspark.sql import Window
+
+    if k < 0:
+        raise ValueError(f"edit_distance_pairs: k must be >= 0, got {k}")
+    if q < 1:
+        raise ValueError(f"edit_distance_pairs: q must be >= 1, got {q}")
+    strs = df.select(
+        F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+    ).filter(F.length("_s") >= q)
+    # distinct positional q-grams -> gram SET per string; the sequence
+    # upper bound is always >= 0 after the length filter (sequence counts
+    # DOWN for negative spans — the filter is load-bearing)
+    grams = strs.select(
+        "_id",
+        F.length("_s").alias("_len"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(_s) - {q} + 1),"
+                    f" i -> substring(_s, i, {q}))"
+                )
+            )
+        ).alias("gram"),
+    )
+    dfc = grams.groupBy("gram").agg(F.count("*").alias("_df"))
+    wdoc = Window.partitionBy("_id").orderBy(F.col("_df"), F.col("gram"))
+    prefix = (
+        grams.join(dfc, "gram")
+        .withColumn("_pos", F.row_number().over(wdoc))
+        .filter(F.col("_pos") <= k * q + 1)
+        .select("_id", "_len", "gram")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    long_cand = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a._id") < F.col("b._id"))
+        # length filter: ed(a,b) >= |len(a) - len(b)|
+        & (F.abs(F.col("a._len") - F.col("b._len")) <= k),
+    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    # short pass: strings with < k*q+1 grams sit outside the prefix
+    # lemma — pair each against every string the length filter admits,
+    # via an equi-join on exploded candidate length (never a cartesian)
+    min_len_long = q * (k + 1)
+    lens = strs.select("_id", F.length("_s").alias("_len"))
+    shorts = lens.filter(F.col("_len") < min_len_long).select(
+        "_id",
+        F.explode(
+            F.sequence(F.greatest(F.col("_len") - k, F.lit(q)), F.col("_len") + k)
+        ).alias("_plen"),
+    )
+    partners = lens.filter(F.col("_len") < min_len_long + k).select(
+        F.col("_id").alias("_pid"), F.col("_len").alias("_plen")
+    )
+    short_cand = (
+        shorts.join(partners, "_plen")
+        .filter(F.col("_id") != F.col("_pid"))
+        .select(
+            F.least("_id", "_pid").alias("id_a"),
+            F.greatest("_id", "_pid").alias("id_b"),
+        )
+    )
+    cand = long_cand.union(short_cand).distinct()
+    sa = strs.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    sb = strs.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("dist") <= k)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def positional_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:

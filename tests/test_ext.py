@@ -1890,6 +1890,108 @@ def test_prefix_filter_join_validates_args(spark):
         prefix_filter_pairs(sh, "doc_id", threshold=1.5)
 
 
+def _py_levenshtein(a: str, b: str) -> int:
+    """Independent reference DP — NOT Spark's levenshtein, so the test
+    cross-checks the engine against a second implementation."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _edit_join_corpus(spark):
+    """Adversarial strings for the exact edit-distance join: exact dups
+    (dist 0, several ids per string), edits at the string START (the
+    edit destroys prefix grams — the case a broken prefix bound loses),
+    rare-gram edits, repeated-character strings whose gram SET is tiny
+    (set-vs-multiset semantics stress), length-filter boundary pairs
+    (len diff exactly k and k+1), strings shorter than q (excluded by
+    contract), and seeded random strings over a 4-letter alphabet for a
+    spread of true distances straddling every k tested."""
+    import random
+
+    rows = [
+        (0, "spark catalyst engine"),
+        (1, "spark catalyst engine"),   # exact dup
+        (2, "spark catalyst engine"),   # triple
+        (3, "Xpark catalyst engine"),   # substitution at pos 0
+        (4, "park catalyst engine"),    # deletion at pos 0
+        (5, "zspark catalyst engine"),  # insertion at pos 0
+        (6, "spark catalyst enginezz"), # two inserts at end
+        (7, "aaaaaaaaaa"),              # gram set == {"aa"}
+        (8, "aaaaaaaaab"),              # one edit, same tiny gram set + {"ab"}
+        (9, "aaaaaaaa"),                # len diff 2 vs id 7
+        (10, "aaaaaaa"),                # len diff 3 vs id 7 (outside k=2)
+        (11, "a"),                      # shorter than q=2 → dropped
+        (12, ""),                       # empty → dropped
+        (13, "ab"),                     # exactly q chars
+        (14, "ba"),                     # dist 2 from "ab"
+    ]
+    rng = random.Random(20260815)
+    for i in range(15, 55):
+        n = rng.randint(4, 14)
+        rows.append((i, "".join(rng.choice("abcd") for _ in range(n))))
+    return spark.createDataFrame(rows, "doc_id long, s string")
+
+
+def test_edit_distance_join_equals_bruteforce(spark):
+    """LOSSLESSNESS: q-gram prefix filtering + length filter + exact
+    verify must equal the brute-force all-pairs join, with distances
+    checked against an INDEPENDENT Python DP — at several (k, q). A
+    single dropped true pair (prefix bound off by one, multiset-vs-set
+    gram accounting, an edit destroying the rarest prefix grams) fails
+    the tuple-set compare."""
+    from sparkwrangle.ext.dedup import edit_distance_pairs
+
+    corpus = _edit_join_corpus(spark)
+    rows = {r.doc_id: r.s for r in corpus.collect()}
+    for q in (2, 3):
+        eligible = {i: s for i, s in rows.items() if len(s) >= q}
+        for k in (0, 1, 2, 3):
+            brute = sorted(
+                (ia, ib, _py_levenshtein(sa, sb))
+                for ia, sa in eligible.items()
+                for ib, sb in eligible.items()
+                if ia < ib and _py_levenshtein(sa, sb) <= k
+            )
+            got = sorted(
+                (r.id_a, r.id_b, r.dist)
+                for r in edit_distance_pairs(corpus, "doc_id", "s", k=k, q=q).collect()
+            )
+            assert got == brute, f"k={k} q={q}"
+        # planted dups keep low k nonempty
+        assert any(True for _ in brute)
+
+
+def test_edit_distance_join_plan_shape(spark):
+    """Scale guards: no cartesian product, and no window partitioned by
+    the corpus-wide gram key — the only window ranks WITHIN a string's
+    own grams (bounded by string length)."""
+    from sparkwrangle.ext.dedup import edit_distance_pairs
+
+    out = edit_distance_pairs(_edit_join_corpus(spark), "doc_id", "s", k=2, q=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(gram" not in plan
+
+
+def test_edit_distance_join_validates_args(spark):
+    import pytest as _pytest
+
+    from sparkwrangle.ext.dedup import edit_distance_pairs
+
+    corpus = _edit_join_corpus(spark)
+    with _pytest.raises(ValueError, match="edit_distance_pairs"):
+        edit_distance_pairs(corpus, "doc_id", "s", k=-1)
+    with _pytest.raises(ValueError, match="edit_distance_pairs"):
+        edit_distance_pairs(corpus, "doc_id", "s", q=0)
+
+
 def _wav_bytes(samples, n_channels=1):
     import struct
 

@@ -236,6 +236,7 @@ _DOCS_EMB_ONLY = [
     "x_dedup_simhash", "x_doc_chunking", "x_doc_fingerprint",
     "x_embedding_neardup", "x_embedding_normalize", "x_embedding_quantize",
     "x_epoch_shuffle", "x_feature_hashing", "x_frame_sampling",
+    "x_fuzzy_edit_join",
     "x_hash_split", "x_ivf_assign", "x_ivf_centroids", "x_knn_cosine_brute",
     "x_knn_ivf_label", "x_knn_ivf_nprobe", "x_knn_ivf_trained", "x_knn_ivfpq",
     "x_knn_lsh_hyperplane", "x_knn_pq_adc", "x_knn_pq_rerank", "x_lang_id",
@@ -258,7 +259,7 @@ _DOCS_EMB_ONLY = [
 
 
 def test_llm_pipeline_queries_generalize_to_synthetic_corpus(spark, tmp_path):
-    """77 LLM-pipeline oracle queries (the whole dedup / ANN / text /
+    """78 LLM-pipeline oracle queries (the whole dedup / ANN / text /
     multimodal x_ family) hash-match DuckDB on a fully SYNTHETIC corpus —
     random multilingual word salad with planted near-dups and random
     embeddings the driver never generated."""
