@@ -1977,6 +1977,589 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
 
 
 @register(
+    "tpch_q8_market_share",
+    f"""
+    WITH flat AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round({_DSUM.format(
+               expr="CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END")}
+                 / {_DSUM.format(expr='volume')}, 6) AS mkt_share
+    FROM flat
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 national market share: NATION_7's slice of ASIA-"
+    "customer PROMO-part revenue per order year. The 8-table join "
+    "tree Catalyst reorders freely: every dimension (part, supplier, "
+    "both nation legs, region) broadcasts; the only shuffles are the "
+    "lineitem->orders fact-fact join keys and the final year rollup. "
+    "Both the conditional and total volume sums ride the exact decimal "
+    "accumulator, so the share is partition-order-proof.",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    flat = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(c.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r.select("r_regionkey")),
+              F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        flat.groupBy("o_year")
+        .agg(F.round(dsum(nat_vol) / dsum(F.col("volume")), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q12_shape_ship_lag_priority",
+    """
+    SELECT CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+                THEN 'late' ELSE 'ontime' END AS ship_class,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="TPC-H Q12 plan shape (ship-lag buckets stand in for the trimmed "
+    "schema's missing l_shipmode/l_commitdate/l_receiptdate): classify "
+    "each line by shipping lag vs its order date, then count urgent vs "
+    "non-urgent order lines per class — the canonical conditional "
+    "two-way aggregation over a fact-fact join. Integer counts, so no "
+    "float accumulation concern; the join shuffles once on the order "
+    "key and the 2-row result aggregates map-side first.",
+)
+def tpch_q12_shape_ship_lag_priority(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.select(
+            F.when(
+                F.col("l_shipdate")
+                >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                F.lit("late"),
+            )
+            .otherwise(F.lit("ontime"))
+            .alias("ship_class"),
+            high.alias("_high"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {_DSUM.format(expr='l_extendedprice * (1 - l_discount)')}
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 6) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 top supplier: quarterly per-supplier revenue, keep the "
+    "supplier(s) tying the maximum (the spec keeps ties — equality "
+    "against a scalar-subquery max, NOT LIMIT 1). The revenue CTE is "
+    "consumed twice (probe + max); the max collapses to a 1-row "
+    "broadcast. The equality compare is safe cross-engine because "
+    "total_revenue comes out of the exact decimal accumulator — "
+    "bit-identical on both engines — and is rounded only for display.",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        ))
+    )
+    mx = F.broadcast(revenue.agg(F.max("total_revenue").alias("_mx")))
+    return (
+        revenue.crossJoin(mx)
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 6).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q19_shape_disjunctive_revenue",
+    f"""
+    SELECT {_DSUM.format(expr='l.l_extendedprice * (1 - l.l_discount)')}
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 60)
+    """,
+    doc="TPC-H Q19 plan shape (brand/size/quantity bands stand in for the "
+    "trimmed schema's missing p_container and l_shipmode): revenue over "
+    "an OR of three conjunctive brand x size x quantity bands — the "
+    "disjunctive-predicate exercise. Catalyst pushes the brand/size "
+    "disjunction (all part-side conjuncts) into the part scan and the "
+    "derived quantity envelope (1..60) into the lineitem scan before "
+    "the broadcast join evaluates the full cross-side disjunction.",
+)
+def tpch_q19_shape_disjunctive_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (q >= 10) & (q <= 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & (q >= 20) & (q <= 60)
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .filter(band)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q2_shape_min_cost_supplier",
+    """
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT su.l_partkey, su.unit_cost,
+               s.s_name, s.s_acctbal, n.n_name
+        FROM supply su
+        JOIN supplier s ON s.s_suppkey = su.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name AS nation, p.p_partkey,
+           round(e.unit_cost, 6) AS unit_cost
+    FROM eu e
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_type = 'LARGE' AND p.p_size <= 25
+      AND e.unit_cost = (SELECT min(e2.unit_cost) FROM eu e2
+                         WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY e.s_acctbal DESC, e.s_name, p.p_partkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q2 plan shape (lineitem unit prices stand in for the "
+    "trimmed schema's missing partsupp.ps_supplycost): for each LARGE "
+    "small-size part, keep the EUROPE supplier(s) whose observed unit "
+    "cost ties the per-part minimum — the canonical correlated-scalar-"
+    "subquery-per-group query. The oracle keeps the correlated form; "
+    "the Spark plan is its decorrelation: a groupwise-min aggregate "
+    "equality-joined back, exactly what Catalyst's RewriteCorrelated"
+    "ScalarSubquery would emit. min() of identically-computed IEEE "
+    "doubles is order-invariant, so the equality is safe cross-engine; "
+    "ties survive (spec behavior), and the top-20 order has a full "
+    "deterministic tiebreak.",
+)
+def tpch_q2_shape_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    )
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eu = (
+        supply.join(
+            F.broadcast(s.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+            supply.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    )
+    mn = eu.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("_mn")
+    )
+    return (
+        eu.join(
+            mn,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("_mn")),
+        )
+        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            r6(F.col("unit_cost")).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q9_shape_product_profit",
+    f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round({_DSUM.format(
+               expr="l.l_extendedprice * (1 - l.l_discount)"
+               " - p.p_retailprice * 0.1 * l.l_quantity")}, 6) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year
+    """,
+    doc="TPC-H Q9 product-type profit shape (p_retailprice * 0.1 stands "
+    "in for the trimmed schema's missing partsupp.ps_supplycost): "
+    "revenue minus synthetic supply cost for 'red' parts, rolled up by "
+    "supplier nation and order year. Two fact-fact joins (lineitem->"
+    "orders on orderkey after a lineitem->part broadcast prune) with "
+    "every dimension broadcast; the profit expression is computed per "
+    "row in IEEE double (identical cross-engine) and accumulated in the "
+    "exact decimal sum, so the rollup is partition-order-proof.",
+)
+def tpch_q9_shape_product_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("_profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(r6(dsum(F.col("_profit"))).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@register(
+    "tpch_q11_shape_important_inventory",
+    f"""
+    WITH val AS (
+        SELECT l.l_partkey,
+               {_DSUM.format(expr='l.l_extendedprice * l.l_quantity')} AS value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, round(value, 6) AS value
+    FROM val
+    WHERE value > (SELECT {_DSUM.format(expr='value')} / count(*) * 1.2 FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 important-inventory shape (lineitem traded value "
+    "stands in for the trimmed schema's missing partsupp availqty x "
+    "supplycost): per-part ASIA-supplied value, keeping parts above "
+    "1.2x the GLOBAL mean (scale-free, unlike the spec's fixed "
+    "fraction, so the result stays non-degenerate at every SF) — the "
+    "grouped-aggregate-vs-scalar-subquery-over-the-same-CTE shape (the "
+    "CTE is consumed twice, like Q15 but with a HAVING-style threshold "
+    "instead of a max). The threshold is a 1-row broadcast; both the "
+    "per-part values and the global total ride the exact decimal "
+    "accumulator, and the mean x 1.2 arithmetic is the same IEEE op "
+    "sequence on both engines, so the comparison boundary cannot "
+    "drift cross-engine.",
+)
+def tpch_q11_shape_important_inventory(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    val = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    thresh = F.broadcast(
+        val.agg(
+            (dsum(F.col("value")) / F.count("*") * F.lit(1.2)).alias("_thresh")
+        )
+    )
+    return (
+        val.crossJoin(thresh)
+        .filter(F.col("value") > F.col("_thresh"))
+        .select("l_partkey", r6(F.col("value")).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "tpch_q16_shape_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#9'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 supplier-variety shape (an s_acctbal floor stands in "
+    "for the trimmed schema's missing complaint comment filter): count "
+    "distinct qualifying suppliers per (brand, type, size) bucket, "
+    "excluding low-balance suppliers via NOT IN — the anti-join + "
+    "count-distinct shape. The exclusion list is a broadcast left-anti "
+    "join (s_suppkey is non-null so NOT IN ≡ anti-join), the part "
+    "predicate prunes at the broadcast build, and all outputs are "
+    "integers — no float concern anywhere.",
+)
+def tpch_q16_shape_supplier_variety(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000)
+        .select("s_suppkey")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20_shape_excess_suppliers",
+    f"""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, {_DSUM.format(expr='l_quantity')} AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+        SELECT l_partkey, {_DSUM.format(expr='l_quantity')} AS total_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND s.s_suppkey IN (
+          SELECT sh.l_suppkey
+          FROM shipped sh
+          JOIN tot t ON t.l_partkey = sh.l_partkey
+          JOIN part p ON p.p_partkey = sh.l_partkey
+          WHERE p.p_name LIKE 'small%'
+            AND sh.qty > 0.3 * t.total_qty)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q20 excess-supplier shape (a 30% share of a part's 1997 "
+    "shipments stands in for the trimmed schema's missing "
+    "partsupp.ps_availqty > half-of-shipped test): AMERICA suppliers "
+    "who dominated shipment volume of some 'small' part — the nested "
+    "correlated-aggregate semi-join chain. Spark plan: per-(part, "
+    "supplier) and per-part decimal quantity sums share one scan, the "
+    "dominance filter joins them on the part key, and the supplier list "
+    "arrives via left_semi — no row multiplication reaches the output. "
+    "The 0.3 multiply is the same IEEE double op on both engines over "
+    "identical exact-decimal inputs, so the share boundary cannot drift.",
+)
+def tpch_q20_shape_excess_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(F.col("l_quantity")).alias("qty")
+    )
+    tot = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        dsum(F.col("l_quantity")).alias("total_qty")
+    )
+    dominant = (
+        shipped.join(tot, shipped.l_partkey == tot.t_partkey)
+        .join(F.broadcast(p.select("p_partkey")), shipped.l_partkey == F.col("p_partkey"))
+        .filter(F.col("qty") > F.lit(0.3) * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            s.s_nationkey == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "tpch_q10_returned_items",
     f"""
     SELECT c.c_custkey, c.c_name, n.n_name,

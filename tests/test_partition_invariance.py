@@ -56,6 +56,11 @@ QUERIES = [
     "x_weighted_sample",        # hash-derived keys + distributed top-k
     "x_negative_sampling",      # pair-hash ranking per anchor
     "tpch_q10_returned_items",  # decimal revenue + TakeOrdered top-20
+    "tpch_q8_market_share",     # ratio of two decimal-accumulated sums
+    "tpch_q15_top_supplier",    # equality against a decimal scalar max
+    "tpch_q9_shape_product_profit",   # decimal profit rollup
+    "tpch_q11_shape_important_inventory",  # threshold vs decimal mean
+    "tpch_q20_shape_excess_suppliers",     # share boundary vs decimal sums
     "x_stream_ann_batch_twin",  # persisted-index probe, unioned micro-batches
     "x_dedup_prefix_filter_join",  # prefix-filter candidates + exact verify
 ]

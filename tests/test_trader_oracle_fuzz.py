@@ -326,18 +326,26 @@ _TPCH_ONLY = [
     "c_join_delta", "g_unpivot_long", "h_scalar_suite", "h_string_suite",
     "q_anti_semi_join", "q_cdc_upsert", "q_cube_grouping_id",
     "q_rollup_revenue",
-    "tpch_q13_order_distribution", "tpch_q14_promo_share",
+    "tpch_q11_shape_important_inventory",
+    "tpch_q12_shape_ship_lag_priority", "tpch_q13_order_distribution",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier",
+    "tpch_q16_shape_supplier_variety",
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
-    "tpch_q1_pricing_summary", "tpch_q21_shape_return_blame",
-    "tpch_q22_shape_idle_customers", "tpch_q3_shipping_priority",
+    "tpch_q19_shape_disjunctive_revenue",
+    "tpch_q1_pricing_summary", "tpch_q20_shape_excess_suppliers",
+    "tpch_q21_shape_return_blame",
+    "tpch_q22_shape_idle_customers",
+    "tpch_q2_shape_min_cost_supplier", "tpch_q3_shipping_priority",
     "tpch_q4_priority_exists", "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping", "sql_surface_shared_dialect",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_shape_product_profit",
+    "sql_surface_shared_dialect",
     "x_data_quality_checks", "x_frequent_pairs", "x_pagerank_centrality",
 ]
 
 
 def test_tpch_family_generalizes_to_synthetic_star_schema(spark, tmp_path):
-    """The 28 oracle queries that read the TPC-H star schema
+    """The 37 oracle queries that read the TPC-H star schema
     hash-match DuckDB on a fully SYNTHETIC seeded schema the driver never
     generated — covering the relational family (joins, subquery shapes,
     rollup, CDC), pagerank, and frequent pairs for the data CLASS, the
