@@ -918,6 +918,13 @@ def edit_distance_pairs(
         .withColumn("_pos", F.row_number().over(wdoc))
         .filter(F.col("_pos") <= k * q + 1)
         .select("_id", "_len", "gram")
+        # consumed on BOTH sides of the candidate self-join below —
+        # without materialization the whole gram subtree (explode +
+        # df groupBy + per-doc window) re-evaluates per side, i.e. 4x
+        # gram generation per run. The prefix is tiny (<= k*q+1 rows
+        # per string), so this is the cheapest cut point; same policy
+        # as prefix_filter_pairs / lsh_verified_pairs.
+        .localCheckpoint()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     long_cand = a.join(
@@ -932,24 +939,38 @@ def edit_distance_pairs(
     # via an equi-join on exploded candidate length (never a cartesian)
     min_len_long = q * (k + 1)
     lens = strs.select("_id", F.length("_s").alias("_len"))
-    shorts = lens.filter(F.col("_len") < min_len_long).select(
-        "_id",
-        F.explode(
-            F.sequence(F.greatest(F.col("_len") - k, F.lit(q)), F.col("_len") + k)
-        ).alias("_plen"),
-    )
-    partners = lens.filter(F.col("_len") < min_len_long + k).select(
-        F.col("_id").alias("_pid"), F.col("_len").alias("_plen")
-    )
-    short_cand = (
-        shorts.join(partners, "_plen")
-        .filter(F.col("_id") != F.col("_pid"))
-        .select(
-            F.least("_id", "_pid").alias("id_a"),
-            F.greatest("_id", "_pid").alias("id_b"),
+    # The short pass exists ONLY for strings with < k*q+1 grams (the
+    # prefix lemma is silent about them). When the corpus has none —
+    # the common case for entity keys — skip the whole banded subtree:
+    # the emptiness probe is one take(1) with the length predicate
+    # evaluated stream-wise (stops at the first short string), far
+    # cheaper than planning + running the band join it would replace.
+    # localCheckpoint above already made this function eager, so the
+    # probe adds no laziness regression.
+    has_shorts = not lens.filter(F.col("_len") < min_len_long).isEmpty()
+    if has_shorts:
+        shorts = lens.filter(F.col("_len") < min_len_long).select(
+            "_id",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_len") - k, F.lit(q)), F.col("_len") + k
+                )
+            ).alias("_plen"),
         )
-    )
-    cand = long_cand.union(short_cand).distinct()
+        partners = lens.filter(F.col("_len") < min_len_long + k).select(
+            F.col("_id").alias("_pid"), F.col("_len").alias("_plen")
+        )
+        short_cand = (
+            shorts.join(partners, "_plen")
+            .filter(F.col("_id") != F.col("_pid"))
+            .select(
+                F.least("_id", "_pid").alias("id_a"),
+                F.greatest("_id", "_pid").alias("id_b"),
+            )
+        )
+        cand = long_cand.union(short_cand).distinct()
+    else:
+        cand = long_cand.distinct()
     sa = strs.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
     sb = strs.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
     return (
