@@ -770,7 +770,14 @@ def prefix_filter_pairs(
     # prefix (which would be a FALSE-NEGATIVE bug, not a slowdown)
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
-    )
+    ).localCheckpoint()
+    # ^ consumed on BOTH sides of the candidate self-join: without
+    # materialization the shingle stream + df groupBy + join-back +
+    # per-doc window all re-evaluate per side. The prefix is the
+    # smallest shared cut point (≈ (1-t)·sz rows per doc); at t=0.5
+    # that is half the shingle stream — block-manager-local storage,
+    # no driver materialization, same policy as the cand checkpoint
+    # below and edit_distance_pairs' prefix.
     a, b = prefix.alias("a"), prefix.alias("b")
     ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     cand = (
