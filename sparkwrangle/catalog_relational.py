@@ -1183,19 +1183,30 @@ def d_corr_stats(spark, sf_dir):
 def c_positional_join(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
 
+    # The rn <= 100 predicate means only each side's top-100 rows by
+    # (value DESC, event_id) can ever appear, so rank a bounded head
+    # instead of row_number() over the whole filtered set: orderBy +
+    # limit plans as TakeOrderedAndProject (per-partition top-100 heaps
+    # merged at the driver — fully distributed, no single-partition
+    # global sort), and the window then runs over exactly 100 rows.
+    # event_id is the unique tiebreak, so the head is deterministic and
+    # rn matches the unbounded ranking's first 100 exactly.
     def ranked(tp, alias):
         w = Window.orderBy(F.desc("value"), F.asc("event_id"))
-        return (
+        head = (
             ev.filter(F.col("event_type") == tp)
-            .withColumn("rn", F.row_number().over(w))
-            .select("rn", F.col("value").alias(alias))
+            .select("value", "event_id")
+            .orderBy(F.desc("value"), F.asc("event_id"))
+            .limit(100)
+        )
+        return head.withColumn("rn", F.row_number().over(w)).select(
+            "rn", F.col("value").alias(alias)
         )
 
     a = ranked("purchase", "v_a")
     b = ranked("click", "v_b")
     return (
         a.join(b, "rn")
-        .filter(F.col("rn") <= 100)
         .select(
             "rn",
             r6("v_a").alias("v_a"),
