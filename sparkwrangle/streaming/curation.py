@@ -17,11 +17,13 @@ inherent to streaming and documented here:
 * decontamination must stay STATELESS: a join back onto per-doc flags
   derived from the same stream would be a (forbidden) stream-stream
   anti join. Instead the doc's shingle hashes are built map-side as an
-  ARRAY column and tested with arrays_overlap against the eval set
-  inlined as a literal — benchmark suites are small (≤ a few hundred
-  thousand hashes) so the literal is bounded; for bigger suites,
-  pre-filter with a coarser structure (e.g. a band of the hash) before
-  the exact overlap.
+  ARRAY column and tested against the eval suite via a stream-static
+  LEFT ANTI join (static right side — stateless and supported): the
+  persisted eval-hash table folds to a one-row array by a distributed
+  collect_set agg and broadcasts, with arrays_overlap as the join
+  condition. No driver collect anywhere — the eval suite stays a
+  table end to end; callers may still pass a literal hash list, which
+  probes map-side with the same semantics.
 
 The whole pipeline is stateless except the final dropDuplicates, so it
 chains legally in append mode. Every transformation works identically
@@ -43,17 +45,17 @@ from sparkwrangle.ext.hashing import h60
 from sparkwrangle.ext.text import add_text_stats, redact_pii
 
 
-def eval_shingle_hash_list(eval_docs: DataFrame, n: int = 8) -> list[int]:
+def eval_shingle_hashes(eval_docs: DataFrame, n: int = 8) -> DataFrame:
     """Static decontamination set: distinct n-gram shingle hashes of the
-    held-out eval corpus, collected once at plan-build time (it is a
-    benchmark suite — small and static by construction)."""
-    rows = (
+    held-out eval corpus as a single-column ``shash`` DataFrame. Persist
+    it once (an eval suite is small and static by construction) and hand
+    it to ``curate_stream`` — the set stays a table end to end, never a
+    driver-side list."""
+    return (
         shingles(eval_docs, "doc_id", "text", n)
         .select(h60(F.col("shingle")).alias("shash"))
         .distinct()
-        .collect()
     )
-    return sorted(r.shash for r in rows)
 
 
 # moved to ext.dedup (shared with the streaming incremental-dedup path)
@@ -77,16 +79,17 @@ def curate_stream(
     normalized REDACTED text (two docs differing only in a redacted
     email are the same training document).
 
-    ``eval_hashes`` is either a literal hash list (the streaming path —
-    decontamination must stay a stateless map, so the set inlines into
-    the plan) or a single-column ``shash`` DataFrame. On a BATCH frame
-    the DataFrame form decontaminates by explode → broadcast semi-join →
-    anti-join instead of a per-row probe of an inlined array: no driver
-    collect, no N-thousand-element literal rebuilt into a hash set for
-    every row (measured ~2× on the batch twin), and the eval suite
-    scales as a table. Semantics are identical (any overlapping
-    n-gram hash marks the document contaminated); the parity test pins
-    stream ≡ batch.
+    ``eval_hashes`` is either a single-column ``shash`` DataFrame (the
+    scale path — see eval_shingle_hashes) or a literal hash list. The
+    DataFrame form never touches the driver: on a BATCH frame it
+    decontaminates by explode → broadcast semi-join → anti-join; on a
+    STREAM it folds the suite to a one-row array via a distributed
+    collect_set agg and runs a stream-static LEFT ANTI join (static
+    right side — stateless, no streaming state) with arrays_overlap as
+    the join condition, re-evaluated from the static table each
+    micro-batch. Semantics are identical across all three forms (any
+    overlapping n-gram hash marks the document contaminated); the
+    parity test pins stream ≡ batch on the DataFrame form.
 
     Un-scoreable documents (no ``[a-z0-9]`` tokens — CJK, punctuation-only,
     empty — where add_text_stats leaves quality NULL) gate as quality 0.0:
@@ -101,15 +104,22 @@ def curate_stream(
     sh_arr = _shingle_hash_array(F.col("text"), shingle_n)
     if isinstance(eval_hashes, DataFrame):
         if docs.isStreaming:
-            # the stream needs the stateless literal probe; an eval
-            # SUITE is small and static by construction, so collecting
-            # it once at plan-build time is bounded (eval_shingle_hash_list)
-            ev_list = sorted(
-                r.shash
-                for r in eval_hashes.select("shash").distinct().collect()
+            # stream-static LEFT ANTI join: the static side folds to a
+            # one-row array (collect_set agg — distributed, broadcast of
+            # one bounded row) and arrays_overlap is the join condition,
+            # so a doc is dropped iff any of its shingle hashes appears
+            # in the suite. Stateless (static right side) and collect-
+            # free; an empty suite still yields one row with an empty
+            # array, which overlaps nothing and keeps every doc.
+            ev_row = (
+                eval_hashes.select("shash")
+                .distinct()
+                .agg(F.collect_set("shash").alias("_ev_hashes"))
             )
-            clean = red.filter(
-                ~F.arrays_overlap(sh_arr, F.lit(ev_list).cast("array<bigint>"))
+            clean = red.join(
+                F.broadcast(ev_row),
+                F.arrays_overlap(sh_arr, F.col("_ev_hashes")),
+                "left_anti",
             )
         else:
             exploded = red.select(

@@ -277,7 +277,7 @@ def test_curate_stream_matches_batch(spark, tmp_path):
     its first arrival in the stream."""
     from sparkwrangle.streaming.curation import (
         curate_stream,
-        eval_shingle_hash_list,
+        eval_shingle_hashes,
     )
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -296,8 +296,11 @@ def test_curate_stream_matches_batch(spark, tmp_path):
     eval_docs = spark.createDataFrame(
         [(100, base)], "doc_id long, text string"
     )
-    ev = eval_shingle_hash_list(eval_docs, n=8)
-    assert len(ev) == 3  # 10 tokens -> three 8-grams
+    # DataFrame form on BOTH paths: batch takes the explode/semi/anti
+    # join, the stream takes the stream-static left-anti join — the
+    # parity assertion below pins the two join shapes to each other.
+    ev = eval_shingle_hashes(eval_docs, n=8)
+    assert ev.count() == 3  # 10 tokens -> three 8-grams
 
     def _docs(rs):
         return spark.createDataFrame(
