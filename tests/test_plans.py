@@ -120,4 +120,15 @@ def test_plan_linter_all_queries(spark):
                     problems.append(f"{name}: {marker}")
         if "CartesianProduct" in plan and "broadcast" not in plan.lower():
             problems.append(f"{name}: un-broadcast CartesianProduct")
+        # No plan may funnel data through a single-partition exchange:
+        # a global row_number/sort over an unbounded input serializes
+        # one task at scale (the c_positional_join bug class, fixed in
+        # round 7). Bounded heads don't trip this — orderBy+limit plans
+        # as TakeOrderedAndProject, whose output partitioning already
+        # satisfies a downstream window's requirement without any
+        # exchange. As of round 7 ZERO catalog plans contain one, so
+        # the lint is unconditional — a legitimate future exception
+        # must argue its boundedness here, not slip in silently.
+        if "Exchange SinglePartition" in plan:
+            problems.append(f"{name}: Exchange SinglePartition")
     assert not problems, problems
