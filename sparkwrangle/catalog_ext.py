@@ -4904,16 +4904,28 @@ def x_simhash_hamming_pairs(spark, sf_dir):
     from sparkwrangle.ext.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
+    # one explode, not a 4-arm union: the union form evaluated the
+    # corpus-wide simhash aggregation once per arm per self-join side
+    # (8 full scans); the struct-array explode is the band_explode shape
+    # lsh_candidate_pairs uses — sigs evaluates once per join side only
     sigs = simhash(docs, "doc_id", "text", bits=32)
-    bands = None
-    for b in range(4):
-        arm = sigs.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("bv"),
-        )
-        bands = arm if bands is None else bands.unionAll(arm)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", "simhash", F.col("_b.band").alias("band"), F.col("_b.bv").alias("bv"))
     a = bands.alias("a")
     c = bands.alias("c")
     cand = (
