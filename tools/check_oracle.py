@@ -7,6 +7,7 @@ after 1e-9 float rounding) so anything passing here should hash-match.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
        python tools/check_oracle.py --hostile [sf_dir] [query ...]
+       python tools/check_oracle.py --json [sf_dir]   # + ORACLE_FULLGATE.json
 
 --hostile builds the session the way an external driver might (ANSI on,
 non-UTC timezone, 200 shuffle partitions, no Arrow) instead of the
@@ -49,6 +50,18 @@ def main():
     hostile = "--hostile" in args
     if hostile:
         args.remove("--hostile")
+    # --json[=path]: also write a machine-readable record of the run
+    # (per-query status + totals). The committed ORACLE_FULLGATE.json is
+    # the full-surface proof the driver's 50-query sample cannot give.
+    json_path = None
+    for a in list(args):
+        if a == "--json" or a.startswith("--json="):
+            json_path = (
+                a.split("=", 1)[1]
+                if "=" in a
+                else str(Path(__file__).resolve().parent.parent / "ORACLE_FULLGATE.json")
+            )
+            args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if hostile:
@@ -120,6 +133,27 @@ def main():
         f"\n{len(passed)} ok, {len(failed)} failed, {len(rows_only)} rows-only "
         f"(of {len(qs)} queries) at {sf_dir}"
     )
+    if json_path:
+        import json
+
+        Path(json_path).write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "hostile": hostile,
+                    "n_queries": len(qs),
+                    "ok": len(passed),
+                    "failed": len(failed),
+                    "rows_only": len(rows_only),
+                    "passed": sorted(passed),
+                    "failures": {n: msg for n, msg in failed},
+                    "rows_only_queries": {n: c for n, c in rows_only},
+                },
+                indent=2,
+            )
+            + "\n"
+        )
+        print(f"wrote {json_path}")
     if failed:
         sys.exit(1)
 
