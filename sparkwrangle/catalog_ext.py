@@ -2582,19 +2582,23 @@ def x_dedup_cc_keep(spark, sf_dir):
     "with the language count x skew-bounded stratum sizes.",
 )
 def x_quality_prune(spark, sf_dir):
-    from pyspark.sql import Window
-
     from sparkwrangle.ext.text import add_text_stats
+    from sparkwrangle.ops.windows import grouped_percent_rank
 
     docs = _t(spark, sf_dir, "documents")
     scored = add_text_stats(docs).select(
         "doc_id", "lang", r6("quality").alias("quality")
     )
-    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
-    return (
-        scored.withColumn("pr", F.percent_rank().over(w))
-        .filter(F.col("pr") >= 0.2)
-        .select("doc_id", "lang", "quality", r6("pr").alias("quality_rank"))
+    # exact percent_rank per lang WITHOUT a one-task-per-language sort:
+    # two-level range ranking (ops/windows.grouped_percent_rank) — a
+    # plain PARTITION BY lang window serializes each language's whole
+    # corpus into a single task at 100 TB. (quality, doc_id) is a total
+    # order, so the result is bitwise the window form's (oracle-pinned).
+    pruned = grouped_percent_rank(
+        scored, ["lang"], ["quality", "doc_id"], out_col="pr"
+    ).filter(F.col("pr") >= 0.2)
+    return pruned.select(
+        "doc_id", "lang", "quality", r6("pr").alias("quality_rank")
     )
 
 
@@ -3185,8 +3189,6 @@ def _curation_sql() -> str:
     "previous stage's survivors; the eval shingle-hash set broadcasts.",
 )
 def x_curation_pipeline_end_to_end(spark, sf_dir):
-    from pyspark.sql import Window
-
     from sparkwrangle.ext.dedup import (
         connected_components,
         lsh_verified_pairs,
@@ -3194,19 +3196,21 @@ def x_curation_pipeline_end_to_end(spark, sf_dir):
     )
     from sparkwrangle.ext.hashing import h60
     from sparkwrangle.ext.text import add_text_stats
+    from sparkwrangle.ops.windows import grouped_percent_rank
 
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
     scored = add_text_stats(train).select(
         "doc_id", "lang", "source", "n_tokens", "text", r6("quality").alias("quality")
     )
-    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
     # materialize the survivor set once: four downstream consumers
     # (3-gram shingles, CC node universe, 8-gram shingles, final join)
-    # would otherwise each re-derive text-stats + the quality window
-    # (measured 18 s -> ~6 s at sf0.1); same pattern as the CC edge list
+    # would otherwise each re-derive text-stats + the quality ranking
+    # (measured 18 s -> ~6 s at sf0.1); same pattern as the CC edge list.
+    # The per-lang percent_rank is the two-level range-ranking form —
+    # no one-task-per-language sort (see x_quality_prune).
     keepq = (
-        scored.withColumn("pr", F.percent_rank().over(w))
+        grouped_percent_rank(scored, ["lang"], ["quality", "doc_id"], out_col="pr")
         .filter(F.col("pr") >= 0.2)
         .select("doc_id", "lang", "source", "n_tokens", "text")
         .localCheckpoint()

@@ -125,3 +125,75 @@ def business_days(start: Column, end: Column) -> Column:
     sequence + filter out Sat/Sun. Spark dayofweek: 1=Sun … 7=Sat."""
     seq = F.sequence(start, end)
     return F.filter(seq, lambda d: ~F.dayofweek(d).isin(1, 7))
+
+
+def grouped_percent_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "pr",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT ``percent_rank() OVER (PARTITION BY group ORDER BY order)``
+    without a one-task-per-group sort — the scale form for
+    LOW-CARDINALITY strata (language, source, event type), where a plain
+    window funnels each stratum's entire corpus through a single task.
+
+    Two-level ranking (same family as x_sequence_packing's prefix sums):
+
+    1. ``repartitionByRange(group_cols + order_cols)`` — every partition
+       holds a contiguous slice of the (group, order) keyspace, sized by
+       the range sampler, NOT by stratum;
+    2. within-partition ``row_number`` keyed by (partition id, group) —
+       the hash exchange this window inserts is balanced (each
+       (pid, group) cell is at most one range partition's rows);
+    3. per-(pid, group) counts roll into per-group prefix offsets over a
+       tiny (≤ partitions × groups rows) table, broadcast-joined back:
+       global rank = prefix offset + local row_number;
+    4. ``pr = (rank − 1) / (n − 1)`` (0.0 for single-row groups, matching
+       Spark's and DuckDB's percent_rank).
+
+    EXACT equality with the window form requires ``order_cols`` to be a
+    TOTAL order within each group (include a unique tiebreak like
+    doc_id): range partitioning must not split ties across partitions
+    where rank would depend on placement. Ordering is ASCENDING on every
+    column (what both engines' percent_rank defaults to).
+
+    The group columns may also be empty — that computes a GLOBAL exact
+    percent_rank with no single-partition exchange anywhere.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        try:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            num_partitions = 32
+    cols = [F.col(c) for c in (*group_cols, *order_cols)]
+    part = df.repartitionByRange(num_partitions, *cols)
+    tagged = part.withColumn("_gpr_pid", F.spark_partition_id())
+    wloc = Window.partitionBy("_gpr_pid", *group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    ranked = tagged.withColumn("_gpr_lrn", F.row_number().over(wloc))
+    cnt = ranked.groupBy("_gpr_pid", *group_cols).agg(
+        F.max("_gpr_lrn").alias("_gpr_cnt")
+    )
+    wgrp = Window.partitionBy(*group_cols)
+    woff = wgrp.orderBy("_gpr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnt.select(
+        "_gpr_pid",
+        *group_cols,
+        F.coalesce(F.sum("_gpr_cnt").over(woff), F.lit(0)).alias("_gpr_off"),
+        F.sum("_gpr_cnt").over(wgrp).alias("_gpr_n"),
+    )
+    joined = ranked.join(
+        F.broadcast(offs), ["_gpr_pid", *group_cols], "inner"
+    )
+    rank = F.col("_gpr_off") + F.col("_gpr_lrn")
+    pr = F.when(
+        F.col("_gpr_n") > 1,
+        (rank - 1).cast("double") / (F.col("_gpr_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn(out_col, pr).drop(
+        "_gpr_pid", "_gpr_lrn", "_gpr_off", "_gpr_n"
+    )

@@ -173,3 +173,51 @@ def test_ewma_matches_pandas_adjust_true(spark):
     want = pd.Series(vals).ewm(alpha=0.2, adjust=True).mean()
     for i, w in enumerate(want):
         assert abs(got[i + 1] - round(w, 6)) <= 1e-6, (i, got[i + 1], w)
+
+
+def test_grouped_percent_rank_matches_window_form(spark):
+    """grouped_percent_rank (two-level range ranking, no per-group
+    single-task sort) is bitwise the plain percent_rank window: groups
+    spanning many range partitions, a single-row group (pr = 0.0), an
+    empty-group-cols global ranking, and a forced tiny partition count
+    so every group straddles partition boundaries."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.ops.windows import grouped_percent_rank
+
+    rng = random.Random(7)
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], float(rng.randint(0, 9)))
+        for i in range(300)
+    ]
+    rows.append((9999, "zz", 5.0))  # single-row group
+    df = spark.createDataFrame(rows, "doc_id long, lang string, q double")
+
+    w = Window.partitionBy("lang").orderBy("q", "doc_id")
+    want = {
+        (r.doc_id): r.pr
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    got = {
+        (r.doc_id): r.pr
+        for r in grouped_percent_rank(
+            df, ["lang"], ["q", "doc_id"], num_partitions=5
+        ).collect()
+    }
+    assert got == want  # bitwise: same (rank-1)/(n-1) arithmetic
+
+    wg = Window.orderBy("q", "doc_id")
+    want_g = {
+        r.doc_id: r.pr
+        for r in df.withColumn("pr", F.percent_rank().over(wg)).collect()
+    }
+    got_g = {
+        r.doc_id: r.pr
+        for r in grouped_percent_rank(
+            df, [], ["q", "doc_id"], num_partitions=5
+        ).collect()
+    }
+    assert got_g == want_g
