@@ -120,15 +120,52 @@ def test_plan_linter_all_queries(spark):
                     problems.append(f"{name}: {marker}")
         if "CartesianProduct" in plan and "broadcast" not in plan.lower():
             problems.append(f"{name}: un-broadcast CartesianProduct")
-        # No plan may funnel data through a single-partition exchange:
-        # a global row_number/sort over an unbounded input serializes
-        # one task at scale (the c_positional_join bug class, fixed in
-        # round 7). Bounded heads don't trip this — orderBy+limit plans
-        # as TakeOrderedAndProject, whose output partitioning already
-        # satisfies a downstream window's requirement without any
-        # exchange. As of round 7 ZERO catalog plans contain one, so
-        # the lint is unconditional — a legitimate future exception
-        # must argue its boundedness here, not slip in silently.
-        if "Exchange SinglePartition" in plan:
-            problems.append(f"{name}: Exchange SinglePartition")
+    assert not problems, problems
+
+
+# Queries whose single-partition exchanges carry provably BOUNDED rows
+# for a reason the child-is-partial-aggregate rule cannot see. Each
+# entry must say why; an unexplained name here is a review failure.
+_SINGLE_PARTITION_OK = {
+    # the empty-partition renormalization window runs over the
+    # per-source aggregate — rows bounded by source cardinality
+    "x_source_mixing_weights",
+    # the CDF running-sum window runs over the FINAL per-bin aggregate
+    # — rows bounded by the fixed 256-bin histogram width
+    "x_histogram_quantiles",
+    # the global prefix sum's SECOND level: the block-totals window runs
+    # over the per-block aggregate — 256x smaller than the corpus (one
+    # row per 256-doc block, two longs wide). The documented two-level
+    # compromise; a 100x-larger corpus raises the block size (or adds a
+    # third level) rather than widening this exchange.
+    "x_sequence_packing",
+}
+
+
+def test_no_unbounded_single_partition_exchange(spark):
+    """No plan may funnel UNBOUNDED data through Exchange
+    SinglePartition — a global row_number/sort over corpus-scale input
+    serializes one task (the c_positional_join bug class, fixed in
+    round 7; bounded heads plan as TakeOrderedAndProject and need no
+    exchange at all). A single-partition exchange is fine when its
+    input is provably tiny: a global scalar aggregate ships one
+    PARTIAL row per upstream partition (child line shows partial_*),
+    and the explicit allowlist covers bounded-cardinality finals.
+    Checks the executedPlan string — the formatted explain renders the
+    exchange as 'Arguments: SinglePartition', which a naive substring
+    lint never matches (found the hard way in round 7)."""
+    problems = []
+    for name in sorted(CATALOG):
+        jdf = CATALOG[name].fn(spark, SF_SMOKE)._jdf
+        plan = jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if "partial_" in child:
+                continue  # global agg: one partial row per partition
+            if name in _SINGLE_PARTITION_OK:
+                continue
+            problems.append(f"{name}: Exchange SinglePartition over {child.strip()[:80]!r}")
     assert not problems, problems
