@@ -2586,9 +2586,11 @@ def x_quality_prune(spark, sf_dir):
     from sparkwrangle.ops.windows import grouped_percent_rank
 
     docs = _t(spark, sf_dir, "documents")
+    # localCheckpoint: the range partitioner's boundary-sampling job
+    # would otherwise evaluate the tokenize/text-stats subtree twice
     scored = add_text_stats(docs).select(
         "doc_id", "lang", r6("quality").alias("quality")
-    )
+    ).localCheckpoint()
     # exact percent_rank per lang WITHOUT a one-task-per-language sort:
     # two-level range ranking (ops/windows.grouped_percent_rank) — a
     # plain PARTITION BY lang window serializes each language's whole
@@ -3200,9 +3202,13 @@ def x_curation_pipeline_end_to_end(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
+    # materialize the scores once: grouped_percent_rank's range
+    # partitioner runs a boundary-sampling job over its input, which
+    # would otherwise evaluate the tokenize/text-stats subtree twice
+    # (sampling pass + real pass)
     scored = add_text_stats(train).select(
         "doc_id", "lang", "source", "n_tokens", "text", r6("quality").alias("quality")
-    )
+    ).localCheckpoint()
     # materialize the survivor set once: four downstream consumers
     # (3-gram shingles, CC node universe, 8-gram shingles, final join)
     # would otherwise each re-derive text-stats + the quality ranking
