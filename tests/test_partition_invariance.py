@@ -63,6 +63,8 @@ QUERIES = [
     "tpch_q20_shape_excess_suppliers",     # share boundary vs decimal sums
     "x_stream_ann_batch_twin",  # persisted-index probe, unioned micro-batches
     "x_dedup_prefix_filter_join",  # prefix-filter candidates + exact verify
+    "x_quality_prune",          # two-level range percent_rank (rank must
+                                # not depend on range-partition count)
 ]
 
 
