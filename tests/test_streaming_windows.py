@@ -708,3 +708,67 @@ def test_stage_replay_rejects_empty_feed(spark, tmp_path):
     with _pytest.raises(ValueError, match="empty"):
         stage_replay(empty, target)
     assert not os.path.exists(target)
+
+
+def test_curate_stream_static_anti_join_edges(spark, tmp_path):
+    """The stream-static decontamination anti join: (a) an EMPTY eval
+    suite folds to one row with an empty array, overlaps nothing, and
+    keeps every surviving doc; (b) a non-empty suite drops exactly the
+    contaminated doc; (c) the join is STATELESS — the streaming query's
+    only state operator is the final dedup, so the static side adds no
+    per-key streaming state to evict."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.streaming.curation import curate_stream
+
+    good = " ".join(["the and of to a in is that with for"] * 12)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "2024-01-01 10:00:00", good + " one", "en", "srcA"),
+        (4, "2024-01-01 10:03:00", good + " " + base, "en", "srcB"),
+    ]
+
+    def _docs(rs):
+        return spark.createDataFrame(
+            rs, "doc_id long, ts string, text string, lang string, source string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    d = str(tmp_path / "anti")
+    os.makedirs(d)
+    _docs(rows).coalesce(1).write.parquet(os.path.join(d, "b1"))
+    schema = "doc_id long, ts timestamp, text string, lang string, source string"
+
+    def _run(ev_df, sink):
+        stream = spark.readStream.schema(schema).parquet(os.path.join(d, "*"))
+        q = (
+            curate_stream(stream, ev_df)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+        n_state_ops = len(q.lastProgress["stateOperators"])
+        return (
+            sorted(
+                r.doc_id
+                for r in spark.sql(f"SELECT doc_id FROM {sink}").collect()
+            ),
+            n_state_ops,
+        )
+
+    empty_ev = spark.createDataFrame([], "shash long")
+    got_empty, state_empty = _run(empty_ev, "anti_empty_sink")
+    assert got_empty == [1, 4]  # nothing contaminated, both kept
+
+    eval_docs = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    from sparkwrangle.streaming.curation import eval_shingle_hashes
+
+    got_real, state_real = _run(eval_shingle_hashes(eval_docs, n=8), "anti_real_sink")
+    assert got_real == [1]  # doc 4 carries the eval 8-grams -> dropped
+    # exactly ONE stateful operator either way: dropDuplicatesWithinWatermark.
+    # The stream-static anti join must not appear as a state operator.
+    assert state_empty == 1 and state_real == 1
