@@ -3016,22 +3016,23 @@ def x_semantic_dedup(spark, sf_dir):
     "writer parallelism and each shard streams out ordered.",
 )
 def x_epoch_shuffle(spark, sf_dir):
-    from pyspark.sql import Window
-
     from sparkwrangle.ext.hashing import h60
+    from sparkwrangle.ops.windows import grouped_row_number
 
     N_SHARDS, SEED = 8, "epoch7"
     docs = _t(spark, sf_dir, "documents")
     h = docs.select(
         "doc_id",
         h60(F.concat(F.lit(SEED + "|"), F.col("doc_id").cast("string"))).alias("hsh"),
-    )
-    w = Window.partitionBy(F.col("hsh") % N_SHARDS).orderBy("hsh", "doc_id")
-    return h.select(
-        "doc_id",
-        (F.col("hsh") % N_SHARDS).cast("bigint").alias("shard"),
-        F.row_number().over(w).cast("bigint").alias("pos"),
-    )
+    ).withColumn("shard", (F.col("hsh") % N_SHARDS).cast("bigint"))
+    # two-level range row_number, NOT a PARTITION BY shard window: the
+    # shard count is fixed and small, so a plain window sorts corpus/8
+    # rows in each of 8 tasks at 100 TB (the low-cardinality-stratum
+    # hazard, same as the quality quintile prune). (hsh, doc_id) is a
+    # total order within each shard.
+    return grouped_row_number(
+        h, ["shard"], ["hsh", "doc_id"], out_col="pos"
+    ).select("doc_id", "shard", F.col("pos").cast("bigint").alias("pos"))
 
 
 @register(

@@ -162,6 +162,46 @@ def grouped_percent_rank(
     The group columns may also be empty — that computes a GLOBAL exact
     percent_rank with no single-partition exchange anywhere.
     """
+    joined = _grouped_global_rank(df, group_cols, order_cols, num_partitions)
+    rank = F.col("_gpr_off") + F.col("_gpr_lrn")
+    pr = F.when(
+        F.col("_gpr_n") > 1,
+        (rank - 1).cast("double") / (F.col("_gpr_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn(out_col, pr).drop(
+        "_gpr_pid", "_gpr_lrn", "_gpr_off", "_gpr_n"
+    )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT ``row_number() OVER (PARTITION BY group ORDER BY order)``
+    without a one-task-per-group sort — same two-level range-ranking
+    machinery and the same contracts as ``grouped_percent_rank``
+    (low-cardinality strata; ``order_cols`` must be a total order within
+    each group; ascending; empty ``group_cols`` = exact global
+    row_number with no single-partition exchange)."""
+    joined = _grouped_global_rank(df, group_cols, order_cols, num_partitions)
+    return joined.withColumn(
+        out_col, (F.col("_gpr_off") + F.col("_gpr_lrn")).cast("bigint")
+    ).drop("_gpr_pid", "_gpr_lrn", "_gpr_off", "_gpr_n")
+
+
+def _grouped_global_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    num_partitions: int | None,
+) -> DataFrame:
+    """Shared core of grouped_percent_rank / grouped_row_number: returns
+    ``df`` plus the internal columns ``_gpr_pid``, ``_gpr_lrn`` (local
+    rank), ``_gpr_off`` (per-group prefix offset — global rank is
+    off + lrn), and ``_gpr_n`` (group size)."""
     spark = df.sparkSession
     if num_partitions is None:
         try:
@@ -186,14 +226,4 @@ def grouped_percent_rank(
         F.coalesce(F.sum("_gpr_cnt").over(woff), F.lit(0)).alias("_gpr_off"),
         F.sum("_gpr_cnt").over(wgrp).alias("_gpr_n"),
     )
-    joined = ranked.join(
-        F.broadcast(offs), ["_gpr_pid", *group_cols], "inner"
-    )
-    rank = F.col("_gpr_off") + F.col("_gpr_lrn")
-    pr = F.when(
-        F.col("_gpr_n") > 1,
-        (rank - 1).cast("double") / (F.col("_gpr_n") - 1).cast("double"),
-    ).otherwise(F.lit(0.0))
-    return joined.withColumn(out_col, pr).drop(
-        "_gpr_pid", "_gpr_lrn", "_gpr_off", "_gpr_n"
-    )
+    return ranked.join(F.broadcast(offs), ["_gpr_pid", *group_cols], "inner")

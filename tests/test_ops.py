@@ -221,3 +221,19 @@ def test_grouped_percent_rank_matches_window_form(spark):
         ).collect()
     }
     assert got_g == want_g
+
+    # the row_number variant shares the core; pin it against the plain
+    # window form on the same data
+    from sparkwrangle.ops.windows import grouped_row_number
+
+    want_rn = {
+        r.doc_id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got_rn = {
+        r.doc_id: r.rn
+        for r in grouped_row_number(
+            df, ["lang"], ["q", "doc_id"], num_partitions=5
+        ).collect()
+    }
+    assert got_rn == want_rn
