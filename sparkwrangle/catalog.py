@@ -773,13 +773,19 @@ def w_tumbling_window_agg(spark, sf_dir):
     "engine's explicit form of the reference's implicit time ordering.",
 )
 def f_topk_per_group(spark, sf_dir):
+    from sparkwrangle.ops.windows import grouped_top_k
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
-    return (
-        ev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("event_type", "event_id", "value")
-    )
+    # event_type is a LOW-CARDINALITY group: a plain per-type window
+    # would sort corpus/|types| rows in each of |types| tasks at 100 TB.
+    # grouped_top_k runs the two-level form (per-partition top-3, then
+    # the real rank over the bounded survivor set).
+    return grouped_top_k(
+        ev.select("event_type", "event_id", "value"),
+        ["event_type"],
+        [F.desc("value"), F.asc("event_id")],
+        3,
+    ).select("event_type", "event_id", "value")
 
 
 @register(

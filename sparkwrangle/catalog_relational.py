@@ -217,15 +217,65 @@ def q_anti_semi_join(spark, sf_dir):
     "deterministic tiebreaks (beyond the reference's running windows).",
 )
 def q_rank_family(spark, sf_dir):
+    from sparkwrangle.ops.windows import grouped_top_k
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
-    wq = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    # Scale form of rank/dense_rank/ntile over a LOW-CARDINALITY stratum
+    # (a plain PARTITION BY event_type window sorts corpus/|types| rows
+    # per task). The (value, event_id) ordering is a TOTAL order, so
+    # rank == dense_rank == row_number, and only rnk <= 5 survives —
+    # grouped_top_k's two-level pass produces exactly those rows.
+    top = grouped_top_k(
+        ev.select("event_type", "event_id", "value"),
+        ["event_type"],
+        [F.desc("value"), F.asc("event_id")],
+        5,
+        rank_col="rnk",
+    )
+    # ntile(4) needs each survivor's ASCENDING position p and the group
+    # size n — NOT derivable from rnk (the ascending tiebreak direction
+    # differs), so count rows ordered strictly after each survivor in
+    # (value ASC, event_id ASC): an equi-join on event_type against the
+    # ≤ 5x|types| broadcast survivor set + a combinable conditional sum
+    # (5x map-side fan-out, no giant sort), then the exact ntile closed
+    # form: first (n mod 4) tiles hold ceil(n/4) rows, the rest floor.
+    after = (
+        ev.select(
+            F.col("event_type").alias("_ty"),
+            F.col("value").alias("_v"),
+            F.col("event_id").alias("_e"),
+        )
+        .join(
+            F.broadcast(top.select("event_type", "event_id", "value")),
+            F.col("_ty") == F.col("event_type"),
+        )
+        .groupBy("event_type", "event_id")
+        .agg(
+            F.sum(
+                (
+                    (F.col("_v") > F.col("value"))
+                    | ((F.col("_v") == F.col("value")) & (F.col("_e") > F.col("event_id")))
+                ).cast("long")
+            ).alias("n_after"),
+            F.count("*").alias("n"),
+        )
+    )
+    base = F.floor(F.col("n") / 4)
+    rem = F.col("n") % 4
+    p = F.col("n") - F.col("n_after")  # 1-based ascending position
+    head = rem * (base + 1)
+    quartile = F.when(
+        p <= head, F.ceil(p / (base + 1))
+    ).otherwise(rem + F.ceil((p - head) / F.when(base > 0, base).otherwise(1)))
     return (
-        ev.withColumn("rnk", F.rank().over(w))
-        .withColumn("drnk", F.dense_rank().over(w))
-        .withColumn("quartile", F.ntile(4).over(wq))
-        .filter(F.col("rnk") <= 5)
-        .select("event_id", "event_type", "rnk", "drnk", "quartile")
+        top.join(after, ["event_type", "event_id"])
+        .select(
+            "event_id",
+            "event_type",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("rnk").cast("int").alias("drnk"),
+            quartile.cast("int").alias("quartile"),
+        )
     )
 
 

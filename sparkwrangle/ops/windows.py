@@ -227,3 +227,44 @@ def _grouped_global_rank(
         F.sum("_gpr_cnt").over(wgrp).alias("_gpr_n"),
     )
     return ranked.join(F.broadcast(offs), ["_gpr_pid", *group_cols], "inner")
+
+
+def grouped_top_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Per-group top-k with rank, for LOW-CARDINALITY groups — without
+    sorting each group's whole population in one task. A plain
+    ``row_number() OVER (PARTITION BY group ...) <= k`` funnels
+    corpus/|groups| rows through each of |groups| sort tasks; this runs
+    the classic two-level form instead:
+
+    1. local pass: top-k within (input partition, group) — the window's
+       hash exchange on (partition id, group) is balanced, every cell at
+       most one input partition's rows. Any row in the global top-k is
+       necessarily in its own partition's top-k, so no true row is lost.
+    2. global pass: the real window over the survivor set — bounded by
+       k × partitions × |groups| rows, never the corpus.
+
+    ``order_exprs`` are Column orderings (e.g. ``[F.desc("value"),
+    F.asc("event_id")]``) and must form a TOTAL order within each group
+    for a deterministic result (same contract as every rank window in
+    the engine)."""
+    local = (
+        df.withColumn("_gtk_pid", F.spark_partition_id())
+        .withColumn(
+            "_gtk_lrk",
+            F.row_number().over(
+                Window.partitionBy("_gtk_pid", *group_cols).orderBy(*order_exprs)
+            ),
+        )
+        .filter(F.col("_gtk_lrk") <= k)
+        .drop("_gtk_pid", "_gtk_lrk")
+    )
+    wglob = Window.partitionBy(*group_cols).orderBy(*order_exprs)
+    return local.withColumn(rank_col, F.row_number().over(wglob)).filter(
+        F.col(rank_col) <= k
+    )
