@@ -1080,15 +1080,82 @@ def c_interval_overlap_join(spark, sf_dir):
            round(quantile_cont(value, 0.99), 6) AS p99
     FROM events GROUP BY event_type
     """,
-    doc="Exact interpolated percentiles per group (Spark percentile == "
-    "DuckDB quantile_cont, both linear interpolation).",
+    doc="Exact interpolated percentiles per group, DISTRIBUTED: two-level "
+    "range ranking + pick-and-interpolate the two rows framing each "
+    "target position 1+(n-1)*q — the same linear interpolation as "
+    "quantile_cont / Spark's percentile(), but without percentile()'s "
+    "per-group whole-multiset aggregation buffer (corpus/|types| doubles "
+    "in one task at 100 TB).",
 )
 def d_percentiles(spark, sf_dir):
+    from sparkwrangle.ops.windows import grouped_row_number
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        r6(F.percentile("value", 0.5)).alias("p50"),
-        r6(F.percentile("value", 0.9)).alias("p90"),
-        r6(F.percentile("value", 0.99)).alias("p99"),
+    # EXACT interpolated percentiles, distributed: Spark's percentile()
+    # aggregate buffers each group's whole value multiset in ONE
+    # aggregation task (event_type is a handful of strata — corpus/|types|
+    # doubles per buffer at 100 TB). Instead rank every row per type with
+    # the two-level range machinery, then pick + interpolate the two rows
+    # framing each target position 1 + (n-1)*q — identical arithmetic to
+    # percentile()/quantile_cont (linear interpolation), touched rows
+    # bounded by 2 x |types| x |quantiles|.
+    # drop nulls first: percentile()/quantile_cont ignore them, and a
+    # null would both rank first (asc nulls first) and inflate n
+    vals = ev.select("event_type", "value", "event_id").filter(
+        F.col("value").isNotNull()
+    )
+    ranked = grouped_row_number(
+        vals, ["event_type"], ["value", "event_id"], out_col="rn"
+    )
+    # group sizes from a combinable count of the raw table — deriving n
+    # from ranked (max rn) would evaluate the whole rank subtree twice
+    nt = vals.groupBy("event_type").agg(F.count("*").alias("n"))
+    qs = F.array(*[F.lit(q) for q in (0.5, 0.9, 0.99)])
+    targets = nt.select(
+        F.col("event_type").alias("_ty"), "n", F.explode(qs).alias("q")
+    ).select(
+        "_ty",
+        "q",
+        (F.lit(1.0) + (F.col("n") - 1).cast("double") * F.col("q")).alias("t"),
+    )
+    targets = targets.select(
+        "_ty",
+        "q",
+        "t",
+        F.floor("t").cast("bigint").alias("lo"),
+        F.ceil("t").cast("bigint").alias("hi"),
+    )
+    hits = ranked.join(
+        F.broadcast(targets),
+        (F.col("event_type") == F.col("_ty"))
+        & ((F.col("rn") == F.col("lo")) | (F.col("rn") == F.col("hi"))),
+    ).select("event_type", "q", "t", "lo", "rn", "value")
+    interp = (
+        hits.groupBy("event_type", "q", "t", "lo")
+        .agg(
+            F.min(F.when(F.col("rn") == F.col("lo"), F.col("value"))).alias("v_lo"),
+            F.min(F.when(F.col("rn") != F.col("lo"), F.col("value"))).alias("v_hi"),
+        )
+        .select(
+            "event_type",
+            "q",
+            (
+                F.col("v_lo")
+                + (F.col("t") - F.col("lo"))
+                * (F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo"))
+            ).alias("v"),
+        )
+    )
+    return (
+        interp.groupBy("event_type")
+        .pivot("q", ["0.5", "0.9", "0.99"])
+        .agg(F.first("v"))
+        .select(
+            "event_type",
+            r6(F.col("`0.5`")).alias("p50"),
+            r6(F.col("`0.9`")).alias("p90"),
+            r6(F.col("`0.99`")).alias("p99"),
+        )
     )
 
 
