@@ -1713,16 +1713,41 @@ def x_frame_sampling(spark, sf_dir):
 def x_corpus_stats(spark, sf_dir):
     from sparkwrangle.catalog import dsum
     from sparkwrangle.ext.text import tokenize
+    from sparkwrangle.ops.windows import grouped_exact_quantiles
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "n_tok", F.size(tokenize("text"))
     )
-    return docs.groupBy("source", "lang").agg(
+    agg = docs.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         dsum(F.col("n_chars")).alias("total_chars"),
         dsum(F.col("n_tok")).alias("total_tokens"),
-        r6(F.percentile(F.col("n_chars").cast("double"), 0.5)).alias("p50_chars"),
-        r6(F.percentile(F.col("n_chars").cast("double"), 0.95)).alias("p95_chars"),
+    )
+    # exact length percentiles WITHOUT percentile()'s per-group
+    # whole-multiset buffer (source x lang is a few hundred strata at
+    # most — corpus/|strata| values per buffer at 100 TB): two-level
+    # range rank + pick-and-interpolate, then pivot the two targets
+    q = grouped_exact_quantiles(
+        docs.withColumn("_nc", F.col("n_chars").cast("double")),
+        ["source", "lang"],
+        "_nc",
+        [0.5, 0.95],
+        tiebreak_cols=["doc_id"],
+    )
+    qp = (
+        q.groupBy("source", "lang")
+        .pivot("p", ["0.5", "0.95"])
+        .agg(F.first("v"))
+        .select(
+            "source",
+            "lang",
+            r6(F.col("`0.5`")).alias("p50_chars"),
+            r6(F.col("`0.95`")).alias("p95_chars"),
+        )
+    )
+    return agg.join(qp, ["source", "lang"]).select(
+        "source", "lang", "n_docs", "total_chars", "total_tokens",
+        "p50_chars", "p95_chars",
     )
 
 
@@ -4517,14 +4542,16 @@ def x_histogram_quantiles(spark, sf_dir):
     from sparkwrangle.catalog import rf
     from sparkwrangle.ext.sketches import histogram_quantiles
 
+    from sparkwrangle.ops.windows import grouped_exact_quantiles
+
     ev = _t(spark, sf_dir, "events")
     ps = [0.5, 0.9, 0.99]
     est = histogram_quantiles(ev, "value", ps)
-    v = ev.select(F.col("value").alias("v")).filter(F.col("v").isNotNull())
-    exq = v.agg(F.expr("percentile(v, array(0.5D, 0.9D, 0.99D))").alias("q"))
-    ex = exq.select(F.posexplode("q").alias("i", "exq")).select(
-        F.element_at(F.array(*[F.lit(p) for p in ps]), F.col("i") + 1).alias("p"),
-        "exq",
+    # the exact reference column via distributed rank-and-interpolate
+    # (group_cols=[] = exact GLOBAL quantiles, no whole-multiset
+    # percentile() buffer and no single-partition sort)
+    ex = grouped_exact_quantiles(
+        ev, [], "value", ps, tiebreak_cols=["event_id"], out_v="exq"
     )
     return est.join(ex, "p").select(
         "p",
@@ -4602,21 +4629,15 @@ def x_grouped_quantiles(spark, sf_dir):
     from sparkwrangle.catalog import rf
     from sparkwrangle.ext.sketches import histogram_quantiles
 
+    from sparkwrangle.ops.windows import grouped_exact_quantiles
+
     ev = _t(spark, sf_dir, "events")
     ps = [0.5, 0.95]
     est = histogram_quantiles(ev, "value", ps, keys=["event_type"])
-    v = ev.select("event_type", F.col("value").alias("v")).filter(
-        F.col("v").isNotNull()
-    )
-    ex = (
-        v.groupBy("event_type")
-        .agg(F.expr("percentile(v, array(0.5D, 0.95D))").alias("q"))
-        .select("event_type", F.posexplode("q").alias("i", "exq"))
-        .select(
-            "event_type",
-            F.element_at(F.array(*[F.lit(p) for p in ps]), F.col("i") + 1).alias("p"),
-            "exq",
-        )
+    # exact per-type reference via distributed rank-and-interpolate
+    # (no corpus/|types| percentile() buffer in one task)
+    ex = grouped_exact_quantiles(
+        ev, ["event_type"], "value", ps, tiebreak_cols=["event_id"], out_v="exq"
     )
     return est.join(ex, ["event_type", "p"]).select(
         "event_type",

@@ -1088,67 +1088,22 @@ def c_interval_overlap_join(spark, sf_dir):
     "in one task at 100 TB).",
 )
 def d_percentiles(spark, sf_dir):
-    from sparkwrangle.ops.windows import grouped_row_number
+    from sparkwrangle.ops.windows import grouped_exact_quantiles
 
     ev = _t(spark, sf_dir, "events")
     # EXACT interpolated percentiles, distributed: Spark's percentile()
     # aggregate buffers each group's whole value multiset in ONE
-    # aggregation task (event_type is a handful of strata — corpus/|types|
-    # doubles per buffer at 100 TB). Instead rank every row per type with
-    # the two-level range machinery, then pick + interpolate the two rows
-    # framing each target position 1 + (n-1)*q — identical arithmetic to
-    # percentile()/quantile_cont (linear interpolation), touched rows
-    # bounded by 2 x |types| x |quantiles|.
-    # drop nulls first: percentile()/quantile_cont ignore them, and a
-    # null would both rank first (asc nulls first) and inflate n
-    vals = ev.select("event_type", "value", "event_id").filter(
-        F.col("value").isNotNull()
-    )
-    ranked = grouped_row_number(
-        vals, ["event_type"], ["value", "event_id"], out_col="rn"
-    )
-    # group sizes from a combinable count of the raw table — deriving n
-    # from ranked (max rn) would evaluate the whole rank subtree twice
-    nt = vals.groupBy("event_type").agg(F.count("*").alias("n"))
-    qs = F.array(*[F.lit(q) for q in (0.5, 0.9, 0.99)])
-    targets = nt.select(
-        F.col("event_type").alias("_ty"), "n", F.explode(qs).alias("q")
-    ).select(
-        "_ty",
-        "q",
-        (F.lit(1.0) + (F.col("n") - 1).cast("double") * F.col("q")).alias("t"),
-    )
-    targets = targets.select(
-        "_ty",
-        "q",
-        "t",
-        F.floor("t").cast("bigint").alias("lo"),
-        F.ceil("t").cast("bigint").alias("hi"),
-    )
-    hits = ranked.join(
-        F.broadcast(targets),
-        (F.col("event_type") == F.col("_ty"))
-        & ((F.col("rn") == F.col("lo")) | (F.col("rn") == F.col("hi"))),
-    ).select("event_type", "q", "t", "lo", "rn", "value")
-    interp = (
-        hits.groupBy("event_type", "q", "t", "lo")
-        .agg(
-            F.min(F.when(F.col("rn") == F.col("lo"), F.col("value"))).alias("v_lo"),
-            F.min(F.when(F.col("rn") != F.col("lo"), F.col("value"))).alias("v_hi"),
-        )
-        .select(
-            "event_type",
-            "q",
-            (
-                F.col("v_lo")
-                + (F.col("t") - F.col("lo"))
-                * (F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo"))
-            ).alias("v"),
-        )
+    # aggregation task (event_type is a handful of strata - corpus/|types|
+    # doubles per buffer at 100 TB). grouped_exact_quantiles ranks with
+    # the two-level range machinery and interpolates the two rows framing
+    # each target position 1+(n-1)*q - identical arithmetic to
+    # percentile()/quantile_cont.
+    q = grouped_exact_quantiles(
+        ev, ["event_type"], "value", [0.5, 0.9, 0.99], tiebreak_cols=["event_id"]
     )
     return (
-        interp.groupBy("event_type")
-        .pivot("q", ["0.5", "0.9", "0.99"])
+        q.groupBy("event_type")
+        .pivot("p", ["0.5", "0.9", "0.99"])
         .agg(F.first("v"))
         .select(
             "event_type",

@@ -268,3 +268,81 @@ def grouped_top_k(
     return local.withColumn(rank_col, F.row_number().over(wglob)).filter(
         F.col(rank_col) <= k
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    tiebreak_cols: list[str] | None = None,
+    out_p: str = "p",
+    out_v: str = "v",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT linear-interpolated quantiles per group — the same result as
+    ``percentile()`` / DuckDB ``quantile_cont`` — WITHOUT the exact
+    aggregate's whole-multiset buffer (corpus/|groups| values in one
+    task). Two-level range row_number per group, combinable group
+    counts, then pick + interpolate the two rows framing each target
+    position ``1 + (n-1)*p`` via a broadcast target join: touched rows
+    bounded by 2 × |groups| × |ps|.
+
+    Nulls in ``value_col`` are dropped (both reference aggregates ignore
+    them). ``tiebreak_cols`` make the rank deterministic; quantile VALUES
+    are tie-insensitive either way (tied rows carry equal values, so any
+    position assignment within a tie yields the same pick). Returns one
+    row per (group, p): ``(*group_cols, out_p, out_v)``.
+    """
+    tiebreak_cols = list(tiebreak_cols or [])
+    vals = df.select(*group_cols, value_col, *tiebreak_cols).filter(
+        F.col(value_col).isNotNull()
+    )
+    ranked = grouped_row_number(
+        vals,
+        group_cols,
+        [value_col, *tiebreak_cols],
+        out_col="_geq_rn",
+        num_partitions=num_partitions,
+    )
+    nt = vals.groupBy(*group_cols).agg(F.count("*").alias("_geq_n"))
+    qs = F.array(*[F.lit(float(p)) for p in ps])
+    tgt_groups = [F.col(c).alias(f"_geq_{c}") for c in group_cols]
+    targets = (
+        nt.select(*tgt_groups, "_geq_n", F.explode(qs).alias(out_p))
+        .withColumn(
+            "_geq_t",
+            F.lit(1.0) + (F.col("_geq_n") - 1).cast("double") * F.col(out_p),
+        )
+        .select(
+            *[f"_geq_{c}" for c in group_cols],
+            out_p,
+            "_geq_t",
+            F.floor("_geq_t").cast("bigint").alias("_geq_lo"),
+            F.ceil("_geq_t").cast("bigint").alias("_geq_hi"),
+        )
+    )
+    cond = (F.col("_geq_rn") == F.col("_geq_lo")) | (
+        F.col("_geq_rn") == F.col("_geq_hi")
+    )
+    for c in group_cols:
+        cond = cond & (F.col(c) == F.col(f"_geq_{c}"))
+    hits = ranked.join(F.broadcast(targets), cond).select(
+        *group_cols, out_p, "_geq_t", "_geq_lo", "_geq_rn", F.col(value_col).alias("_geq_v")
+    )
+    return (
+        hits.groupBy(*group_cols, out_p, "_geq_t", "_geq_lo")
+        .agg(
+            F.min(F.when(F.col("_geq_rn") == F.col("_geq_lo"), F.col("_geq_v"))).alias("_geq_vlo"),
+            F.min(F.when(F.col("_geq_rn") != F.col("_geq_lo"), F.col("_geq_v"))).alias("_geq_vhi"),
+        )
+        .select(
+            *group_cols,
+            out_p,
+            (
+                F.col("_geq_vlo")
+                + (F.col("_geq_t") - F.col("_geq_lo"))
+                * (F.coalesce(F.col("_geq_vhi"), F.col("_geq_vlo")) - F.col("_geq_vlo"))
+            ).alias(out_v),
+        )
+    )
