@@ -819,9 +819,19 @@ def prefix_filter_pairs(
     )
     # exact verify: count the true intersection for candidates only —
     # the pair list is near-dup-sized, so AQE broadcasts it and fan-out
-    # is |candidates| × doc length, not a corpus self-join
-    asv = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    bsv = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # is |candidates| × doc length, not a corpus self-join. Restrict the
+    # shingle stream to candidate MEMBERS first (one scan + broadcast
+    # semi-join) and materialize that near-dup-sized slice, so the two
+    # verify legs read it instead of each re-evaluating the full corpus
+    # shingle stream — the lsh_verified_pairs shape.
+    cdocs = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cdocs), id_col, "left_semi").localCheckpoint()
+    asv = sh_c.select(F.col(id_col).alias("id_a"), "shingle")
+    bsv = sh_c.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         cand.select("id_a", "id_b")
         .join(asv, "id_a")
