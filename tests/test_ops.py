@@ -237,3 +237,59 @@ def test_grouped_percent_rank_matches_window_form(spark):
         ).collect()
     }
     assert got_rn == want_rn
+
+
+def test_grouped_exact_quantiles_matches_percentile(spark):
+    """grouped_exact_quantiles == Spark percentile() (linear interp):
+    heavy ties (any within-tie position assignment picks the same
+    value), a single-row group, nulls ignored, and the global
+    (empty-group) case — at a partition count that splits groups and
+    ties across range partitions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.ops.windows import grouped_exact_quantiles
+
+    rng = random.Random(11)
+    rows = [
+        (i, ["a", "b"][i % 2], float(rng.randint(0, 5)))  # heavy ties
+        for i in range(401)
+    ]
+    rows.append((9001, "c", 42.0))        # single-row group
+    rows.append((9002, "a", None))        # null value -> ignored
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    ps = [0.0, 0.5, 0.9, 1.0]
+
+    want = {
+        (r.g, p): r.q[i]
+        for r in df.filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.expr("percentile(v, array(0.0D, 0.5D, 0.9D, 1.0D))").alias("q"))
+        .collect()
+        for i, p in enumerate(ps)
+    }
+    got = {
+        (r.g, r.p): r.v
+        for r in grouped_exact_quantiles(
+            df, ["g"], "v", ps, tiebreak_cols=["id"], num_partitions=7
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+    want_g = (
+        df.filter(F.col("v").isNotNull())
+        .agg(F.expr("percentile(v, array(0.0D, 0.5D, 0.9D, 1.0D))").alias("q"))
+        .collect()[0]
+        .q
+    )
+    got_g = {
+        r.p: r.v
+        for r in grouped_exact_quantiles(
+            df, [], "v", ps, tiebreak_cols=["id"], num_partitions=7
+        ).collect()
+    }
+    for i, p in enumerate(ps):
+        assert abs(got_g[p] - want_g[i]) < 1e-12
