@@ -3228,12 +3228,15 @@ def x_curation_pipeline_end_to_end(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
-    # materialize the scores once: grouped_percent_rank's range
-    # partitioner runs a boundary-sampling job over its input, which
-    # would otherwise evaluate the tokenize/text-stats subtree twice
-    # (sampling pass + real pass)
+    # materialize the scores once, SLIM (no text): grouped_percent_rank's
+    # range partitioner runs a boundary-sampling job over its input
+    # (would otherwise re-tokenize the corpus), and keeping the text
+    # column out means the range exchange, the rank window exchange, and
+    # this checkpoint all move ~40 bytes/doc instead of the whole corpus
+    # text; the survivors join the text back below, one shuffle of text
+    # for the ≤80% keep-set instead of three corpus-text movements
     scored = add_text_stats(train).select(
-        "doc_id", "lang", "source", "n_tokens", "text", r6("quality").alias("quality")
+        "doc_id", "lang", "source", "n_tokens", r6("quality").alias("quality")
     ).localCheckpoint()
     # materialize the survivor set once: four downstream consumers
     # (3-gram shingles, CC node universe, 8-gram shingles, final join)
@@ -3241,12 +3244,12 @@ def x_curation_pipeline_end_to_end(spark, sf_dir):
     # (measured 18 s -> ~6 s at sf0.1); same pattern as the CC edge list.
     # The per-lang percent_rank is the two-level range-ranking form —
     # no one-task-per-language sort (see x_quality_prune).
-    keepq = (
+    kept = (
         grouped_percent_rank(scored, ["lang"], ["quality", "doc_id"], out_col="pr")
         .filter(F.col("pr") >= 0.2)
-        .select("doc_id", "lang", "source", "n_tokens", "text")
-        .localCheckpoint()
+        .select("doc_id", "lang", "source", "n_tokens")
     )
+    keepq = kept.join(train.select("doc_id", "text"), "doc_id").localCheckpoint()
     sh = shingles(keepq, "doc_id", "text", 3, distinct=False)
     verified = lsh_verified_pairs(sh, "doc_id", k=16, bands=4, threshold=0.15)
     reps = (

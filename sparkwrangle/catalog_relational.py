@@ -231,14 +231,31 @@ def q_rank_family(spark, sf_dir):
         [F.desc("value"), F.asc("event_id")],
         5,
         rank_col="rnk",
-    )
+    ).localCheckpoint()
+    # ^ ≤ 5×|types| rows consumed twice (broadcast side of `after` and
+    # the final join) — materialize once or the two-window top-k subtree
+    # re-evaluates per consumer.
     # ntile(4) needs each survivor's ASCENDING position p and the group
     # size n — NOT derivable from rnk (the ascending tiebreak direction
     # differs), so count rows ordered strictly after each survivor in
-    # (value ASC, event_id ASC): an equi-join on event_type against the
-    # ≤ 5x|types| broadcast survivor set + a combinable conditional sum
+    # (value ASC NULLS FIRST, event_id ASC): an equi-join on event_type
+    # against the broadcast survivor set + a combinable conditional sum
     # (5x map-side fan-out, no giant sort), then the exact ntile closed
     # form: first (n mod 4) tiles hold ceil(n/4) rows, the rest floor.
+    # The after-predicate spells out asc-nulls-first three-valued logic
+    # so a NULL-valued survivor (possible when a type has < 5 non-null
+    # values) still gets the quartile ntile() would have assigned.
+    s_null = F.col("value").isNull()
+    r_null = F.col("_v").isNull()
+    after_pred = F.when(
+        s_null, (~r_null) | (r_null & (F.col("_e") > F.col("event_id")))
+    ).otherwise(
+        (~r_null)
+        & (
+            (F.col("_v") > F.col("value"))
+            | ((F.col("_v") == F.col("value")) & (F.col("_e") > F.col("event_id")))
+        )
+    )
     after = (
         ev.select(
             F.col("event_type").alias("_ty"),
@@ -251,12 +268,7 @@ def q_rank_family(spark, sf_dir):
         )
         .groupBy("event_type", "event_id")
         .agg(
-            F.sum(
-                (
-                    (F.col("_v") > F.col("value"))
-                    | ((F.col("_v") == F.col("value")) & (F.col("_e") > F.col("event_id")))
-                ).cast("long")
-            ).alias("n_after"),
+            F.sum(after_pred.cast("long")).alias("n_after"),
             F.count("*").alias("n"),
         )
     )

@@ -903,6 +903,13 @@ def edit_distance_pairs(
 
     Returns (id_a, id_b, dist) with ``id_a < id_b``, dist = exact
     Levenshtein distance <= k.
+
+    EAGER / SNAPSHOT semantics: the prefix localCheckpoint and the
+    short-pass emptiness probe both evaluate at CALL time, so the
+    returned DataFrame is a snapshot of the corpus as of the call —
+    not a live view that tracks files appended to the source afterwards
+    (re-call the function after ingesting new data). This is the same
+    contract as every checkpointing operator in this module.
     """
     from pyspark.sql import Window
 

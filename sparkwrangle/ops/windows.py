@@ -201,8 +201,33 @@ def _grouped_global_rank(
     """Shared core of grouped_percent_rank / grouped_row_number: returns
     ``df`` plus the internal columns ``_gpr_pid``, ``_gpr_lrn`` (local
     rank), ``_gpr_off`` (per-group prefix offset — global rank is
-    off + lrn), and ``_gpr_n`` (group size)."""
+    off + lrn), and ``_gpr_n`` (group size).
+
+    Consistency requirement: the per-(pid, group) count branch and the
+    probe branch both read the ranked subtree, whose partition ids come
+    from a sampled range exchange. Spark's exchange reuse (and AQE stage
+    reuse) evaluates that subtree ONCE and serves both consumers from
+    the same shuffle, which is what makes the pids and boundaries
+    consistent across the join. Exchange reuse is on by default and in
+    every session the engine builds; if a caller's session disables it
+    (``spark.sql.exchange.reuse=false`` with AQE also off), this helper
+    refuses rather than risk misaligned offsets.
+
+    NULL group keys form their own group, exactly like a window's
+    PARTITION BY (the offsets join is null-safe)."""
     spark = df.sparkSession
+    try:
+        reuse = spark.conf.get("spark.sql.exchange.reuse", "true").lower()
+        aqe = spark.conf.get("spark.sql.adaptive.enabled", "true").lower()
+        if reuse == "false" and aqe == "false":
+            raise ValueError(
+                "grouped ranking requires exchange reuse for pid/boundary "
+                "consistency: enable spark.sql.exchange.reuse or AQE"
+            )
+    except ValueError:
+        raise
+    except Exception:
+        pass  # conf unreadable (mock session) — defaults have reuse on
     if num_partitions is None:
         try:
             num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -221,12 +246,20 @@ def _grouped_global_rank(
     wgrp = Window.partitionBy(*group_cols)
     woff = wgrp.orderBy("_gpr_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = cnt.select(
-        "_gpr_pid",
-        *group_cols,
+        F.col("_gpr_pid").alias("_gpr_pid2"),
+        *[F.col(c).alias(f"_gpr_g_{c}") for c in group_cols],
         F.coalesce(F.sum("_gpr_cnt").over(woff), F.lit(0)).alias("_gpr_off"),
         F.sum("_gpr_cnt").over(wgrp).alias("_gpr_n"),
     )
-    return ranked.join(F.broadcast(offs), ["_gpr_pid", *group_cols], "inner")
+    # null-safe equality on the group keys: a NULL group is a real group
+    # (window PARTITION BY semantics); plain EqualTo would drop its rows
+    cond = F.col("_gpr_pid") == F.col("_gpr_pid2")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_gpr_g_{c}"))
+    return (
+        ranked.join(F.broadcast(offs), cond, "inner")
+        .drop("_gpr_pid2", *[f"_gpr_g_{c}" for c in group_cols])
+    )
 
 
 def grouped_top_k(
@@ -288,9 +321,12 @@ def grouped_exact_quantiles(
     position ``1 + (n-1)*p`` via a broadcast target join: touched rows
     bounded by 2 × |groups| × |ps|.
 
-    Nulls in ``value_col`` are dropped (both reference aggregates ignore
-    them). ``tiebreak_cols`` make the rank deterministic; quantile VALUES
-    are tie-insensitive either way (tied rows carry equal values, so any
+    Nulls in ``value_col`` are ignored, and — matching percentile() /
+    quantile_cont under GROUP BY — a group whose values are ALL null
+    still yields its rows, with NULL quantiles. NULL group keys form
+    their own group (null-safe target join), like any GROUP BY.
+    ``tiebreak_cols`` make the rank deterministic; quantile VALUES are
+    tie-insensitive either way (tied rows carry equal values, so any
     position assignment within a tie yields the same pick). Returns one
     row per (group, p): ``(*group_cols, out_p, out_v)``.
     """
@@ -305,11 +341,14 @@ def grouped_exact_quantiles(
         out_col="_geq_rn",
         num_partitions=num_partitions,
     )
-    nt = vals.groupBy(*group_cols).agg(F.count("*").alias("_geq_n"))
+    # count(value_col) skips nulls, and grouping df (not vals) keeps
+    # all-null groups alive with _geq_n = 0 so they can surface below
+    nt = df.groupBy(*group_cols).agg(F.count(value_col).alias("_geq_n"))
     qs = F.array(*[F.lit(float(p)) for p in ps])
     tgt_groups = [F.col(c).alias(f"_geq_{c}") for c in group_cols]
     targets = (
-        nt.select(*tgt_groups, "_geq_n", F.explode(qs).alias(out_p))
+        nt.filter(F.col("_geq_n") > 0)
+        .select(*tgt_groups, "_geq_n", F.explode(qs).alias(out_p))
         .withColumn(
             "_geq_t",
             F.lit(1.0) + (F.col("_geq_n") - 1).cast("double") * F.col(out_p),
@@ -326,11 +365,11 @@ def grouped_exact_quantiles(
         F.col("_geq_rn") == F.col("_geq_hi")
     )
     for c in group_cols:
-        cond = cond & (F.col(c) == F.col(f"_geq_{c}"))
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_geq_{c}"))
     hits = ranked.join(F.broadcast(targets), cond).select(
         *group_cols, out_p, "_geq_t", "_geq_lo", "_geq_rn", F.col(value_col).alias("_geq_v")
     )
-    return (
+    out = (
         hits.groupBy(*group_cols, out_p, "_geq_t", "_geq_lo")
         .agg(
             F.min(F.when(F.col("_geq_rn") == F.col("_geq_lo"), F.col("_geq_v"))).alias("_geq_vlo"),
@@ -346,3 +385,11 @@ def grouped_exact_quantiles(
             ).alias(out_v),
         )
     )
+    # all-null groups: percentile()/quantile_cont emit the group with
+    # NULL quantiles; reproduce that instead of dropping the group
+    empty = nt.filter(F.col("_geq_n") == 0).select(
+        *group_cols,
+        F.explode(qs).alias(out_p),
+        F.lit(None).cast("double").alias(out_v),
+    )
+    return out.unionByName(empty)

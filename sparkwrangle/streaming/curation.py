@@ -133,7 +133,14 @@ def curate_stream(
             clean = red.join(F.broadcast(contaminated), "doc_id", "left_anti")
     else:
         ev = F.lit(eval_hashes).cast("array<bigint>")
-        clean = red.filter(~F.arrays_overlap(sh_arr, ev))
+        # coalesce: a NULL shingle array (NULL text — reachable at
+        # min_quality <= 0) has no overlap and must be KEPT, matching
+        # both DataFrame forms (explode of NULL emits no rows; the
+        # anti join keeps rows whose condition is NULL). Without it the
+        # three-valued filter silently dropped those docs on this path.
+        clean = red.filter(
+            F.coalesce(~F.arrays_overlap(sh_arr, ev), F.lit(True))
+        )
     keyed = clean.withColumn("text_key", h60(normalize_text(F.col("redacted"))))
     if keyed.isStreaming:
         # keep-first by ARRIVAL within the watermark horizon.

@@ -293,3 +293,67 @@ def test_grouped_exact_quantiles_matches_percentile(spark):
     }
     for i, p in enumerate(ps):
         assert abs(got_g[p] - want_g[i]) < 1e-12
+
+
+def test_grouped_rank_null_group_and_all_null_values(spark):
+    """The review-found divergences, pinned: (a) a NULL group key is a
+    real group (window PARTITION BY semantics) — the null-safe offsets
+    join must not drop its rows; (b) grouped_exact_quantiles emits a
+    group whose values are ALL null with NULL quantiles, exactly like
+    percentile() under GROUP BY, instead of deleting the group."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.ops.windows import (
+        grouped_exact_quantiles,
+        grouped_percent_rank,
+        grouped_row_number,
+    )
+
+    rows = [
+        (1, "a", 3.0), (2, "a", 1.0), (3, "a", 2.0),
+        (4, None, 9.0), (5, None, 7.0),          # NULL group key
+        (6, "b", None), (7, "b", None),          # all-null value group
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want_pr = {
+        r.id: r.pr for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    got_pr = {
+        r.id: r.pr
+        for r in grouped_percent_rank(df, ["g"], ["v", "id"], num_partitions=3).collect()
+    }
+    assert got_pr == want_pr  # ids 4,5 (NULL group) present and ranked
+
+    want_rn = {
+        r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got_rn = {
+        r.id: r.rn
+        for r in grouped_row_number(df, ["g"], ["v", "id"], num_partitions=3).collect()
+    }
+    assert got_rn == want_rn
+
+    # percentile() over an all-null group returns a NULL ARRAY (one null
+    # scalar), which expands to NULL per requested p
+    want_q = {
+        (r.g, p): (r.q[i] if r.q is not None else None)
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.5D, 1.0D))").alias("q"))
+        .collect()
+        for i, p in enumerate([0.5, 1.0])
+    }
+    got_q = {
+        (r.g, r.p): r.v
+        for r in grouped_exact_quantiles(
+            df, ["g"], "v", [0.5, 1.0], tiebreak_cols=["id"], num_partitions=3
+        ).collect()
+    }
+    assert set(got_q) == set(want_q)  # includes ('b', p) and (None, p)
+    for k, v in want_q.items():
+        if v is None:
+            assert got_q[k] is None, k
+        else:
+            assert abs(got_q[k] - v) < 1e-12, k

@@ -54,13 +54,14 @@ def main():
     # (per-query status + totals). The committed ORACLE_FULLGATE.json is
     # the full-surface proof the driver's 50-query sample cannot give.
     json_path = None
+    default_json = str(
+        Path(__file__).resolve().parent.parent / "ORACLE_FULLGATE.json"
+    )
     for a in list(args):
         if a == "--json" or a.startswith("--json="):
-            json_path = (
-                a.split("=", 1)[1]
-                if "=" in a
-                else str(Path(__file__).resolve().parent.parent / "ORACLE_FULLGATE.json")
-            )
+            # `--json=` (empty value) falls back to the default path
+            # instead of silently disabling the record
+            json_path = (a.split("=", 1)[1] or default_json) if "=" in a else default_json
             args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
@@ -136,11 +137,16 @@ def main():
     if json_path:
         import json
 
+        n_checked = len(passed) + len(failed) + len(rows_only)
         Path(json_path).write_text(
             json.dumps(
                 {
                     "sf_dir": sf_dir,
                     "hostile": hostile,
+                    # a subset run must not masquerade as a full-surface
+                    # record: n_checked vs n_queries makes it explicit
+                    "subset": sorted(only) if only else None,
+                    "n_checked": n_checked,
                     "n_queries": len(qs),
                     "ok": len(passed),
                     "failed": len(failed),
