@@ -360,3 +360,69 @@ def test_duplicate_spans_matches_independent_reference(spark, tok_lists):
         got[k].sort()
     want = {k: v for k, v in _spans_reference(docs, n=3).items() if v}
     assert got == want, (tok_lists, got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),           # group (incl. NULL)
+            st.one_of(st.none(), st.integers(0, 6)),     # value (ties, NULLs)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(2, 6),
+)
+def test_grouped_rank_and_quantiles_property(spark, rows, nparts):
+    """Property: for ANY group/value multiset (NULL groups, NULL values,
+    heavy ties) and ANY range-partition count, the two-level helpers
+    equal the plain window / percentile() forms. Complements the unit
+    pins with breadth — hypothesis drives the shapes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.ops.windows import (
+        grouped_exact_quantiles,
+        grouped_percent_rank,
+    )
+
+    data = [
+        (i, g, float(v) if v is not None else None)
+        for i, (g, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "id long, g string, v double")
+
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want_pr = {
+        r.id: r.pr
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    got_pr = {
+        r.id: r.pr
+        for r in grouped_percent_rank(
+            df, ["g"], ["v", "id"], num_partitions=nparts
+        ).collect()
+    }
+    assert got_pr == want_pr
+
+    ps = [0.25, 0.5, 1.0]
+    want_q = {
+        (r.g, p): (r.q[i] if r.q is not None else None)
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.25D, 0.5D, 1.0D))").alias("q"))
+        .collect()
+        for i, p in enumerate(ps)
+    }
+    got_q = {
+        (r.g, r.p): r.v
+        for r in grouped_exact_quantiles(
+            df, ["g"], "v", ps, tiebreak_cols=["id"], num_partitions=nparts
+        ).collect()
+    }
+    assert set(got_q) == set(want_q)
+    for k, v in want_q.items():
+        if v is None:
+            assert got_q[k] is None, k
+        else:
+            assert abs(got_q[k] - v) < 1e-9, (k, got_q[k], v)
