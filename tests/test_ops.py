@@ -357,3 +357,39 @@ def test_grouped_rank_null_group_and_all_null_values(spark):
             assert got_q[k] is None, k
         else:
             assert abs(got_q[k] - v) < 1e-12, k
+
+
+def test_grouped_rank_reuse_guard(spark):
+    """The consistency contract of _grouped_global_rank, both ways:
+    with exchange reuse disabled but AQE on, stage reuse still serves
+    both consumers of the ranked subtree from one shuffle (parity
+    verified empirically); with BOTH off the helper must refuse rather
+    than risk misaligned pid/boundary assignments."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.ops.windows import grouped_row_number
+
+    rows = [(i, ["x", "y"][i % 2], float(i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+
+    old_reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        got = {
+            r.id: r.rn
+            for r in grouped_row_number(df, ["g"], ["v", "id"], num_partitions=5).collect()
+        }
+        assert got == want
+
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        with _pytest.raises(ValueError, match="exchange reuse"):
+            grouped_row_number(df, ["g"], ["v", "id"], num_partitions=5)
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old_reuse)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
