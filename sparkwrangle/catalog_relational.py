@@ -264,7 +264,10 @@ def q_rank_family(spark, sf_dir):
         )
         .join(
             F.broadcast(top.select("event_type", "event_id", "value")),
-            F.col("_ty") == F.col("event_type"),
+            # null-safe: a NULL event_type is a real group under window
+            # PARTITION BY semantics — plain EqualTo would drop it here
+            # even though grouped_top_k surfaced its survivors
+            F.col("_ty").eqNullSafe(F.col("event_type")),
         )
         .groupBy("event_type", "event_id")
         .agg(
@@ -280,7 +283,13 @@ def q_rank_family(spark, sf_dir):
         p <= head, F.ceil(p / (base + 1))
     ).otherwise(rem + F.ceil((p - head) / F.when(base > 0, base).otherwise(1)))
     return (
-        top.join(after, ["event_type", "event_id"])
+        top.join(
+            after.withColumnRenamed("event_type", "_aty").withColumnRenamed(
+                "event_id", "_aid"
+            ),
+            F.col("event_type").eqNullSafe(F.col("_aty"))
+            & (F.col("event_id") == F.col("_aid")),
+        )
         .select(
             "event_id",
             "event_type",

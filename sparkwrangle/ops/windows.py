@@ -141,23 +141,27 @@ def grouped_percent_rank(
 
     Two-level ranking (same family as x_sequence_packing's prefix sums):
 
-    1. ``repartitionByRange(group_cols + order_cols)`` — every partition
-       holds a contiguous slice of the (group, order) keyspace, sized by
-       the range sampler, NOT by stratum;
-    2. within-partition ``row_number`` keyed by (partition id, group) —
-       the hash exchange this window inserts is balanced (each
-       (pid, group) cell is at most one range partition's rows);
-    3. per-(pid, group) counts roll into per-group prefix offsets over a
-       tiny (≤ partitions × groups rows) table, broadcast-joined back:
+    1. every row gets a deterministic quantile-bucketed BLOCK id — an
+       order-contiguous slice of the (group, order) keyspace computed
+       from the row's VALUES against driver-materialized literal
+       boundaries (``_quantile_block_expr``), sized by a bounded
+       sample, NOT by stratum;
+    2. within-block ``row_number`` keyed by (block, group) — the hash
+       exchange this window inserts is balanced (each (block, group)
+       cell is at most one quantile slice's rows);
+    3. per-(block, group) counts roll into per-group prefix offsets over
+       a tiny (≤ blocks + groups rows) table, broadcast-joined back:
        global rank = prefix offset + local row_number;
     4. ``pr = (rank − 1) / (n − 1)`` (0.0 for single-row groups, matching
        Spark's and DuckDB's percent_rank).
 
     EXACT equality with the window form requires ``order_cols`` to be a
     TOTAL order within each group (include a unique tiebreak like
-    doc_id): range partitioning must not split ties across partitions
-    where rank would depend on placement. Ordering is ASCENDING on every
-    column (what both engines' percent_rank defaults to).
+    doc_id): percent_rank assigns EQUAL values to tied rows while this
+    construction numbers rows, so ties must not exist. (Identical keys
+    always share a block — blocks are value-determined — so tie
+    placement across blocks is not a concern.) Ordering is ASCENDING on
+    every column (what both engines' percent_rank defaults to).
 
     The group columns may also be empty — that computes a GLOBAL exact
     percent_rank with no single-partition exchange anywhere.
@@ -169,7 +173,7 @@ def grouped_percent_rank(
         (rank - 1).cast("double") / (F.col("_gpr_n") - 1).cast("double"),
     ).otherwise(F.lit(0.0))
     return joined.withColumn(out_col, pr).drop(
-        "_gpr_pid", "_gpr_lrn", "_gpr_off", "_gpr_n"
+        "_gpr_blk", "_gpr_lrn", "_gpr_off", "_gpr_n"
     )
 
 
@@ -189,7 +193,72 @@ def grouped_row_number(
     joined = _grouped_global_rank(df, group_cols, order_cols, num_partitions)
     return joined.withColumn(
         out_col, (F.col("_gpr_off") + F.col("_gpr_lrn")).cast("bigint")
-    ).drop("_gpr_pid", "_gpr_lrn", "_gpr_off", "_gpr_n")
+    ).drop("_gpr_blk", "_gpr_lrn", "_gpr_off", "_gpr_n")
+
+
+def _quantile_block_expr(df: DataFrame, key_cols: list[str], n_blocks: int) -> Column:
+    """Deterministic order-contiguous block id derived from row VALUES.
+
+    First pass: count + a bounded uniform sample of the composite key
+    (≈64 keys per block, collected to the driver — the same bounded
+    sampling job Spark's own RangePartitioner runs inside
+    ``repartitionByRange``, made explicit so the boundaries become plan
+    LITERALS). The sample is sorted under Spark's ordering (ASC, NULLS
+    FIRST, NaN last) and ``n_blocks - 1`` evenly spaced boundary keys
+    are embedded as a literal array of structs.
+
+    Block id = COUNT of boundaries ``<= key`` (Spark struct comparison
+    is a nulls-first TOTAL order returning true/false, never null).
+    Each indicator is monotone in the key, so blocks are always
+    order-contiguous regardless of sampling quality — a bad sample can
+    only unbalance blocks, never mis-rank. Identical keys always land
+    in the same block (value-determined, unlike partition ids), and the
+    expression is a pure function of the row, so every consumer of the
+    tagged frame recomputes the SAME block id: no exchange-reuse or
+    checkpoint dependency. Cost per row is O(n_blocks) struct compares
+    (JVM-side, codegen); key columns must be scalar orderable types.
+    """
+    if n_blocks <= 1:
+        return F.lit(0)
+    vals = df.select(*key_cols)
+    n = vals.count()
+    if n == 0:
+        return F.lit(0)
+    target = n_blocks * 64
+    frac = min(1.0, target / n)
+    samp = [tuple(r) for r in vals.sample(False, frac, seed=0x5EED).collect()]
+    if not samp:
+        return F.lit(0)
+
+    def _skey(row):
+        # Spark sort order per field: NULL first, NaN last, values asc.
+        # (0,0)/(2,0) sentinels short-circuit before the payload compares.
+        out = []
+        for v in row:
+            if v is None:
+                out.append((0, 0))
+            elif isinstance(v, float) and v != v:
+                out.append((2, 0))
+            else:
+                out.append((1, v))
+        return tuple(out)
+
+    samp.sort(key=_skey)
+    m = len(samp)
+    idxs = sorted({(m * i) // n_blocks for i in range(1, n_blocks)})
+    bnds, seen = [], set()
+    for i in idxs:
+        k = _skey(samp[i])
+        if k not in seen:
+            seen.add(k)
+            bnds.append(samp[i])
+    dtypes = {f.name: f.dataType for f in vals.schema.fields}
+    structs = [
+        F.struct(*[F.lit(v).cast(dtypes[c]).alias(c) for c, v in zip(key_cols, row)])
+        for row in bnds
+    ]
+    key = F.struct(*[F.col(c).alias(c) for c in key_cols])
+    return F.size(F.filter(F.array(*structs), lambda b: b <= key))
 
 
 def _grouped_global_rank(
@@ -199,66 +268,55 @@ def _grouped_global_rank(
     num_partitions: int | None,
 ) -> DataFrame:
     """Shared core of grouped_percent_rank / grouped_row_number: returns
-    ``df`` plus the internal columns ``_gpr_pid``, ``_gpr_lrn`` (local
+    ``df`` plus the internal columns ``_gpr_blk``, ``_gpr_lrn`` (local
     rank), ``_gpr_off`` (per-group prefix offset — global rank is
     off + lrn), and ``_gpr_n`` (group size).
 
-    Consistency requirement: the per-(pid, group) count branch and the
-    probe branch both read the ranked subtree, whose partition ids come
-    from a sampled range exchange. Spark's exchange reuse (and AQE stage
-    reuse) evaluates that subtree ONCE and serves both consumers from
-    the same shuffle, which is what makes the pids and boundaries
-    consistent across the join. Exchange reuse is on by default and in
-    every session the engine builds; if a caller's session disables it
-    (``spark.sql.exchange.reuse=false`` with AQE also off), this helper
-    refuses rather than risk misaligned offsets.
+    Blocks are quantile-bucketed slices of the (group, order) keyspace
+    whose ids are computed FROM ROW VALUES against driver-materialized
+    literal boundaries (``_quantile_block_expr``), not from
+    ``spark_partition_id()`` over a sampled range exchange. The count
+    branch and the probe branch therefore agree on every row's block
+    unconditionally — correctness does not depend on
+    ``spark.sql.exchange.reuse``, AQE stage reuse, or plan
+    canonicalization, and the count branch needs no window at all (a
+    plain combinable ``count(*)`` per (block, group)).
 
     NULL group keys form their own group, exactly like a window's
     PARTITION BY (the offsets join is null-safe)."""
     spark = df.sparkSession
-    try:
-        reuse = spark.conf.get("spark.sql.exchange.reuse", "true").lower()
-        aqe = spark.conf.get("spark.sql.adaptive.enabled", "true").lower()
-        if reuse == "false" and aqe == "false":
-            raise ValueError(
-                "grouped ranking requires exchange reuse for pid/boundary "
-                "consistency: enable spark.sql.exchange.reuse or AQE"
-            )
-    except ValueError:
-        raise
-    except Exception:
-        pass  # conf unreadable (mock session) — defaults have reuse on
     if num_partitions is None:
         try:
             num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except Exception:
             num_partitions = 32
-    cols = [F.col(c) for c in (*group_cols, *order_cols)]
-    part = df.repartitionByRange(num_partitions, *cols)
-    tagged = part.withColumn("_gpr_pid", F.spark_partition_id())
-    wloc = Window.partitionBy("_gpr_pid", *group_cols).orderBy(
+    key_cols = [*group_cols, *order_cols]
+    tagged = df.withColumn(
+        "_gpr_blk", _quantile_block_expr(df, key_cols, num_partitions)
+    )
+    wloc = Window.partitionBy("_gpr_blk", *group_cols).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
     ranked = tagged.withColumn("_gpr_lrn", F.row_number().over(wloc))
-    cnt = ranked.groupBy("_gpr_pid", *group_cols).agg(
-        F.max("_gpr_lrn").alias("_gpr_cnt")
+    cnt = tagged.groupBy("_gpr_blk", *group_cols).agg(
+        F.count(F.lit(1)).alias("_gpr_cnt")
     )
     wgrp = Window.partitionBy(*group_cols)
-    woff = wgrp.orderBy("_gpr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    woff = wgrp.orderBy("_gpr_blk").rowsBetween(Window.unboundedPreceding, -1)
     offs = cnt.select(
-        F.col("_gpr_pid").alias("_gpr_pid2"),
+        F.col("_gpr_blk").alias("_gpr_blk2"),
         *[F.col(c).alias(f"_gpr_g_{c}") for c in group_cols],
         F.coalesce(F.sum("_gpr_cnt").over(woff), F.lit(0)).alias("_gpr_off"),
         F.sum("_gpr_cnt").over(wgrp).alias("_gpr_n"),
     )
     # null-safe equality on the group keys: a NULL group is a real group
     # (window PARTITION BY semantics); plain EqualTo would drop its rows
-    cond = F.col("_gpr_pid") == F.col("_gpr_pid2")
+    cond = F.col("_gpr_blk") == F.col("_gpr_blk2")
     for c in group_cols:
         cond = cond & F.col(c).eqNullSafe(F.col(f"_gpr_g_{c}"))
     return (
         ranked.join(F.broadcast(offs), cond, "inner")
-        .drop("_gpr_pid2", *[f"_gpr_g_{c}" for c in group_cols])
+        .drop("_gpr_blk2", *[f"_gpr_g_{c}" for c in group_cols])
     )
 
 
@@ -317,9 +375,11 @@ def grouped_exact_quantiles(
     ``percentile()`` / DuckDB ``quantile_cont`` — WITHOUT the exact
     aggregate's whole-multiset buffer (corpus/|groups| values in one
     task). Two-level range row_number per group, combinable group
-    counts, then pick + interpolate the two rows framing each target
-    position ``1 + (n-1)*p`` via a broadcast target join: touched rows
-    bounded by 2 × |groups| × |ps|.
+    counts, then pick + interpolate the two rows framing each 0-based
+    target position ``(n-1)*p`` via a broadcast target join (the SAME
+    position arithmetic percentile() uses, so the interpolation
+    fraction is bit-identical): touched rows bounded by
+    2 × |groups| × |ps|.
 
     Nulls in ``value_col`` are ignored, and — matching percentile() /
     quantile_cont under GROUP BY — a group whose values are ALL null
@@ -350,15 +410,17 @@ def grouped_exact_quantiles(
         nt.filter(F.col("_geq_n") > 0)
         .select(*tgt_groups, "_geq_n", F.explode(qs).alias(out_p))
         .withColumn(
-            "_geq_t",
-            F.lit(1.0) + (F.col("_geq_n") - 1).cast("double") * F.col(out_p),
+            # 0-based position, exactly percentile()'s (n-1)*p — adding
+            # 1.0 first can shift the fractional part by an ulp
+            "_geq_pos",
+            (F.col("_geq_n") - 1).cast("double") * F.col(out_p),
         )
         .select(
             *[f"_geq_{c}" for c in group_cols],
             out_p,
-            "_geq_t",
-            F.floor("_geq_t").cast("bigint").alias("_geq_lo"),
-            F.ceil("_geq_t").cast("bigint").alias("_geq_hi"),
+            "_geq_pos",
+            (F.floor("_geq_pos").cast("bigint") + 1).alias("_geq_lo"),
+            (F.ceil("_geq_pos").cast("bigint") + 1).alias("_geq_hi"),
         )
     )
     cond = (F.col("_geq_rn") == F.col("_geq_lo")) | (
@@ -367,10 +429,10 @@ def grouped_exact_quantiles(
     for c in group_cols:
         cond = cond & F.col(c).eqNullSafe(F.col(f"_geq_{c}"))
     hits = ranked.join(F.broadcast(targets), cond).select(
-        *group_cols, out_p, "_geq_t", "_geq_lo", "_geq_rn", F.col(value_col).alias("_geq_v")
+        *group_cols, out_p, "_geq_pos", "_geq_lo", "_geq_rn", F.col(value_col).alias("_geq_v")
     )
     out = (
-        hits.groupBy(*group_cols, out_p, "_geq_t", "_geq_lo")
+        hits.groupBy(*group_cols, out_p, "_geq_pos", "_geq_lo")
         .agg(
             F.min(F.when(F.col("_geq_rn") == F.col("_geq_lo"), F.col("_geq_v"))).alias("_geq_vlo"),
             F.min(F.when(F.col("_geq_rn") != F.col("_geq_lo"), F.col("_geq_v"))).alias("_geq_vhi"),
@@ -380,7 +442,7 @@ def grouped_exact_quantiles(
             out_p,
             (
                 F.col("_geq_vlo")
-                + (F.col("_geq_t") - F.col("_geq_lo"))
+                + (F.col("_geq_pos") - F.floor("_geq_pos"))
                 * (F.coalesce(F.col("_geq_vhi"), F.col("_geq_vlo")) - F.col("_geq_vlo"))
             ).alias(out_v),
         )

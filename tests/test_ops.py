@@ -359,37 +359,59 @@ def test_grouped_rank_null_group_and_all_null_values(spark):
             assert abs(got_q[k] - v) < 1e-12, k
 
 
-def test_grouped_rank_reuse_guard(spark):
-    """The consistency contract of _grouped_global_rank, both ways:
-    with exchange reuse disabled but AQE on, stage reuse still serves
-    both consumers of the ranked subtree from one shuffle (parity
-    verified empirically); with BOTH off the helper must refuse rather
-    than risk misaligned pid/boundary assignments."""
-    import pytest as _pytest
+def test_grouped_rank_no_reuse_dependency(spark):
+    """_grouped_global_rank's block ids are a pure function of row
+    values against driver-materialized literal boundaries, so the count
+    and probe branches agree UNCONDITIONALLY — exact results even with
+    exchange reuse disabled AND AQE off (the configuration the old
+    sampled-range-pid construction had to refuse), and with both off
+    plus a hostile shuffle-partition count."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from sparkwrangle.ops.windows import grouped_row_number
+    from sparkwrangle.ops.windows import (
+        grouped_exact_quantiles,
+        grouped_percent_rank,
+        grouped_row_number,
+    )
 
-    rows = [(i, ["x", "y"][i % 2], float(i % 7)) for i in range(100)]
+    rows = [(i, ["x", "y", None][i % 3], float(i % 7)) for i in range(300)]
     df = spark.createDataFrame(rows, "id long, g string, v double")
     w = Window.partitionBy("g").orderBy("v", "id")
-    want = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    want_rn = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    want_pr = {r.id: r.pr for r in df.withColumn("pr", F.percent_rank().over(w)).collect()}
+    want_q = {
+        (r.g, p): r.q[i]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.25D, 0.5D, 0.9D))").alias("q"))
+        .collect()
+        for i, p in enumerate([0.25, 0.5, 0.9])
+    }
 
     old_reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try:
         spark.conf.set("spark.sql.exchange.reuse", "false")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        got = {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got_rn = {
             r.id: r.rn
             for r in grouped_row_number(df, ["g"], ["v", "id"], num_partitions=5).collect()
         }
-        assert got == want
-
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        with _pytest.raises(ValueError, match="exchange reuse"):
-            grouped_row_number(df, ["g"], ["v", "id"], num_partitions=5)
+        assert got_rn == want_rn
+        got_pr = {
+            r.id: r.pr
+            for r in grouped_percent_rank(df, ["g"], ["v", "id"], num_partitions=7).collect()
+        }
+        assert got_pr == want_pr
+        got_q = {
+            (r.g, r.p): r.v
+            for r in grouped_exact_quantiles(
+                df, ["g"], "v", [0.25, 0.5, 0.9], tiebreak_cols=["id"], num_partitions=5
+            ).collect()
+        }
+        assert set(got_q) == set(want_q)
+        for k, v in want_q.items():
+            assert got_q[k] == v, k  # bit-identical (n-1)*p interpolation
     finally:
         spark.conf.set("spark.sql.exchange.reuse", old_reuse)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

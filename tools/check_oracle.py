@@ -65,6 +65,15 @@ def main():
             args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    # the committed ORACLE_FULLGATE.json is the full-surface default-
+    # session proof record — a subset or hostile run must not silently
+    # clobber it; demand an explicit --json=path for those
+    if json_path == default_json and (only or hostile):
+        sys.exit(
+            "refusing to overwrite the full-gate record with a "
+            f"{'subset' if only else 'hostile'} run: pass an explicit "
+            "--json=path"
+        )
     if hostile:
         from pyspark.sql import SparkSession
 
