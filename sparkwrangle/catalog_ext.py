@@ -2611,18 +2611,24 @@ def x_quality_prune(spark, sf_dir):
     from sparkwrangle.ops.windows import grouped_percent_rank
 
     docs = _t(spark, sf_dir, "documents")
-    # localCheckpoint: the range partitioner's boundary-sampling job
-    # would otherwise evaluate the tokenize/text-stats subtree twice
     scored = add_text_stats(docs).select(
         "doc_id", "lang", r6("quality").alias("quality")
-    ).localCheckpoint()
+    )
     # exact percent_rank per lang WITHOUT a one-task-per-language sort:
-    # two-level range ranking (ops/windows.grouped_percent_rank) — a
-    # plain PARTITION BY lang window serializes each language's whole
-    # corpus into a single task at 100 TB. (quality, doc_id) is a total
-    # order, so the result is bitwise the window form's (oracle-pinned).
+    # two-level ranking (ops/windows.grouped_percent_rank) — a plain
+    # PARTITION BY lang window serializes each language's whole corpus
+    # into a single task at 100 TB. (quality, doc_id) is a total order,
+    # so the result is bitwise the window form's (oracle-pinned).
+    # quality ∈ [0, 1] by construction (NULL only for empty docs), so
+    # floor(quality·32) is a ZERO-JOB order_block — no boundary
+    # count/sample jobs, no checkpoint needed to shield them from
+    # re-evaluating the tokenize subtree
     pruned = grouped_percent_rank(
-        scored, ["lang"], ["quality", "doc_id"], out_col="pr"
+        scored,
+        ["lang"],
+        ["quality", "doc_id"],
+        out_col="pr",
+        order_block=F.coalesce(F.floor(F.col("quality") * 32), F.lit(-1)),
     ).filter(F.col("pr") >= 0.2)
     return pruned.select(
         "doc_id", "lang", "quality", r6("pr").alias("quality_rank")
@@ -3050,13 +3056,19 @@ def x_epoch_shuffle(spark, sf_dir):
         "doc_id",
         h60(F.concat(F.lit(SEED + "|"), F.col("doc_id").cast("string"))).alias("hsh"),
     ).withColumn("shard", (F.col("hsh") % N_SHARDS).cast("bigint"))
-    # two-level range row_number, NOT a PARTITION BY shard window: the
-    # shard count is fixed and small, so a plain window sorts corpus/8
-    # rows in each of 8 tasks at 100 TB (the low-cardinality-stratum
-    # hazard, same as the quality quintile prune). (hsh, doc_id) is a
-    # total order within each shard.
+    # two-level row_number, NOT a PARTITION BY shard window: the shard
+    # count is fixed and small, so a plain window sorts corpus/8 rows in
+    # each of 8 tasks at 100 TB (the low-cardinality-stratum hazard,
+    # same as the quality quintile prune). (hsh, doc_id) is a total
+    # order within each shard, and hsh is a uniform non-negative 60-bit
+    # hash — its top bits are a ZERO-JOB order_block (no boundary
+    # sampling pass)
     return grouped_row_number(
-        h, ["shard"], ["hsh", "doc_id"], out_col="pos"
+        h,
+        ["shard"],
+        ["hsh", "doc_id"],
+        out_col="pos",
+        order_block=F.shiftright(F.col("hsh"), 55),
     ).select("doc_id", "shard", F.col("pos").cast("bigint").alias("pos"))
 
 
@@ -3228,24 +3240,29 @@ def x_curation_pipeline_end_to_end(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != "src0")
-    # materialize the scores once, SLIM (no text): grouped_percent_rank's
-    # range partitioner runs a boundary-sampling job over its input
-    # (would otherwise re-tokenize the corpus), and keeping the text
-    # column out means the range exchange, the rank window exchange, and
-    # this checkpoint all move ~40 bytes/doc instead of the whole corpus
-    # text; the survivors join the text back below, one shuffle of text
-    # for the ≤80% keep-set instead of three corpus-text movements
+    # score SLIM (no text): the rank exchanges move ~40 bytes/doc
+    # instead of the whole corpus text; the survivors join the text back
+    # below, one shuffle of text for the ≤80% keep-set. No checkpoint
+    # needed anymore: the zero-job order_block (quality ∈ [0, 1]) means
+    # the rank runs no boundary-sampling pass that would re-tokenize,
+    # and its two plan consumers share the window exchange.
     scored = add_text_stats(train).select(
         "doc_id", "lang", "source", "n_tokens", r6("quality").alias("quality")
-    ).localCheckpoint()
-    # materialize the survivor set once: four downstream consumers
-    # (3-gram shingles, CC node universe, 8-gram shingles, final join)
-    # would otherwise each re-derive text-stats + the quality ranking
-    # (measured 18 s -> ~6 s at sf0.1); same pattern as the CC edge list.
-    # The per-lang percent_rank is the two-level range-ranking form —
-    # no one-task-per-language sort (see x_quality_prune).
+    )
+    # The survivor set is materialized once below (keepq): four
+    # downstream consumers (3-gram shingles, CC node universe, 8-gram
+    # shingles, final join) would otherwise each re-derive text-stats +
+    # the quality ranking (measured 18 s -> ~6 s at sf0.1); same pattern
+    # as the CC edge list. The per-lang percent_rank is the two-level
+    # form — no one-task-per-language sort (see x_quality_prune).
     kept = (
-        grouped_percent_rank(scored, ["lang"], ["quality", "doc_id"], out_col="pr")
+        grouped_percent_rank(
+            scored,
+            ["lang"],
+            ["quality", "doc_id"],
+            out_col="pr",
+            order_block=F.coalesce(F.floor(F.col("quality") * 32), F.lit(-1)),
+        )
         .filter(F.col("pr") >= 0.2)
         .select("doc_id", "lang", "source", "n_tokens")
     )

@@ -133,6 +133,7 @@ def grouped_percent_rank(
     order_cols: list[str],
     out_col: str = "pr",
     num_partitions: int | None = None,
+    order_block: Column | None = None,
 ) -> DataFrame:
     """EXACT ``percent_rank() OVER (PARTITION BY group ORDER BY order)``
     without a one-task-per-group sort — the scale form for
@@ -165,8 +166,12 @@ def grouped_percent_rank(
 
     The group columns may also be empty — that computes a GLOBAL exact
     percent_rank with no single-partition exchange anywhere.
+
+    ``order_block`` (optional) replaces the sampled boundaries with a
+    caller-supplied ZERO-JOB bucketing column — see
+    ``_grouped_global_rank`` for its contract.
     """
-    joined = _grouped_global_rank(df, group_cols, order_cols, num_partitions)
+    joined = _grouped_global_rank(df, group_cols, order_cols, num_partitions, order_block)
     rank = F.col("_gpr_off") + F.col("_gpr_lrn")
     pr = F.when(
         F.col("_gpr_n") > 1,
@@ -183,14 +188,16 @@ def grouped_row_number(
     order_cols: list[str],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    order_block: Column | None = None,
 ) -> DataFrame:
     """EXACT ``row_number() OVER (PARTITION BY group ORDER BY order)``
     without a one-task-per-group sort — same two-level range-ranking
     machinery and the same contracts as ``grouped_percent_rank``
     (low-cardinality strata; ``order_cols`` must be a total order within
     each group; ascending; empty ``group_cols`` = exact global
-    row_number with no single-partition exchange)."""
-    joined = _grouped_global_rank(df, group_cols, order_cols, num_partitions)
+    row_number with no single-partition exchange; optional
+    ``order_block`` = caller-supplied zero-job bucketing)."""
+    joined = _grouped_global_rank(df, group_cols, order_cols, num_partitions, order_block)
     return joined.withColumn(
         out_col, (F.col("_gpr_off") + F.col("_gpr_lrn")).cast("bigint")
     ).drop("_gpr_blk", "_gpr_lrn", "_gpr_off", "_gpr_n")
@@ -266,6 +273,7 @@ def _grouped_global_rank(
     group_cols: list[str],
     order_cols: list[str],
     num_partitions: int | None,
+    order_block: Column | None = None,
 ) -> DataFrame:
     """Shared core of grouped_percent_rank / grouped_row_number: returns
     ``df`` plus the internal columns ``_gpr_blk``, ``_gpr_lrn`` (local
@@ -282,6 +290,15 @@ def _grouped_global_rank(
     canonicalization, and the count branch needs no window at all (a
     plain combinable ``count(*)`` per (block, group)).
 
+    ``order_block`` (optional) skips the boundary count/sample jobs
+    entirely: a caller-supplied bucketing Column that must be (a) a pure
+    function of the row, (b) never NULL, and (c) NON-DECREASING along
+    ``order_cols`` within every group — e.g. ``floor(score * 32)`` for a
+    score in [0, 1], or ``shiftright(hash, 55)`` for a uniform 60-bit
+    hash. Map NULL order values to the MINIMUM block (NULLS sort first)
+    and double NaNs to the maximum. Balance is the caller's concern;
+    a violated monotonicity contract silently mis-ranks.
+
     NULL group keys form their own group, exactly like a window's
     PARTITION BY (the offsets join is null-safe)."""
     spark = df.sparkSession
@@ -291,15 +308,21 @@ def _grouped_global_rank(
         except Exception:
             num_partitions = 32
     key_cols = [*group_cols, *order_cols]
-    tagged = df.withColumn(
-        "_gpr_blk", _quantile_block_expr(df, key_cols, num_partitions)
-    )
+    if order_block is None:
+        order_block = _quantile_block_expr(df, key_cols, num_partitions)
+    tagged = df.withColumn("_gpr_blk", order_block)
     wloc = Window.partitionBy("_gpr_blk", *group_cols).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
     ranked = tagged.withColumn("_gpr_lrn", F.row_number().over(wloc))
-    cnt = tagged.groupBy("_gpr_blk", *group_cols).agg(
-        F.count(F.lit(1)).alias("_gpr_cnt")
+    # count branch reads `ranked` (not `tagged`) so exchange reuse can
+    # serve both consumers from the window's one shuffle — with the
+    # value-derived blocks that is purely a PERF optimization: if reuse
+    # is off or fails, both branches recompute identical block ids and
+    # identical counts (max(lrn) per cell == count(*), recomputation-
+    # invariant even under tied orderings)
+    cnt = ranked.groupBy("_gpr_blk", *group_cols).agg(
+        F.max("_gpr_lrn").alias("_gpr_cnt")
     )
     wgrp = Window.partitionBy(*group_cols)
     woff = wgrp.orderBy("_gpr_blk").rowsBetween(Window.unboundedPreceding, -1)

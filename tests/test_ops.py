@@ -175,6 +175,37 @@ def test_ewma_matches_pandas_adjust_true(spark):
         assert abs(got[i + 1] - round(w, 6)) <= 1e-6, (i, got[i + 1], w)
 
 
+def test_grouped_rank_order_block_matches_window_form(spark):
+    """The caller-supplied zero-job ``order_block`` path (a bucketing
+    expression monotone in the order key — here floor(v), with NULLs
+    mapped to the minimum block) is bitwise the plain window form,
+    including NULL order values and NULL group keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.ops.windows import grouped_percent_rank, grouped_row_number
+
+    rows = [
+        (i, ["a", "b", None][i % 3], float(i % 11) / 2 if i % 13 else None)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    blk = F.coalesce(F.floor("v").cast("bigint"), F.lit(-1))
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want_rn = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    got_rn = {
+        r.id: r.rn
+        for r in grouped_row_number(df, ["g"], ["v", "id"], order_block=blk).collect()
+    }
+    assert got_rn == want_rn
+    want_pr = {r.id: r.pr for r in df.withColumn("pr", F.percent_rank().over(w)).collect()}
+    got_pr = {
+        r.id: r.pr
+        for r in grouped_percent_rank(df, ["g"], ["v", "id"], order_block=blk).collect()
+    }
+    assert got_pr == want_pr
+
+
 def test_grouped_percent_rank_matches_window_form(spark):
     """grouped_percent_rank (two-level range ranking, no per-group
     single-task sort) is bitwise the plain percent_rank window: groups
