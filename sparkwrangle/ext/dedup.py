@@ -666,15 +666,16 @@ def lsh_verified_pairs(
     """LSH candidate pairs verified by exact Jaccard, with the quadratic
     check restricted to candidate MEMBERS: the candidate pair list is
     materialized once (``localCheckpoint`` — it is tiny, near-dup pairs
-    only), its member-id set broadcast, and the shingle table semi-joined
-    down to those docs before the Jaccard self-join. Sizes stay exact
-    (every shingle of a member survives the semi-join), and the final
-    inner join against the pair list restores exact pair membership — the
-    output is bitwise identical to verifying corpus-wide (pinned by the
-    oracle gate), but the self-join fan-out is bounded by the candidate
-    set instead of Σ df(shingle)² over the whole corpus. This is the
-    composition every product pipeline should use; the corpus-wide form
-    survives only in the standalone `x_dedup_ngram_jaccard` (df-capped).
+    only), its member-id set broadcast, the shingle table semi-joined
+    down to those docs, and each member's shingle SET collected into one
+    doc-length-bounded array so the verify is
+    ``size(array_intersect(A, B))`` per pair — a |candidates|-row plan,
+    never a |candidates| × doc-length row blowup and never
+    Σ df(shingle)² over the whole corpus. The output is bitwise
+    identical to verifying corpus-wide (pinned by the oracle gate).
+    This is the composition every product pipeline should use; the
+    corpus-wide long-format form survives in the standalone
+    `x_dedup_ngram_jaccard` (df-capped).
 
     ``sh`` may be a shingle MULTISET (``shingles(..., distinct=False)``) —
     and should be, for one fewer corpus-wide shuffle: min-hash over a
@@ -690,9 +691,34 @@ def lsh_verified_pairs(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cdocs), id_col, "left_semi").distinct()
-    jac = ngram_jaccard_pairs(sh_c, id_col, threshold=threshold)
-    return cand.join(jac, ["id_a", "id_b"], "inner").select("id_a", "id_b")
+    # exact verify via per-member shingle-set ARRAYS (collect_set
+    # dedupes the multiset input): |A∩B| = size(array_intersect) on a
+    # |cand|-row plan — measured ~2× faster than the long-format
+    # intersection join at sf0.1 (same trick as prefix_filter_pairs;
+    # state per row is one doc's shingles, order-insensitive so no
+    # exchange-reuse dependence)
+    sets = (
+        sh.join(F.broadcast(cdocs), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_ss"))
+    )
+    return (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("_ss").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("_ss").alias("_sb")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("_sa") + F.size("_sb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
 
 
 def prefix_filter_pairs(
@@ -817,31 +843,42 @@ def prefix_filter_pairs(
         # re-evaluates per consumer, same policy as lsh_verified_pairs
         .localCheckpoint()
     )
-    # exact verify: count the true intersection for candidates only —
-    # the pair list is near-dup-sized, so AQE broadcasts it and fan-out
-    # is |candidates| × doc length, not a corpus self-join. Restrict the
-    # shingle stream to candidate MEMBERS first (one scan + broadcast
-    # semi-join) and materialize that near-dup-sized slice, so the two
-    # verify legs read it instead of each re-evaluating the full corpus
-    # shingle stream — the lsh_verified_pairs shape.
+    # exact verify via per-member shingle-set ARRAYS: collect each
+    # candidate member's (doc-length-bounded) shingle set once, join the
+    # two arrays onto each pair, and |A∩B| = size(array_intersect) — a
+    # |cand|-row plan instead of the |cand| × doc-length row blowup of a
+    # long-format intersection join (measured 3.5 s → 2.0 s warm for the
+    # verify half at sf0.1, t=0.5, 120k candidates). The member
+    # restriction is a broadcast semi-join on the near-dup-sized id set;
+    # state per row is one doc's shingles, the same bound as any per-doc
+    # collect in the engine, and the two set joins are plain equi-joins
+    # (AQE-splittable). array_intersect is order-insensitive, so the
+    # two sides needing the same groupBy output is a reuse PERF note,
+    # not a correctness dependency.
     cdocs = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cdocs), id_col, "left_semi").localCheckpoint()
-    asv = sh_c.select(F.col(id_col).alias("id_a"), "shingle")
-    bsv = sh_c.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.select("id_a", "id_b")
-        .join(asv, "id_a")
-        .join(bsv, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    sets = (
+        sh.join(F.broadcast(cdocs), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("_ss"))
     )
-    out = cand.join(inter, ["id_a", "id_b"]).withColumn(
-        "jaccard",
-        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+    out = (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("_ss").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("_ss").alias("_sb")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")).cast("bigint"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
     )
     return out.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard"
