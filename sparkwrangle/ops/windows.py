@@ -203,30 +203,63 @@ def grouped_row_number(
     ).drop("_gpr_blk", "_gpr_lrn", "_gpr_off", "_gpr_n")
 
 
-def _quantile_block_expr(df: DataFrame, key_cols: list[str], n_blocks: int) -> Column:
+_NUMERIC_APPROX_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _quantile_block_expr(
+    df: DataFrame, group_cols: list[str], order_cols: list[str], n_blocks: int
+) -> Column:
     """Deterministic order-contiguous block id derived from row VALUES.
 
-    First pass: count + a bounded uniform sample of the composite key
-    (≈64 keys per block, collected to the driver — the same bounded
-    sampling job Spark's own RangePartitioner runs inside
-    ``repartitionByRange``, made explicit so the boundaries become plan
-    LITERALS). The sample is sorted under Spark's ordering (ASC, NULLS
-    FIRST, NaN last) and ``n_blocks - 1`` evenly spaced boundary keys
-    are embedded as a literal array of structs.
+    Numeric fast path (ONE job): when the LEADING order column is
+    numeric, boundaries are its ``approxQuantile`` (Greenwald-Khanna —
+    a single aggregate pass, nothing but the ~n_blocks boundary values
+    reaches the driver) and block id = count of boundaries ``<= value``
+    on the double cast. Non-decreasing in the order key by
+    construction (the double cast is monotone, equal keys share a
+    block), NULLs fall to block 0 via three-valued logic (they sort
+    FIRST), and NaN compares largest in Spark so it lands in the top
+    block — both exactly where the sort puts them. Approximation error
+    only unbalances blocks; it can never mis-rank. Blocks ignore the
+    group columns entirely — the offsets roll up per (block, group), so
+    only within-group monotonicity matters.
 
-    Block id = COUNT of boundaries ``<= key`` (Spark struct comparison
-    is a nulls-first TOTAL order returning true/false, never null).
-    Each indicator is monotone in the key, so blocks are always
-    order-contiguous regardless of sampling quality — a bad sample can
-    only unbalance blocks, never mis-rank. Identical keys always land
-    in the same block (value-determined, unlike partition ids), and the
-    expression is a pure function of the row, so every consumer of the
-    tagged frame recomputes the SAME block id: no exchange-reuse or
-    checkpoint dependency. Cost per row is O(n_blocks) struct compares
-    (JVM-side, codegen); key columns must be scalar orderable types.
+    General path (count + bounded sample): a uniform sample of the
+    composite (group, order) key (≈64 keys per block, collected to the
+    driver — the same bounded sampling job Spark's own RangePartitioner
+    runs inside ``repartitionByRange``, made explicit so the boundaries
+    become plan LITERALS). The sample is sorted under Spark's ordering
+    (ASC, NULLS FIRST, NaN last) and ``n_blocks - 1`` evenly spaced
+    boundary keys are embedded as a literal array of structs; block id
+    = COUNT of boundaries ``<= key`` (Spark struct comparison is a
+    nulls-first TOTAL order returning true/false, never null — probed
+    and pinned by test).
+
+    Either way each boundary indicator is monotone in the key, so
+    blocks are always order-contiguous regardless of sampling quality,
+    identical keys always share a block (value-determined, unlike
+    partition ids), and the expression is a pure function of the row —
+    every consumer of the tagged frame recomputes the SAME block id: no
+    exchange-reuse or checkpoint dependency. Cost per row is
+    O(n_blocks) compares (JVM-side, codegen); key columns must be
+    scalar orderable types.
     """
     if n_blocks <= 1:
         return F.lit(0)
+    key_cols = [*group_cols, *order_cols]
+    lead = order_cols[0] if order_cols else None
+    dtypes = dict(df.dtypes)
+    if lead is not None and dtypes.get(lead) in _NUMERIC_APPROX_TYPES:
+        probs = [i / n_blocks for i in range(1, n_blocks)]
+        bnds = sorted(set(df.approxQuantile(lead, probs, 0.01)))
+        if not bnds:
+            return F.lit(0)
+        arr = F.array(*[F.lit(float(b)) for b in bnds])
+        key = F.col(lead).cast("double")
+        # filter() drops NULL predicate results, so NULL keys get block
+        # 0 (nulls-first) with no special case; NaN >= every boundary
+        # in Spark's ordering, so it gets the top block (NaN-last)
+        return F.size(F.filter(arr, lambda b: b <= key))
     vals = df.select(*key_cols)
     n = vals.count()
     if n == 0:
@@ -307,9 +340,8 @@ def _grouped_global_rank(
             num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except Exception:
             num_partitions = 32
-    key_cols = [*group_cols, *order_cols]
     if order_block is None:
-        order_block = _quantile_block_expr(df, key_cols, num_partitions)
+        order_block = _quantile_block_expr(df, group_cols, order_cols, num_partitions)
     tagged = df.withColumn("_gpr_blk", order_block)
     wloc = Window.partitionBy("_gpr_blk", *group_cols).orderBy(
         *[F.col(c).asc() for c in order_cols]

@@ -175,6 +175,36 @@ def test_ewma_matches_pandas_adjust_true(spark):
         assert abs(got[i + 1] - round(w, 6)) <= 1e-6, (i, got[i + 1], w)
 
 
+def test_grouped_rank_string_order_matches_window_form(spark):
+    """The struct-sampled boundary path (non-numeric leading order key —
+    the numeric approxQuantile fast path can't engage) is bitwise the
+    plain window form, with NULL order values, NaN-free strings, and a
+    NULL group key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkwrangle.ops.windows import grouped_percent_rank, grouped_row_number
+
+    rows = [
+        (i, ["a", None][i % 2], f"tok{(i * 37) % 50:02d}" if i % 11 else None)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    w = Window.partitionBy("g").orderBy("s", "id")
+    want_rn = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    got_rn = {
+        r.id: r.rn
+        for r in grouped_row_number(df, ["g"], ["s", "id"], num_partitions=5).collect()
+    }
+    assert got_rn == want_rn
+    want_pr = {r.id: r.pr for r in df.withColumn("pr", F.percent_rank().over(w)).collect()}
+    got_pr = {
+        r.id: r.pr
+        for r in grouped_percent_rank(df, ["g"], ["s", "id"], num_partitions=5).collect()
+    }
+    assert got_pr == want_pr
+
+
 def test_grouped_rank_order_block_matches_window_form(spark):
     """The caller-supplied zero-job ``order_block`` path (a bucketing
     expression monotone in the order key — here floor(v), with NULLs
