@@ -436,7 +436,16 @@ def test_grouped_rank_no_reuse_dependency(spark):
         grouped_row_number,
     )
 
-    rows = [(i, ["x", "y", None][i % 3], float(i % 7)) for i in range(300)]
+    # NULL, NaN, and ordinary doubles in the order key: NULLs sort
+    # first, NaN last — the block expression must agree with the sort
+    def _v(i):
+        if i % 13 == 0:
+            return None
+        if i % 17 == 0:
+            return float("nan")
+        return float(i % 7)
+
+    rows = [(i, ["x", "y", None][i % 3], _v(i)) for i in range(300)]
     df = spark.createDataFrame(rows, "id long, g string, v double")
     w = Window.partitionBy("g").orderBy("v", "id")
     want_rn = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
@@ -472,7 +481,11 @@ def test_grouped_rank_no_reuse_dependency(spark):
         }
         assert set(got_q) == set(want_q)
         for k, v in want_q.items():
-            assert got_q[k] == v, k  # bit-identical (n-1)*p interpolation
+            g = got_q[k]
+            if v != v:  # NaN-valued quantile (NaN sorts last, both engines)
+                assert g != g, k
+            else:
+                assert g == v, k  # bit-identical (n-1)*p interpolation
     finally:
         spark.conf.set("spark.sql.exchange.reuse", old_reuse)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
