@@ -656,6 +656,43 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return agg.select(id_col, sig.alias("simhash"))
 
 
+def _member_set_intersections(
+    sh: DataFrame, cand: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared exact-verify core of lsh_verified_pairs /
+    prefix_filter_pairs: restrict the shingle stream to candidate
+    MEMBERS (broadcast semi-join on the near-dup-sized id set), collect
+    each member's shingle SET into one doc-length-bounded array
+    (collect_set — a no-op dedupe when ``sh`` is already distinct), and
+    return ``cand`` with ``_sa``/``_sb`` set arrays and ``inter`` =
+    ``size(array_intersect(_sa, _sb))`` — exact |A∩B| on a |cand|-row
+    plan, never a |cand| × doc-length row blowup and never
+    Σ df(shingle)² over the corpus. array_intersect is
+    order-insensitive, so the two set joins carry no exchange-reuse
+    dependence."""
+    cdocs = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        sh.join(F.broadcast(cdocs), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_ss"))
+    )
+    return (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("_ss").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("_ss").alias("_sb")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")).cast("bigint"))
+    )
+
+
 def lsh_verified_pairs(
     sh: DataFrame,
     id_col: str = "doc_id",
@@ -686,32 +723,11 @@ def lsh_verified_pairs(
     """
     sigs = minhash_signatures(sh, id_col, k=k)
     cand = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands).localCheckpoint()
-    cdocs = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    # exact verify via per-member shingle-set ARRAYS (collect_set
-    # dedupes the multiset input): |A∩B| = size(array_intersect) on a
-    # |cand|-row plan — measured ~2× faster than the long-format
-    # intersection join at sf0.1 (same trick as prefix_filter_pairs;
-    # state per row is one doc's shingles, order-insensitive so no
-    # exchange-reuse dependence)
-    sets = (
-        sh.join(F.broadcast(cdocs), id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("_ss"))
-    )
+    # exact verify via the shared member-set core (collect_set dedupes
+    # the multiset input) — measured ~2× faster than the long-format
+    # intersection join at sf0.1; sizes come from the set arrays
     return (
-        cand.join(
-            sets.select(F.col(id_col).alias("id_a"), F.col("_ss").alias("_sa")),
-            "id_a",
-        )
-        .join(
-            sets.select(F.col(id_col).alias("id_b"), F.col("_ss").alias("_sb")),
-            "id_b",
-        )
-        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
+        _member_set_intersections(sh, cand, id_col)
         .withColumn(
             "jaccard",
             F.col("inter") / (F.size("_sa") + F.size("_sb") - F.col("inter")),
@@ -843,42 +859,13 @@ def prefix_filter_pairs(
         # re-evaluates per consumer, same policy as lsh_verified_pairs
         .localCheckpoint()
     )
-    # exact verify via per-member shingle-set ARRAYS: collect each
-    # candidate member's (doc-length-bounded) shingle set once, join the
-    # two arrays onto each pair, and |A∩B| = size(array_intersect) — a
-    # |cand|-row plan instead of the |cand| × doc-length row blowup of a
-    # long-format intersection join (measured 3.5 s → 2.0 s warm for the
-    # verify half at sf0.1, t=0.5, 120k candidates). The member
-    # restriction is a broadcast semi-join on the near-dup-sized id set;
-    # state per row is one doc's shingles, the same bound as any per-doc
-    # collect in the engine, and the two set joins are plain equi-joins
-    # (AQE-splittable). array_intersect is order-insensitive, so the
-    # two sides needing the same groupBy output is a reuse PERF note,
-    # not a correctness dependency.
-    cdocs = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sets = (
-        sh.join(F.broadcast(cdocs), id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("_ss"))
-    )
-    out = (
-        cand.join(
-            sets.select(F.col(id_col).alias("id_a"), F.col("_ss").alias("_sa")),
-            "id_a",
-        )
-        .join(
-            sets.select(F.col(id_col).alias("id_b"), F.col("_ss").alias("_sb")),
-            "id_b",
-        )
-        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")).cast("bigint"))
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
+    # exact verify via the shared member-set core (measured 3.5 s →
+    # 2.0 s warm for the verify half at sf0.1, t=0.5, 120k candidates);
+    # sizes come from cand's sz_a/sz_b (set semantics — input is
+    # contractually distinct, so collect_set changes nothing)
+    out = _member_set_intersections(sh, cand, id_col).withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
     )
     return out.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard"

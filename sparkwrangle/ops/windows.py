@@ -228,7 +228,12 @@ def _quantile_block_expr(
     composite (group, order) key (≈64 keys per block, collected to the
     driver — the same bounded sampling job Spark's own RangePartitioner
     runs inside ``repartitionByRange``, made explicit so the boundaries
-    become plan LITERALS). The sample is sorted under Spark's ordering
+    become plan LITERALS). This costs TWO build-time passes over the
+    key subtree (count to size the fraction, then the sample) where
+    RangePartitioner's Scala-side reservoir needs one — a single-pass
+    reservoir from PySpark would mean RDD/Python on the hot path, the
+    wrong trade; callers with expensive subtrees should slim/checkpoint
+    them or supply ``order_block``. The sample is sorted under Spark's ordering
     (ASC, NULLS FIRST, NaN last) and ``n_blocks - 1`` evenly spaced
     boundary keys are embedded as a literal array of structs; block id
     = COUNT of boundaries ``<= key`` (Spark struct comparison is a
@@ -342,6 +347,13 @@ def _grouped_global_rank(
             num_partitions = 32
     if order_block is None:
         order_block = _quantile_block_expr(df, group_cols, order_cols, num_partitions)
+    else:
+        # a NULL block would silently vanish in the offsets equi-join
+        # (the sampled paths can never produce one) — fail loudly on a
+        # violated caller contract instead of dropping rows
+        order_block = F.when(order_block.isNotNull(), order_block).otherwise(
+            F.raise_error(F.lit("grouped ranking: order_block must never be NULL"))
+        )
     tagged = df.withColumn("_gpr_blk", order_block)
     wloc = Window.partitionBy("_gpr_blk", *group_cols).orderBy(
         *[F.col(c).asc() for c in order_cols]

@@ -235,6 +235,14 @@ def test_grouped_rank_order_block_matches_window_form(spark):
     }
     assert got_pr == want_pr
 
+    # a NULL block would silently vanish in the offsets equi-join — the
+    # helper must fail LOUDLY on a violated never-null contract instead
+    import pytest as _pytest
+
+    bad = F.floor("v").cast("bigint")  # NULL for the null-v rows
+    with _pytest.raises(Exception, match="order_block must never be NULL"):
+        grouped_row_number(df, ["g"], ["v", "id"], order_block=bad).collect()
+
 
 def test_grouped_percent_rank_matches_window_form(spark):
     """grouped_percent_rank (two-level range ranking, no per-group

@@ -66,13 +66,15 @@ def main():
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     # the committed ORACLE_FULLGATE.json is the full-surface default-
-    # session proof record — a subset or hostile run must not silently
-    # clobber it; demand an explicit --json=path for those
-    if json_path == default_json and (only or hostile):
+    # session sf0.01 proof record — a subset, hostile, or other-scale
+    # run must not silently clobber it; demand an explicit --json=path
+    if json_path == default_json and (
+        only or hostile or sf_dir != "/root/testdata/sf0.01"
+    ):
+        why = "subset" if only else ("hostile" if hostile else f"{sf_dir}")
         sys.exit(
             "refusing to overwrite the full-gate record with a "
-            f"{'subset' if only else 'hostile'} run: pass an explicit "
-            "--json=path"
+            f"{why} run: pass an explicit --json=path"
         )
     if hostile:
         from pyspark.sql import SparkSession
