@@ -319,7 +319,7 @@ def b_eligibility_filter(spark, sf_dir):
 def c_join_delta(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     c = _t(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey",
         r6((F.col("o_totalprice") - F.col("c_acctbal")) / F.col("o_totalprice")).alias(
             "delta"

@@ -84,7 +84,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
     )
     return (
         joined.groupBy("o_orderkey", F.to_date("o_orderdate").alias("orderdate"))
@@ -122,9 +122,9 @@ def tpch_q5_local_supplier(spark, sf_dir):
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -150,7 +150,7 @@ def q_rollup_revenue(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     return joined.rollup("n_name", F.year("o_orderdate").alias("yr")).agg(
@@ -1558,7 +1558,7 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
         .withColumnRenamed("l_partkey", "lim_partkey")
     )
     out = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(lim, li.l_partkey == lim.lim_partkey)
         .filter(F.col("l_quantity") < F.col("qty_limit"))
     )
@@ -1601,7 +1601,7 @@ def tpch_q18_large_orders(spark, sf_dir):
     )
     out = (
         o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(F.col("l_quantity")).alias("total_qty"))
@@ -1670,7 +1670,7 @@ def tpch_q14_promo_share(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    joined = li.join(F.broadcast(p.select("p_partkey", "p_type")),
+    joined = li.join(p.select("p_partkey", "p_type"),
                      li.l_partkey == p.p_partkey)
     return joined.agg(
         F.round(100.0 * dsum(promo) / dsum(rev), 6).alias("promo_revenue_pct")
@@ -2134,10 +2134,10 @@ def tpch_q8_market_share(spark, sf_dir):
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
     flat = (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
               li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               li.l_suppkey == F.col("s_suppkey"))
         .join(c.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
@@ -2254,7 +2254,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
     return (
         revenue.crossJoin(mx)
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+        .join(s.select("s_suppkey", "s_name"),
               F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.round("total_revenue", 6).alias("total_revenue")
@@ -2309,7 +2309,7 @@ def tpch_q19_shape_disjunctive_revenue(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+            p.select("p_partkey", "p_brand", "p_size"),
             li.l_partkey == F.col("p_partkey"),
         )
         .filter(band)
@@ -2375,7 +2375,7 @@ def tpch_q2_shape_min_cost_supplier(spark, sf_dir):
     )
     eu = (
         supply.join(
-            F.broadcast(s.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+            s.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
             supply.l_suppkey == F.col("s_suppkey"),
         )
         .join(
@@ -2397,7 +2397,7 @@ def tpch_q2_shape_min_cost_supplier(spark, sf_dir):
             (F.col("l_partkey") == F.col("m_partkey"))
             & (F.col("unit_cost") == F.col("_mn")),
         )
-        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -2447,11 +2447,11 @@ def tpch_q9_shape_product_profit(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            p.select("p_partkey", "p_retailprice"),
             li.l_partkey == F.col("p_partkey"),
         )
         .join(
-            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            s.select("s_suppkey", "s_nationkey"),
             li.l_suppkey == F.col("s_suppkey"),
         )
         .join(
@@ -2511,7 +2511,7 @@ def tpch_q11_shape_important_inventory(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     val = (
         li.join(
-            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            s.select("s_suppkey", "s_nationkey"),
             li.l_suppkey == F.col("s_suppkey"),
         )
         .join(
@@ -2574,9 +2574,9 @@ def tpch_q16_shape_supplier_variety(spark, sf_dir):
     )
     return (
         li.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(
-            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            p.select("p_partkey", "p_brand", "p_type", "p_size"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type", "p_size")
@@ -2644,7 +2644,7 @@ def tpch_q20_shape_excess_suppliers(spark, sf_dir):
     )
     dominant = (
         shipped.join(tot, shipped.l_partkey == tot.t_partkey)
-        .join(F.broadcast(p.select("p_partkey")), shipped.l_partkey == F.col("p_partkey"))
+        .join(p.select("p_partkey"), shipped.l_partkey == F.col("p_partkey"))
         .filter(F.col("qty") > F.lit(0.3) * F.col("total_qty"))
         .select("l_suppkey")
     )
@@ -2734,7 +2734,7 @@ def q_cube_grouping_id(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     return joined.cube("n_name", "c_mktsegment").agg(
