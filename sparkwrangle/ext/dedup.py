@@ -769,6 +769,10 @@ def prefix_filter_pairs(
       extra exchange beyond the count's own shuffle).
     * ``"hash"``: xxhash64(shingle) — orderless corpora or when the df
       pass is not worth it; zero extra jobs, average-case prefixes.
+      Measured at sf0.1 (flat synthetic dfs): ~0.5 s faster warm
+      because it skips two exchanges, but +40% candidate-join rows
+      (461k vs 329k) — on a natural Zipfian corpus that gap explodes,
+      so ``"df"`` stays the catalog/scale default.
 
     Scale shape (100 TB): no window over any corpus-wide key — the only
     windows partition by the DOC (bounded by doc length). The candidate
