@@ -507,11 +507,22 @@ def grouped_exact_quantiles(
         .select(
             *group_cols,
             out_p,
-            (
-                F.col("_geq_vlo")
-                + (F.col("_geq_pos") - F.floor("_geq_pos"))
-                * (F.coalesce(F.col("_geq_vhi"), F.col("_geq_vlo")) - F.col("_geq_vlo"))
-            ).alias(out_v),
+            # Spark's Percentile branches on an integral position and
+            # otherwise interpolates (higher−pos)·lo + (pos−lower)·hi —
+            # NOT lo + frac·(hi−lo), which is algebraically equal but
+            # differs by an ulp (e.g. 2.65 vs 2.6500000000000004 for
+            # lo=1, hi=6, frac=0.33); reproduce the same arithmetic so
+            # the result is bit-identical (fuzz-caught)
+            F.when(
+                F.col("_geq_vhi").isNull()
+                | (F.col("_geq_pos") == F.floor("_geq_pos")),
+                F.col("_geq_vlo"),
+            )
+            .otherwise(
+                (F.ceil("_geq_pos") - F.col("_geq_pos")) * F.col("_geq_vlo")
+                + (F.col("_geq_pos") - F.floor("_geq_pos")) * F.col("_geq_vhi")
+            )
+            .alias(out_v),
         )
     )
     # all-null groups: percentile()/quantile_cont emit the group with
