@@ -945,13 +945,20 @@ def edit_distance_pairs(
         raise ValueError(f"edit_distance_pairs: k must be >= 0, got {k}")
     if q < 1:
         raise ValueError(f"edit_distance_pairs: q must be >= 1, got {q}")
+    # keep EVERY non-null string — including those shorter than q
+    # (even empty): they have no q-grams, but they can still sit within
+    # edit distance k of other strings ('' vs 'c' at k=1), so they must
+    # flow through the short pass and the final verify. (Fuzz-caught:
+    # the old `length >= q` cut here silently dropped every pair
+    # involving a sub-q string.) NULLs stay excluded — levenshtein
+    # against NULL is NULL in both engines.
     strs = df.select(
         F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
-    ).filter(F.length("_s") >= q)
+    ).filter(F.col("_s").isNotNull())
     # distinct positional q-grams -> gram SET per string; the sequence
     # upper bound is always >= 0 after the length filter (sequence counts
     # DOWN for negative spans — the filter is load-bearing)
-    grams = strs.select(
+    grams = strs.filter(F.length("_s") >= q).select(
         "_id",
         F.length("_s").alias("_len"),
         F.explode(
@@ -1005,7 +1012,11 @@ def edit_distance_pairs(
             "_id",
             F.explode(
                 F.sequence(
-                    F.greatest(F.col("_len") - k, F.lit(q)), F.col("_len") + k
+                    # lower bound 0, not q: partners shorter than q
+                    # (including empty strings) are legal edit-distance
+                    # neighbors and carry no grams to find them with
+                    F.greatest(F.col("_len") - k, F.lit(0)),
+                    F.col("_len") + k,
                 )
             ).alias("_plen"),
         )
