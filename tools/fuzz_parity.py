@@ -1,0 +1,275 @@
+"""Randomized brute-force parity fuzz for the engine's EXACTNESS claims.
+
+The oracle gate compares engines after 1e-9/round-6 rounding, so any
+"bit-identical to a Spark builtin" or "lossless join" claim has a
+failure class the gate can never see (round 8 caught two real bugs this
+way: a one-ulp quantile-interpolation divergence, and the edit-distance
+join silently dropping every pair involving a sub-q string). This tool
+re-runs the full campaign; run it whenever one of the covered operators
+changes:
+
+    python tools/fuzz_parity.py [trials-multiplier]
+
+Covered: grouped_row_number / grouped_percent_rank /
+grouped_exact_quantiles (vs window forms + percentile(), bitwise, incl.
+NULL groups, NULL/NaN order keys, string keys, hostile block counts),
+grouped_top_k (vs rank window, arbitrary orderings), edit_distance_pairs
+(vs Python DP brute force, incl. empty/sub-q strings, multi-byte),
+prefix_filter_pairs (vs set brute force, random thresholds incl. 1.0),
+connected_components (vs union-find, random/chain/star/clique shapes).
+Exit code 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkwrangle.session import get_spark
+
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+FAILS = []
+
+
+def check(name, ok, detail=""):
+    if not ok:
+        FAILS.append(name)
+        print(f"FAIL  {name}: {detail}")
+
+
+def fuzz_grouped_ranks(spark):
+    from sparkwrangle.ops.windows import (
+        grouped_exact_quantiles,
+        grouped_percent_rank,
+        grouped_row_number,
+    )
+
+    rng = random.Random(8)
+    for trial in range(20 * MULT):
+        n = rng.choice([0, 1, 2, 7, 50, 300])
+        ng = rng.choice([1, 2, 5])
+        numeric = rng.random() < 0.5
+        nparts = rng.choice([1, 2, 3, 5, 16, 50])
+        rows = []
+        for i in range(n):
+            g = rng.choice([None, *[f"g{j}" for j in range(ng)]])
+            if numeric:
+                r = rng.random()
+                v = None if r < 0.1 else (float("nan") if r < 0.15 else float(rng.randint(0, 9)))
+            else:
+                v = None if rng.random() < 0.1 else f"s{rng.randint(0, 20):02d}"
+            rows.append((i, g, v))
+        schema = "id long, g string, v double" if numeric else "id long, g string, v string"
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        w = Window.partitionBy("g").orderBy("v", "id")
+        want_rn = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+        got_rn = {
+            r.id: r.rn
+            for r in grouped_row_number(df, ["g"], ["v", "id"], num_partitions=nparts).collect()
+        }
+        check("grouped_row_number", got_rn == want_rn, f"trial {trial}")
+        want_pr = {r.id: r.pr for r in df.withColumn("pr", F.percent_rank().over(w)).collect()}
+        got_pr = {
+            r.id: r.pr
+            for r in grouped_percent_rank(df, ["g"], ["v", "id"], num_partitions=nparts).collect()
+        }
+        check("grouped_percent_rank", got_pr == want_pr, f"trial {trial}")
+        if not numeric:
+            continue
+        ps = [0.0, 0.33, 0.5, 0.77, 1.0]
+        want_q = {
+            (r.g, p): (r.q[i] if r.q is not None else None)
+            for r in df.groupBy("g")
+            .agg(F.expr("percentile(v, array(0.0D,0.33D,0.5D,0.77D,1.0D))").alias("q"))
+            .collect()
+            for i, p in enumerate(ps)
+        }
+        got_q = {
+            (r.g, r.p): r.v
+            for r in grouped_exact_quantiles(
+                df, ["g"], "v", ps, tiebreak_cols=["id"], num_partitions=nparts
+            ).collect()
+        }
+        same = set(got_q) == set(want_q) and all(
+            (a is None and b is None)
+            or (a is not None and b is not None and ((a != a and b != b) or a == b))
+            for k in want_q
+            for a, b in [(got_q.get(k), want_q[k])]
+        )
+        check("grouped_exact_quantiles(bitwise)", same, f"trial {trial}")
+
+
+def fuzz_grouped_top_k(spark):
+    from sparkwrangle.ops.windows import grouped_top_k
+
+    rng = random.Random(44)
+    for trial in range(15 * MULT):
+        n = rng.choice([0, 1, 5, 60, 300])
+        k = rng.choice([1, 3, 10])
+        rows = []
+        for i in range(n):
+            g = rng.choice([None, "a", "b", "c"])
+            r = rng.random()
+            v = None if r < 0.12 else (float("nan") if r < 0.2 else float(rng.randint(0, 9)))
+            rows.append((i, g, v))
+        df = (
+            spark.createDataFrame(rows, "id long, g string, v double")
+            if rows
+            else spark.createDataFrame([], "id long, g string, v double")
+        )
+        order = [F.desc("v"), F.asc("id")] if rng.random() < 0.5 else [F.asc_nulls_last("v"), F.asc("id")]
+        w = Window.partitionBy("g").orderBy(*order)
+        want = {
+            r.id: r.rk
+            for r in df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).collect()
+        }
+        got = {r.id: r.rk for r in grouped_top_k(df, ["g"], order, k).collect()}
+        check("grouped_top_k", got == want, f"trial {trial}")
+
+
+def _py_lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def fuzz_edit_distance(spark):
+    from sparkwrangle.ext.dedup import edit_distance_pairs
+
+    rng = random.Random(5)
+    for trial in range(8 * MULT):
+        nd = rng.choice([0, 1, 2, 12, 40])
+        alpha = rng.choice(["ab", "abcde", "abcdefgh", "aàbβ"])
+        k = rng.choice([1, 2, 3])
+        q = rng.choice([2, 3])
+        rows = [
+            (i, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))))
+            for i in range(nd)
+        ]
+        df = (
+            spark.createDataFrame(rows, "doc_id long, s string")
+            if rows
+            else spark.createDataFrame([], "doc_id long, s string")
+        )
+        got = {
+            (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+            for r in edit_distance_pairs(df, "doc_id", "s", k=k, q=q).collect()
+        }
+        want = {
+            (min(a[0], b[0]), max(a[0], b[0]))
+            for a, b in itertools.combinations(rows, 2)
+            if _py_lev(a[1], b[1]) <= k
+        }
+        check("edit_distance_pairs", got == want, f"trial {trial} k={k} q={q}")
+
+
+def fuzz_prefix_filter(spark):
+    from sparkwrangle.ext.dedup import prefix_filter_pairs
+
+    rng = random.Random(13)
+    for trial in range(10 * MULT):
+        nd = rng.choice([0, 1, 2, 10, 30])
+        vocab = rng.randint(3, 30)
+        t = rng.choice([0.2, 0.5, 0.8, 1.0])
+        docs = {i: set(rng.sample(range(vocab), min(rng.randint(1, 12), vocab))) for i in range(nd)}
+        rows = [(i, f"sh{s}") for i, ss in docs.items() for s in ss]
+        df = (
+            spark.createDataFrame(rows, "doc_id long, shingle string")
+            if rows
+            else spark.createDataFrame([], "doc_id long, shingle string")
+        )
+        got = {
+            (r.id_a, r.id_b): r.inter
+            for r in prefix_filter_pairs(df, "doc_id", threshold=t).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(docs), 2):
+            inter = len(docs[a] & docs[b])
+            un = len(docs[a] | docs[b])
+            if un and inter / un >= t:
+                want[(a, b)] = inter
+        check("prefix_filter_pairs", got == want, f"trial {trial} t={t}")
+
+
+def fuzz_connected_components(spark):
+    from sparkwrangle.ext.dedup import connected_components
+
+    def brute(nodes, edges):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(3)
+    for trial in range(10 * MULT):
+        nn = rng.choice([0, 1, 2, 9, 40])
+        shape = rng.choice(["random", "chain", "star", "clique+isolates"])
+        nodes = list(range(nn))
+        edges = []
+        if nn >= 2:
+            if shape == "random":
+                edges = [(rng.randrange(nn), rng.randrange(nn)) for _ in range(rng.randint(0, nn * 2))]
+            elif shape == "chain":
+                edges = [(i, i + 1) for i in range(nn - 1)]
+            elif shape == "star":
+                edges = [(nn - 1, i) for i in range(nn - 1)]
+            else:
+                c = nodes[: nn // 2]
+                edges = [(a, b) for a in c for b in c if a < b]
+        pdf = (
+            spark.createDataFrame(edges, "id_a long, id_b long")
+            if edges
+            else spark.createDataFrame([], "id_a long, id_b long")
+        )
+        alln = (
+            spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+            if nodes
+            else spark.createDataFrame([], "doc_id long")
+        )
+        want = brute(nodes, edges)
+        got = {r.doc_id: r.cluster_id for r in connected_components(pdf, alln, "doc_id").collect()}
+        check("connected_components", got == want, f"trial {trial} {shape} n={nn}")
+
+
+def main():
+    spark = get_spark("fuzz_parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    for fn in (
+        fuzz_grouped_ranks,
+        fuzz_grouped_top_k,
+        fuzz_edit_distance,
+        fuzz_prefix_filter,
+        fuzz_connected_components,
+    ):
+        fn(spark)
+        print(f"done  {fn.__name__}")
+    if FAILS:
+        print(f"\n{len(FAILS)} FAILURES: {sorted(set(FAILS))}")
+        sys.exit(1)
+    print("\nall parity fuzz suites clean")
+
+
+if __name__ == "__main__":
+    main()
