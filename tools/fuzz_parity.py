@@ -16,7 +16,8 @@ NULL groups, NULL/NaN order keys, string keys, hostile block counts),
 grouped_top_k (vs rank window, arbitrary orderings), edit_distance_pairs
 (vs Python DP brute force, incl. empty/sub-q strings, multi-byte),
 prefix_filter_pairs (vs set brute force, random thresholds incl. 1.0),
-connected_components (vs union-find, random/chain/star/clique shapes).
+connected_components (vs union-find, random/chain/star/clique shapes),
+duplicate_spans (vs Counter brute force, window AND join count modes).
 Exit code 1 on any mismatch.
 """
 
@@ -253,6 +254,58 @@ def fuzz_connected_components(spark):
         check("connected_components", got == want, f"trial {trial} {shape} n={nn}")
 
 
+def fuzz_duplicate_spans(spark):
+    """Gaps-and-islands span merge vs a Python Counter brute force —
+    whitespace-token corpora so the reference tokenizer is trivial."""
+    from collections import Counter
+
+    from sparkwrangle.ext.dedup import duplicate_spans
+
+    def brute(docs, n, min_count):
+        grams = Counter()
+        tok = {i: s.split() for i, s in docs.items()}
+        for ts in tok.values():
+            for p in range(len(ts) - n + 1):
+                grams[" ".join(ts[p : p + n])] += 1
+        out = set()
+        for i, ts in tok.items():
+            dup = [p for p in range(len(ts) - n + 1) if grams[" ".join(ts[p : p + n])] >= min_count]
+            if not dup:
+                continue
+            start = prev = dup[0]
+            cnt = 1
+            for p in dup[1:]:
+                if p <= prev + n:
+                    prev = p
+                    cnt += 1
+                else:
+                    out.add((i, start, prev + n, prev + n - start, cnt))
+                    start = prev = p
+                    cnt = 1
+            out.add((i, start, prev + n, prev + n - start, cnt))
+        return out
+
+    rng = random.Random(21)
+    for trial in range(6 * MULT):
+        nd = rng.choice([1, 2, 8, 20])
+        vocab = [f"w{j}" for j in range(rng.randint(2, 12))]
+        n = rng.choice([2, 3])
+        mc = rng.choice([2, 3])
+        mode = rng.choice(["window", "join"])
+        docs = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+            for i in range(nd)
+        }
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_dup_grams)
+            for r in duplicate_spans(
+                df, "doc_id", "text", n=n, min_count=mc, count_mode=mode
+            ).collect()
+        }
+        check("duplicate_spans", got == brute(docs, n, mc), f"trial {trial} mode={mode}")
+
+
 def main():
     spark = get_spark("fuzz_parity")
     spark.sparkContext.setLogLevel("ERROR")
@@ -262,6 +315,7 @@ def main():
         fuzz_edit_distance,
         fuzz_prefix_filter,
         fuzz_connected_components,
+        fuzz_duplicate_spans,
     ):
         fn(spark)
         print(f"done  {fn.__name__}")
