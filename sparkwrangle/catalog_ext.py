@@ -2712,11 +2712,13 @@ def x_decontaminate(spark, sf_dir):
     """,
     doc="Sequence packing for training: lay every document's tokens on one "
     "global stream (doc_id order) and cut fixed 128-token context windows "
-    "- each doc maps to [first_bin, last_bin]. The global prefix sum is "
-    "computed scalably: per-block running sums (window partitioned by "
-    "doc_id block) plus a broadcast prefix over block totals, so no "
-    "single-partition window ever sees more than one block or the tiny "
-    "block-total table. The same two-level scan pattern packs 100 TB.",
+    "- each doc maps to [first_bin, last_bin]. The global prefix sum is a "
+    "THREE-level hierarchy (256-doc blocks -> 4096-block superblocks -> "
+    "4096-superblock top): each level's running sum is a window "
+    "partitioned by its parent, so the only global window runs over the "
+    "top level - corpus/2^32 rows, a few hundred even at 10^12 docs. "
+    "The same pattern packs 100 TB with no task ever seeing more than "
+    "4096 child totals.",
 )
 def x_sequence_packing(spark, sf_dir):
     from pyspark.sql import Window
@@ -2736,16 +2738,52 @@ def x_sequence_packing(spark, sf_dir):
     local = blk.withColumn(
         "local_off", F.coalesce(F.sum("n_tokens").over(wb), F.lit(0))
     )
-    btot = blk.groupBy("blk").agg(F.sum("n_tokens").alias("bt"))
-    wp = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = btot.withColumn(
-        "blk_off", F.coalesce(F.sum("bt").over(wp), F.lit(0))
-    ).select("blk", "blk_off")
+    # level 1: per-block totals, running-summed WITHIN each superblock
+    # (4096 blocks) — the window partitions by sb1, so no task sees more
+    # than 4096 rows
+    btot = blk.groupBy("blk").agg(F.sum("n_tokens").alias("bt")).withColumn(
+        "sb1", F.floor(F.col("blk") / 4096)
+    )
+    w1 = (
+        Window.partitionBy("sb1")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b1 = btot.withColumn("off1", F.coalesce(F.sum("bt").over(w1), F.lit(0)))
+    # level 2: per-superblock totals, running-summed within each
+    # top-level group (again 4096-way)
+    t1 = b1.groupBy("sb1").agg(F.sum("bt").alias("st1")).withColumn(
+        "sb2", F.floor(F.col("sb1") / 4096)
+    )
+    w2 = (
+        Window.partitionBy("sb2")
+        .orderBy("sb1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t1 = t1.withColumn("off2", F.coalesce(F.sum("st1").over(w2), F.lit(0)))
+    # level 3: the ONLY global window — corpus/2^32 rows (one per
+    # 4096·4096·256-doc top group), bounded for any physical corpus
+    t2 = t1.groupBy("sb2").agg(F.sum("st1").alias("st2"))
+    w3 = Window.orderBy("sb2").rowsBetween(Window.unboundedPreceding, -1)
+    t2 = t2.withColumn("off3", F.coalesce(F.sum("st2").over(w3), F.lit(0)))
+    # fold the three offset levels back down; every join is an equi-join
+    # on its level key (t2 is top-level-count-sized — broadcastable by
+    # stats; no forced hint, the level tables scale with corpus/2^20 and
+    # corpus/2^32)
+    prefix = (
+        b1.select("blk", "sb1", "off1")
+        .join(t1.select("sb1", "sb2", "off2"), "sb1")
+        .join(t2.select("sb2", "off3"), "sb2")
+        .select(
+            "blk",
+            (F.col("off1") + F.col("off2") + F.col("off3")).alias("blk_off"),
+        )
+    )
     start = F.col("local_off") + F.col("blk_off")
     first_bin = F.floor(start / 128.0)
     last_bin = F.floor((start + F.col("n_tokens") - 1) / 128.0)
     return (
-        local.join(F.broadcast(prefix), "blk")
+        local.join(prefix, "blk")
         .select(
             "doc_id",
             "n_tokens",

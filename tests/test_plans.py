@@ -133,11 +133,11 @@ _SINGLE_PARTITION_OK = {
     # the CDF running-sum window runs over the FINAL per-bin aggregate
     # — rows bounded by the fixed 256-bin histogram width
     "x_histogram_quantiles",
-    # the global prefix sum's SECOND level: the block-totals window runs
-    # over the per-block aggregate — 256x smaller than the corpus (one
-    # row per 256-doc block, two longs wide). The documented two-level
-    # compromise; a 100x-larger corpus raises the block size (or adds a
-    # third level) rather than widening this exchange.
+    # the global prefix sum's TOP (third) level: the only global window
+    # runs over the per-top-group aggregate — one row per
+    # 4096·4096·256-doc group, i.e. corpus/2^32 rows (a few hundred even
+    # at 10^12 docs). Levels one and two are windows partitioned by
+    # their parent key and never see more than 4096 child totals.
     "x_sequence_packing",
 }
 
