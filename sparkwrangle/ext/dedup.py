@@ -675,8 +675,12 @@ def _member_set_intersections(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # no forced broadcast: cdocs is near-dup-sized on a healthy corpus,
+    # but on a DUP-HEAVY corpus (where dedup actually runs) it can
+    # approach the corpus — let statistics/AQE broadcast it when it is
+    # actually small and fall back to a shuffled semi-join otherwise
     sets = (
-        sh.join(F.broadcast(cdocs), id_col, "left_semi")
+        sh.join(cdocs, id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("_ss"))
     )
