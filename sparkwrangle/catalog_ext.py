@@ -1490,7 +1490,11 @@ def x_tfidf_top_terms(spark, sf_dir):
     # n_docs stays IN-PLAN as a broadcast 1-row aggregate (a driver-side
     # .count() here would run a separate blocking job per invocation)
     n = F.broadcast(docs.agg(F.count("*").cast("double").alias("n_docs")))
-    scored = tf.join(F.broadcast(df), "term").crossJoin(n).select(
+    # no forced broadcast of the df table: a token vocabulary grows
+    # with the corpus (Heaps' law — 10^8-10^9 distinct terms on web
+    # data), so let statistics/AQE pick broadcast vs shuffled join;
+    # the term equi-join is AQE-skew-splittable either way
+    scored = tf.join(df, "term").crossJoin(n).select(
         "doc_id",
         "term",
         rf(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
@@ -2811,7 +2815,7 @@ def x_sequence_packing(spark, sf_dir):
     doc="Unigram-LM quality scoring (the KenLM-perplexity stand-in): fit "
     "token frequencies over the corpus, score each document by its mean "
     "negative log-likelihood. Two aggregations plus one join on token; "
-    "the vocabulary is bounded by language (broadcastable), so the "
+    "the vocabulary join is a token equi-join sized by statistics "
     "scoring pass is map-side against 100 TB of documents. High avg_nll "
     "= rare-token-heavy docs (gibberish/OCR noise candidates).",
 )
@@ -2823,7 +2827,8 @@ def x_unigram_logprob(spark, sf_dir):
     toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").alias("n"))
-    scored = toks.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(tot))
+    # vocab is corpus-scaling (Heaps' law) — statistics/AQE decide
+    scored = toks.join(vocab, "tok").crossJoin(F.broadcast(tot))
     # per-doc mean NLL via the DECIMAL accumulator (same rule as
     # x_perplexity_prune: a float avg of ln values is order-sensitive in
     # the last ulps, and the rf floor makes that visible at a boundary)
