@@ -1475,7 +1475,8 @@ def x_dedup_pipeline_end_to_end(spark, sf_dir):
     """,
     doc="North-star text analysis: TF-IDF (tf × ln(N/df)) with top-3 terms "
     "per document — two map-side-combinable aggregations + a broadcast of "
-    "the tiny df table; the relational form of HashingTF/IDF.",
+    "the df table (statistics-sized join — a corpus-scaling vocabulary "
+    "must not be force-broadcast); the relational form of HashingTF/IDF.",
 )
 def x_tfidf_top_terms(spark, sf_dir):
     from pyspark.sql import Window
@@ -2773,7 +2774,10 @@ def x_sequence_packing(spark, sf_dir):
     # fold the three offset levels back down; every join is an equi-join
     # on its level key (t2 is top-level-count-sized — broadcastable by
     # stats; no forced hint, the level tables scale with corpus/2^20 and
-    # corpus/2^32)
+    # corpus/2^32). The three branches share btot's groupBy('blk')
+    # exchange via exchange reuse — a PERF-only reliance (block ids are
+    # value-derived, so a reuse-off recompute is identical), same stance
+    # as _grouped_global_rank's count branch
     prefix = (
         b1.select("blk", "sb1", "off1")
         .join(t1.select("sb1", "sb2", "off2"), "sb1")
@@ -2815,9 +2819,11 @@ def x_sequence_packing(spark, sf_dir):
     doc="Unigram-LM quality scoring (the KenLM-perplexity stand-in): fit "
     "token frequencies over the corpus, score each document by its mean "
     "negative log-likelihood. Two aggregations plus one join on token; "
-    "the vocabulary join is a token equi-join sized by statistics "
-    "scoring pass is map-side against 100 TB of documents. High avg_nll "
-    "= rare-token-heavy docs (gibberish/OCR noise candidates).",
+    "the vocabulary join is a token equi-join sized by statistics — "
+    "broadcast (hence map-side scoring) when the vocab is actually "
+    "small, a skew-splittable shuffled join on web-scale vocabularies. "
+    "High avg_nll = rare-token-heavy docs (gibberish/OCR noise "
+    "candidates).",
 )
 def x_unigram_logprob(spark, sf_dir):
     from sparkwrangle.catalog import rf

@@ -917,9 +917,11 @@ def edit_distance_pairs(
 
     The total order is ascending document frequency with the gram string
     as tiebreak (rarest first), minimizing candidate fan-out exactly as
-    in ``prefix_filter_pairs``. Strings shorter than ``q`` carry no gram
-    and are excluded by contract (filter them upstream; this function
-    drops them).
+    in ``prefix_filter_pairs``. Strings shorter than ``q`` (including
+    empty) carry no gram but remain full participants — they flow
+    through the short pass, so pairs like ('', 'c') at k=1 ARE returned
+    (round-8 fuzz fix). Only NULL strings are excluded (levenshtein
+    against NULL is NULL in both engines).
 
     Scale shape (100 TB): no corpus-wide window — the only window
     partitions by the STRING's id (bounded by string length). The

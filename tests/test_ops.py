@@ -176,82 +176,21 @@ def test_ewma_matches_pandas_adjust_true(spark):
 
 
 def test_grouped_rank_randomized_parity_fuzz(spark):
-    """Randomized parity sweep of the whole block-rank family against
-    the plain window/aggregate forms: random sizes (incl. empty),
-    group cardinalities, NULL group keys, NULL/NaN order values,
-    numeric AND string order keys, and hostile block counts. The
-    round-8 fuzz at 80 trials caught a real ulp divergence (the
-    interpolation had to be (ceil−pos)·lo + (pos−floor)·hi to match
-    percentile() bitwise); this committed slice keeps that class
-    pinned."""
-    import random
+    """Committed slice of the bitwise parity fuzz (tools/fuzz_parity.py
+    — the single source of the harness; run the tool directly for the
+    full campaign). The round-8 80-trial run caught a real ulp
+    divergence (the interpolation had to be (ceil−pos)·lo +
+    (pos−floor)·hi to match percentile() bitwise); this keeps that
+    class pinned in the suite."""
+    import sys
+    from pathlib import Path
 
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools import fuzz_parity as fp
 
-    from sparkwrangle.ops.windows import (
-        grouped_exact_quantiles,
-        grouped_percent_rank,
-        grouped_row_number,
-    )
-
-    rng = random.Random(8)
-    trials = 0
-    while trials < 8:
-        n = rng.choice([0, 1, 2, 7, 50, 300])
-        ng = rng.choice([1, 2, 5])
-        numeric = rng.random() < 0.5
-        nparts = rng.choice([1, 2, 3, 5, 16, 50])
-        rows = []
-        for i in range(n):
-            g = rng.choice([None, *[f"g{j}" for j in range(ng)]])
-            if numeric:
-                r = rng.random()
-                v = None if r < 0.1 else (float("nan") if r < 0.15 else float(rng.randint(0, 9)))
-            else:
-                v = None if rng.random() < 0.1 else f"s{rng.randint(0, 20):02d}"
-            rows.append((i, g, v))
-        schema = "id long, g string, v double" if numeric else "id long, g string, v string"
-        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
-        trials += 1
-        w = Window.partitionBy("g").orderBy("v", "id")
-        want_rn = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
-        got_rn = {
-            r.id: r.rn
-            for r in grouped_row_number(df, ["g"], ["v", "id"], num_partitions=nparts).collect()
-        }
-        assert got_rn == want_rn, (trials, n, numeric, nparts)
-        want_pr = {r.id: r.pr for r in df.withColumn("pr", F.percent_rank().over(w)).collect()}
-        got_pr = {
-            r.id: r.pr
-            for r in grouped_percent_rank(df, ["g"], ["v", "id"], num_partitions=nparts).collect()
-        }
-        assert got_pr == want_pr, (trials, n, numeric, nparts)
-        if not numeric:
-            continue
-        ps = [0.0, 0.33, 0.5, 0.77, 1.0]
-        want_q = {
-            (r.g, p): (r.q[i] if r.q is not None else None)
-            for r in df.groupBy("g")
-            .agg(F.expr("percentile(v, array(0.0D,0.33D,0.5D,0.77D,1.0D))").alias("q"))
-            .collect()
-            for i, p in enumerate(ps)
-        }
-        got_q = {
-            (r.g, r.p): r.v
-            for r in grouped_exact_quantiles(
-                df, ["g"], "v", ps, tiebreak_cols=["id"], num_partitions=nparts
-            ).collect()
-        }
-        assert set(got_q) == set(want_q), (trials, n, nparts)
-        for k, b in want_q.items():
-            a = got_q[k]
-            if b is None:
-                assert a is None, k
-            elif b != b:
-                assert a != a, k
-            else:
-                assert a == b, (k, a, b)  # bitwise — percentile()'s arithmetic
+    fp.FAILS.clear()
+    fp.fuzz_grouped_ranks(spark, trials=8)
+    assert not fp.FAILS, fp.FAILS
 
 
 def test_grouped_rank_string_order_matches_window_form(spark):

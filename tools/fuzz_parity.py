@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 
 from sparkwrangle.session import get_spark
 
-MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+# guard the parse: this module is also imported by the committed
+# regression test, where sys.argv holds pytest arguments
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 1
 FAILS = []
 
 
@@ -45,7 +47,7 @@ def check(name, ok, detail=""):
         print(f"FAIL  {name}: {detail}")
 
 
-def fuzz_grouped_ranks(spark):
+def fuzz_grouped_ranks(spark, trials=None):
     from sparkwrangle.ops.windows import (
         grouped_exact_quantiles,
         grouped_percent_rank,
@@ -53,7 +55,7 @@ def fuzz_grouped_ranks(spark):
     )
 
     rng = random.Random(8)
-    for trial in range(20 * MULT):
+    for trial in range(trials if trials is not None else 20 * MULT):
         n = rng.choice([0, 1, 2, 7, 50, 300])
         ng = rng.choice([1, 2, 5])
         numeric = rng.random() < 0.5
