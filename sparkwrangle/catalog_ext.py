@@ -1074,10 +1074,14 @@ def x_multimodal_meta(spark, sf_dir):
     FROM documents
     """,
     doc="North-star multimodal decode: Arrow-batched mapInPandas feature "
-    "extraction over payload bytes (STUB decoder — deterministic byte-mean; "
-    "real schema/partitioning/batch plumbing). Oracle exploits the ASCII "
-    "corpus (char code = byte value), so even the stub decode is "
-    "hash-checked; integer byte sums divide identically in both engines.",
+    "extraction over payload bytes. decode_features dispatches by declared "
+    "codec or payload magic bytes to the module's REAL BMP/WAV/PNG/JPEG "
+    "decoders; text/plain payloads carry no codec signature, so this entry "
+    "exercises the generic byte-mean path. Oracle exploits the ASCII "
+    "corpus (char code = byte value), so the generic path is hash-checked; "
+    "integer byte sums divide identically in both engines. The real-decode "
+    "paths are oracle-checked by the x_multimodal_{bmp,wav,png,jpeg}_* "
+    "entries.",
 )
 def x_multimodal_features(spark, sf_dir):
     from sparkwrangle.ext.multimodal import attach_payload, decode_features

@@ -661,7 +661,8 @@ def _member_set_intersections(
 ) -> DataFrame:
     """Shared exact-verify core of lsh_verified_pairs /
     prefix_filter_pairs: restrict the shingle stream to candidate
-    MEMBERS (broadcast semi-join on the near-dup-sized id set), collect
+    MEMBERS (semi-join on the member-id set — statistics/AQE-sized, no
+    forced broadcast: see the inline comment on ``cdocs``), collect
     each member's shingle SET into one doc-length-bounded array
     (collect_set — a no-op dedupe when ``sh`` is already distinct), and
     return ``cand`` with ``_sa``/``_sb`` set arrays and ``inter`` =
@@ -707,7 +708,8 @@ def lsh_verified_pairs(
     """LSH candidate pairs verified by exact Jaccard, with the quadratic
     check restricted to candidate MEMBERS: the candidate pair list is
     materialized once (``localCheckpoint`` — it is tiny, near-dup pairs
-    only), its member-id set broadcast, the shingle table semi-joined
+    only), the shingle table semi-joined on its member-id set (the
+    semi-join is statistics/AQE-sized, not force-broadcast) and thus cut
     down to those docs, and each member's shingle SET collected into one
     doc-length-bounded array so the verify is
     ``size(array_intersect(A, B))`` per pair — a |candidates|-row plan,

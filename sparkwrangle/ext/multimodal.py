@@ -4,10 +4,15 @@
 At 100 TB the payload column stores a POINTER (uri) plus small inline
 bytes for thumbnails; decode/feature-extract runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through the driver and batches
-stream through fixed-size Arrow buffers. The actual image/audio decoders
-are not available in this container — ``decode_features`` therefore ships
-a clearly-marked deterministic STUB with the real schema, partitioning,
-UDF signature, and batch shape, swappable for PIL/ffmpeg workers.
+stream through fixed-size Arrow buffers. This module carries REAL
+pure-Python decoders for four formats — 24-bpp BMP, PCM-16 WAV, PNG
+(all five filter types + Adam7 interlace, via zlib), and JPEG (baseline
+SOF0 + progressive SOF2, canonical Huffman + numpy IDCT) —
+``decode_features`` dispatches to them by declared media type or by
+payload magic bytes. Only video frame-sampling remains container-blocked
+(no container/codec library here): ``sample_frames`` ships a
+deterministic byte-slicing stand-in with the real schema, partitioning,
+UDF signature, and batch shape, swappable for an ffmpeg worker.
 """
 
 from __future__ import annotations
@@ -61,18 +66,83 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _mean_bmp(b: bytes) -> float | None:
+    _, _, psum, pcnt = decode_bmp(b)
+    return psum / pcnt if pcnt else None
+
+
+def _mean_wav(b: bytes) -> float | None:
+    n, _, ssum, ch = decode_wav(b)
+    return ssum / (n * ch) if n else None
+
+
+def _mean_png(b: bytes) -> float | None:
+    _, _, psum, pcnt = decode_png(b)
+    return psum / pcnt if pcnt else None
+
+
+def _mean_jpeg(b: bytes) -> float | None:
+    _, _, psum, pcnt = decode_jpeg(b)
+    return psum / pcnt if pcnt else None
+
+
+# Declared-type dispatch: a media_type that NAMES a codec this module
+# really decodes is a contract — a corrupt payload raises (honest-decoder
+# behavior), never silently degrades to a checksum.
+_TYPED_MEAN = {
+    "image/bmp": _mean_bmp,
+    "audio/wav": _mean_wav,
+    "image/png": _mean_png,
+    "image/jpeg": _mean_jpeg,
+}
+
+
+def _sniff_codec(b: bytes):
+    """Magic-byte sniff for payloads whose declared type names no codec:
+    BM (BMP), RIFF….WAVE, the 8-byte PNG signature, the JPEG SOI marker.
+    Returns the matching mean-decoder or None."""
+    if b[:2] == b"BM":
+        return _mean_bmp
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return _mean_wav
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _mean_png
+    if b[:2] == b"\xff\xd8":
+        return _mean_jpeg
+    return None
+
+
+def _payload_feature_mean(mt: str, b: bytes) -> float | None:
+    typed = _TYPED_MEAN.get(mt)
+    if typed is not None:
+        return typed(b)
+    sniffed = _sniff_codec(b)
+    if sniffed is not None:
+        try:
+            return sniffed(b)
+        except ValueError:
+            # For an UNDECLARED type the magic match is a heuristic, not a
+            # contract — a text document may legitimately begin with "BM".
+            pass
+    return sum(b) / len(b)
+
+
 def decode_features(media: DataFrame) -> DataFrame:
     """Feature extraction over payload bytes via mapInPandas.
 
-    ``image/bmp`` payloads get a REAL decode: ``decode_bmp`` parses the
-    BITMAPFILEHEADER/BITMAPINFOHEADER and the 24-bpp padded pixel array
-    (dependency-free — struct offsets only), and the feature is the mean
-    over actual CHANNEL bytes (padding excluded: a raw byte-mean over the
-    file would be wrong, which is what makes this a decode rather than a
-    checksum). Other media types fall back to the whole-payload byte mean
-    — the generic "unknown codec" feature, swappable for PIL/ffmpeg
-    workers per type. The Spark-side plumbing — Arrow batching, schema,
-    per-partition streaming — is the production shape either way.
+    Dispatch is two-level. A media_type naming a codec this module really
+    decodes (image/bmp, audio/wav, image/png, image/jpeg) routes to that
+    decoder and the feature is the mean over DECODED content — channel
+    bytes excluding row padding for BMP, signed PCM samples for WAV,
+    unfiltered/de-interlaced pixels for PNG, IDCT-reconstructed pixels
+    for JPEG — a raw byte-mean over the file would be wrong for every one
+    of them, which is what makes this a decode rather than a checksum.
+    Any other declared type is sniffed by magic bytes and routed to the
+    matching real decoder when one matches; otherwise (or when a sniffed
+    parse fails) the feature is the whole-payload byte mean — the generic
+    "unknown codec" path, swappable for a PIL/ffmpeg worker per type.
+    The Spark-side plumbing — Arrow batching, schema, per-partition
+    streaming — is the production shape in all cases.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,17 +151,8 @@ def decode_features(media: DataFrame) -> DataFrame:
             for mt, b in zip(pdf["media_type"], pdf["payload"]):
                 if b is None or len(b) == 0:
                     means.append(None)
-                elif mt == "image/bmp":
-                    _, _, psum, pcnt = decode_bmp(bytes(b))
-                    means.append(psum / pcnt if pcnt else None)
-                elif mt == "audio/wav":
-                    n, _, ssum, ch = decode_wav(bytes(b))
-                    means.append(ssum / (n * ch) if n else None)
-                elif mt == "image/png":
-                    _, _, psum, pcnt = decode_png(bytes(b))
-                    means.append(psum / pcnt if pcnt else None)
                 else:
-                    means.append(sum(b) / len(b))
+                    means.append(_payload_feature_mean(mt, bytes(b)))
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

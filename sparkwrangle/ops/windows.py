@@ -170,6 +170,15 @@ def grouped_percent_rank(
     ``order_block`` (optional) replaces the sampled boundaries with a
     caller-supplied ZERO-JOB bucketing column — see
     ``_grouped_global_rank`` for its contract.
+
+    BUILD-TIME COST (applies to every function in this family unless
+    ``order_block`` is given): deriving the literal block boundaries runs
+    Spark jobs EAGERLY at call time — one ``approxQuantile`` aggregate
+    when the leading order column is numeric, else a count plus a bounded
+    sample — and each such job re-evaluates the input's plan subtree.
+    If ``df`` sits on an expensive unmaterialized subtree (joins, UDFs),
+    either slim/checkpoint it first or supply ``order_block`` (zero
+    build-time jobs); details in ``_quantile_block_expr``.
     """
     joined = _grouped_global_rank(df, group_cols, order_cols, num_partitions, order_block)
     rank = F.col("_gpr_off") + F.col("_gpr_lrn")
@@ -196,7 +205,9 @@ def grouped_row_number(
     (low-cardinality strata; ``order_cols`` must be a total order within
     each group; ascending; empty ``group_cols`` = exact global
     row_number with no single-partition exchange; optional
-    ``order_block`` = caller-supplied zero-job bucketing)."""
+    ``order_block`` = caller-supplied zero-job bucketing; without it,
+    boundary jobs run EAGERLY at call time and re-evaluate the input
+    subtree — see ``grouped_percent_rank`` BUILD-TIME COST)."""
     joined = _grouped_global_rank(df, group_cols, order_cols, num_partitions, order_block)
     return joined.withColumn(
         out_col, (F.col("_gpr_off") + F.col("_gpr_lrn")).cast("bigint")
@@ -456,6 +467,11 @@ def grouped_exact_quantiles(
     tie-insensitive either way (tied rows carry equal values, so any
     position assignment within a tie yields the same pick). Returns one
     row per (group, p): ``(*group_cols, out_p, out_v)``.
+
+    Runs build-time boundary jobs EAGERLY at call time (usually one
+    ``approxQuantile`` — ``value_col`` leads the order and is typically
+    numeric) that re-evaluate ``df``'s plan subtree; slim/checkpoint an
+    expensive input first — see ``grouped_percent_rank`` BUILD-TIME COST.
     """
     tiebreak_cols = list(tiebreak_cols or [])
     vals = df.select(*group_cols, value_col, *tiebreak_cols).filter(

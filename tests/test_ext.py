@@ -96,7 +96,7 @@ def test_cosine_topk_self_similarity_excluded(spark):
     assert all(r.query_id == 0 for r in out)
 
 
-def test_multimodal_decode_stub_schema_and_values(spark):
+def test_multimodal_decode_generic_schema_and_values(spark):
     docs = _docs(spark)
     media = attach_payload(docs)
     assert [f.name for f in media.schema.fields] == [
@@ -1040,13 +1040,17 @@ def test_pq_rerank_equals_brute_force_on_clustered_data(spark):
 def test_decode_features_mixed_media_dispatch(spark):
     """One decode_features pass over a MIXED media table routes each row
     to its real decoder (BMP channel mean, WAV sample mean, PNG pixel
-    mean) with the generic byte-mean fallback for unknown types."""
+    mean, JPEG pixel mean); undeclared types are magic-byte-sniffed to
+    the real decoders, with the generic byte-mean fallback for payloads
+    matching no signature (or whose sniffed parse fails)."""
     from sparkwrangle.ext.multimodal import (
         decode_bmp,
         decode_features,
+        decode_jpeg,
         decode_png,
         decode_wav,
         encode_bmp_deterministic,
+        encode_jpeg_deterministic,
         encode_png_deterministic,
         encode_wav_deterministic,
     )
@@ -1056,6 +1060,14 @@ def test_decode_features_mixed_media_dispatch(spark):
         (2, "audio/wav", encode_wav_deterministic(7)),
         (3, "image/png", encode_png_deterministic(7)),
         (4, "application/unknown", b"abcd"),
+        (5, "image/jpeg", encode_jpeg_deterministic(7)),
+        # undeclared type, real payloads → magic-byte sniff finds the codec
+        (6, "application/octet-stream", encode_png_deterministic(9)),
+        (7, "application/octet-stream", encode_jpeg_deterministic(9)),
+        (8, "application/octet-stream", encode_wav_deterministic(9)),
+        # sniff matches "BM" but the parse fails → byte-mean fallback,
+        # NOT an exception (heuristic match on an undeclared type)
+        (9, "text/plain", b"BMW sales rose"),
     ]
     media = spark.createDataFrame(
         [(i, mt, len(b), bytearray(b)) for i, mt, b in payloads],
@@ -1069,6 +1081,31 @@ def test_decode_features_mixed_media_dispatch(spark):
     _, _, ps, pc = decode_png(payloads[2][2])
     assert abs(got[3] - ps / pc) < 1e-9
     assert abs(got[4] - sum(b"abcd") / 4) < 1e-9
+    _, _, js, jc = decode_jpeg(payloads[4][2])
+    assert abs(got[5] - js / jc) < 1e-9
+    _, _, ps9, pc9 = decode_png(payloads[5][2])
+    assert abs(got[6] - ps9 / pc9) < 1e-9
+    _, _, js9, jc9 = decode_jpeg(payloads[6][2])
+    assert abs(got[7] - js9 / jc9) < 1e-9
+    n9, _, ws9, ch9 = decode_wav(payloads[7][2])
+    assert abs(got[8] - ws9 / (n9 * ch9)) < 1e-9
+    fallback = payloads[8][2]
+    assert abs(got[9] - sum(fallback) / len(fallback)) < 1e-9
+
+
+def test_decode_features_declared_codec_contract_raises(spark):
+    """A DECLARED codec type with a corrupt payload raises (honest-decoder
+    contract) rather than silently degrading to a byte-mean."""
+    import pytest
+
+    from sparkwrangle.ext.multimodal import decode_features
+
+    media = spark.createDataFrame(
+        [(1, "image/bmp", 4, bytearray(b"BMxx"))],
+        "doc_id long, media_type string, n_bytes long, payload binary",
+    )
+    with pytest.raises(Exception, match="BMP"):
+        decode_features(media).collect()
 
 
 def test_cms_never_undercounts_and_mostly_exact(spark):
@@ -1530,6 +1567,46 @@ def test_weighted_sample_biases_toward_quality(spark):
         add_text_stats(docs).agg(F.avg("quality")).collect()[0][0]
     )
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_quality_score_null_or_unit_interval_never_nan(spark):
+    """Pins the add_text_stats quality INVARIANT the x_quality_prune /
+    curation order_block=floor(quality*32) call sites depend on: quality
+    is NULL or in [0, 1] and NEVER NaN, on adversarial docs (empty,
+    NULL, whitespace-only, all-punctuation, huge, stopword-free,
+    non-ASCII) AND on the real corpus. floor(NaN) would land in the
+    wrong block while NaN sorts last — a silent mis-rank — so a quality
+    formula change that breaks this must fail here, not in the field."""
+    import math
+
+    from sparkwrangle.ext.text import add_text_stats
+    from sparkwrangle.io import load_table
+    from conftest import SF_ORACLE
+
+    adversarial = [
+        (1, ""),
+        (2, None),
+        (3, "   \t\n  "),
+        (4, "!!!???;;;///***(((" * 10),
+        (5, "the and is of to " * 500),
+        (6, "zzzqqq xxyyzz qwerty " * 40),
+        (7, "漢字テキスト、句読点。" * 25),
+        (8, "a"),
+    ]
+    docs = spark.createDataFrame(adversarial, "doc_id long, text string")
+    for r in add_text_stats(docs).select("doc_id", "quality").collect():
+        q = r.quality
+        assert q is None or (not math.isnan(q) and 0.0 <= q <= 1.0), (r.doc_id, q)
+    corpus = add_text_stats(load_table(spark, SF_ORACLE, "documents"))
+    bad = corpus.filter(
+        F.col("quality").isNotNull()
+        & (
+            F.isnan("quality")
+            | (F.col("quality") < 0)
+            | (F.col("quality") > 1)
+        )
+    ).count()
+    assert bad == 0
 
 
 def test_simhash_banding_exact_for_radius_3(spark):

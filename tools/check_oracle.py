@@ -68,8 +68,12 @@ def main():
     # the committed ORACLE_FULLGATE.json is the full-surface default-
     # session sf0.01 proof record — a subset, hostile, or other-scale
     # run must not silently clobber it; demand an explicit --json=path
-    if json_path == default_json and (
-        only or hostile or sf_dir != "/root/testdata/sf0.01"
+    # resolve() so an explicit-but-equivalent spelling of the default
+    # path (relative, ./-prefixed, symlinked) cannot slip past the guard
+    if (
+        json_path is not None
+        and Path(json_path).resolve() == Path(default_json).resolve()
+        and (only or hostile or sf_dir != "/root/testdata/sf0.01")
     ):
         why = "subset" if only else ("hostile" if hostile else f"{sf_dir}")
         sys.exit(
