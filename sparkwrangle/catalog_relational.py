@@ -2355,9 +2355,16 @@ def tpch_q19_shape_disjunctive_revenue(spark, sf_dir):
     "small-size part, keep the EUROPE supplier(s) whose observed unit "
     "cost ties the per-part minimum — the canonical correlated-scalar-"
     "subquery-per-group query. The oracle keeps the correlated form; "
-    "the Spark plan is its decorrelation: a groupwise-min aggregate "
-    "equality-joined back, exactly what Catalyst's RewriteCorrelated"
-    "ScalarSubquery would emit. min() of identically-computed IEEE "
+    "the Spark plan decorrelates it as min() OVER (PARTITION BY "
+    "l_partkey) — one exchange on the part key and ONE evaluation of "
+    "the supplier-region subtree, where the aggregate-join-back form "
+    "Catalyst's RewriteCorrelatedScalarSubquery emits would scan and "
+    "join the subtree twice and sort-merge the self-join (NOTES lead "
+    "#3). The part filter joins BEFORE the window: it only drops whole "
+    "partkeys, so the per-part min is unchanged while the window sees "
+    "only surviving parts. Every join is statistics-driven (no "
+    "broadcast hints — supplier/nation/region/filtered-part scans "
+    "carry honest parquet sizes). min() of identically-computed IEEE "
     "doubles is order-invariant, so the equality is safe cross-engine; "
     "ties survive (spec behavior), and the top-20 order has a full "
     "deterministic tiebreak.",
@@ -2379,25 +2386,20 @@ def tpch_q2_shape_min_cost_supplier(spark, sf_dir):
             supply.l_suppkey == F.col("s_suppkey"),
         )
         .join(
-            F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+            n.select("n_nationkey", "n_name", "n_regionkey"),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .join(
-            F.broadcast(r.select("r_regionkey")),
+            r.select("r_regionkey"),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
     )
-    mn = eu.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("unit_cost").alias("_mn")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        eu.join(
-            mn,
-            (F.col("l_partkey") == F.col("m_partkey"))
-            & (F.col("unit_cost") == F.col("_mn")),
-        )
-        .join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        eu.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("_mn", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_mn"))
         .select(
             "s_acctbal",
             "s_name",
