@@ -2622,11 +2622,16 @@ def tpch_q16_shape_supplier_variety(spark, sf_dir):
     "shipments stands in for the trimmed schema's missing "
     "partsupp.ps_availqty > half-of-shipped test): AMERICA suppliers "
     "who dominated shipment volume of some 'small' part — the nested "
-    "correlated-aggregate semi-join chain. Spark plan: per-(part, "
-    "supplier) and per-part decimal quantity sums share one scan, the "
-    "dominance filter joins them on the part key, and the supplier list "
-    "arrives via left_semi — no row multiplication reaches the output. "
-    "The 0.3 multiply is the same IEEE double op on both engines over "
+    "correlated-aggregate semi-join chain. Spark plan: ONE per-(part, "
+    "supplier) decimal aggregate; the per-part total is a window SUM "
+    "over the part key of those exact decimal partials (associativity "
+    "of exact decimal addition makes it bit-equal to the oracle's "
+    "direct per-part sum), so lineitem is scanned and aggregated once "
+    "where the aggregate-join form scans it twice and sort-merges the "
+    "two aggregates on the part key. The part filter joins before the "
+    "window (drops whole partkeys only); the supplier list arrives via "
+    "left_semi — no row multiplication reaches the output. The 0.3 "
+    "multiply is the same IEEE double op on both engines over "
     "identical exact-decimal inputs, so the share boundary cannot drift.",
 )
 def tpch_q20_shape_excess_suppliers(spark, sf_dir):
@@ -2639,14 +2644,15 @@ def tpch_q20_shape_excess_suppliers(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
-        dsum(F.col("l_quantity")).alias("qty")
-    )
-    tot = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        dsum(F.col("l_quantity")).alias("total_qty")
+        F.sum(F.col("l_quantity").cast("decimal(25,8)")).alias("_qty_dec")
     )
     dominant = (
-        shipped.join(tot, shipped.l_partkey == tot.t_partkey)
-        .join(p.select("p_partkey"), shipped.l_partkey == F.col("p_partkey"))
+        shipped.join(p.select("p_partkey"), shipped.l_partkey == F.col("p_partkey"))
+        .withColumn(
+            "total_qty",
+            F.sum("_qty_dec").over(Window.partitionBy("l_partkey")).cast("double"),
+        )
+        .withColumn("qty", F.col("_qty_dec").cast("double"))
         .filter(F.col("qty") > F.lit(0.3) * F.col("total_qty"))
         .select("l_suppkey")
     )
