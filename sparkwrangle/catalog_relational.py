@@ -1850,15 +1850,21 @@ def c_temporal_scd2_join(spark, sf_dir):
 )
 def h_struct_map_suite(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
-    agg = per.groupBy("user_id").agg(
+    # the per-user value total rides the per-(user, type) aggregate as an
+    # exact decimal partial and rolls up in the second aggregate — one
+    # events scan and no join-back (decimal associativity keeps the
+    # rounded double bit-equal to the oracle's direct per-user sum)
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,8)")).alias("_v"),
+    )
+    j = per.groupBy("user_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("n").alias("v")))
         ).alias("m"),
         F.sum("n").alias("cnt"),
+        r6(F.sum("_v").cast("double")).alias("tot"),
     )
-    tot = ev.groupBy("user_id").agg(r6(dsum(F.col("value"))).alias("tot"))
-    j = agg.join(tot, "user_id")
     stats = F.struct(F.col("cnt").alias("cnt"), F.col("tot").alias("tot"))
     return j.select(
         "user_id",
