@@ -1543,23 +1543,27 @@ def tpch_q13_order_distribution(spark, sf_dir):
     WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_limit
     """,
     doc="TPC-H Q17-style small-quantity revenue: the spec's correlated "
-    "scalar subquery (avg quantity per part) decorrelated into an "
-    "explicit per-part aggregate joined back — the same rewrite "
-    "Catalyst's DecorrelateInnerQuery performs. The per-part avg "
-    "aggregates map-side before its shuffle; the brand filter pushes "
-    "into the part scan and prunes the probe side early.",
+    "scalar subquery (avg quantity per part) decorrelated as AVG() OVER "
+    "(PARTITION BY l_partkey) on the brand-slice join output — the "
+    "brand filter drops whole partkeys, so each surviving part's window "
+    "sees exactly its full lineitem row set and the average is "
+    "unchanged, while the aggregate-join-back form would aggregate the "
+    "ENTIRE lineitem (every part, brand or not) and scan it twice. "
+    "Quantities are integer-valued, so the double sum behind both "
+    "engines' avg is exact and order-invariant — the threshold compare "
+    "cannot drift cross-engine (same property the join-back form "
+    "relied on). Rows per part are bounded (TPC-H ~30), so the window "
+    "exchange on l_partkey is balanced at any scale.",
 )
 def tpch_q17_small_quantity_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    lim = (
-        li.groupBy("l_partkey")
-        .agg((F.avg("l_quantity") * 0.2).alias("qty_limit"))
-        .withColumnRenamed("l_partkey", "lim_partkey")
-    )
     out = (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(lim, li.l_partkey == lim.lim_partkey)
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .withColumn(
+            "qty_limit",
+            F.avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2,
+        )
         .filter(F.col("l_quantity") < F.col("qty_limit"))
     )
     return out.agg(
