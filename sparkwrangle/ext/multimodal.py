@@ -182,6 +182,15 @@ def _bmp_header(b: bytes) -> tuple[int, int, int]:
     (compression,) = struct.unpack_from("<I", b, 30)
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    if width <= 0:
+        # spec requires positive width; also closes a hang on crafted
+        # bytes (width=0 makes every row's byte check vacuous, so a huge
+        # declared height would spin ~2^31 empty iterations)
+        raise ValueError(f"unsupported BMP: width={width}")
+    if abs(height) > (len(b) // ((3 * width + 3) & ~3)) + 1:
+        # declared height cannot exceed what the buffer could hold — fail
+        # fast instead of iterating a 2^31-row loop to the first bad row
+        raise ValueError("truncated BMP pixel array")
     return offset, width, height
 
 

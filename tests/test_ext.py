@@ -1093,6 +1093,52 @@ def test_decode_features_mixed_media_dispatch(spark):
     assert abs(got[9] - sum(fallback) / len(fallback)) < 1e-9
 
 
+def test_payload_feature_mean_sniffed_bytes_never_raise_or_hang():
+    """The sniffed (undeclared-type) path must return a float or None on
+    ARBITRARY bytes — including crafted headers behind each codec's magic
+    — never raise and never spin. Includes the zero-width BMP that
+    declares a 2^31 row count (row_bytes=0 made every row check vacuous:
+    a hang, not an error, before the _bmp_header width/height guards)."""
+    import struct
+    import random
+
+    from sparkwrangle.ext.multimodal import _payload_feature_mean, decode_bmp
+
+    # crafted zero-width / huge-height BMP: valid magic, bpp=24, comp=0
+    evil = bytearray(54)
+    evil[:2] = b"BM"
+    struct.pack_into("<I", evil, 10, 54)          # pixel offset
+    struct.pack_into("<ii", evil, 18, 0, 0x7FFFFFFF)  # width=0, height=2^31-1
+    struct.pack_into("<H", evil, 28, 24)          # bpp
+    struct.pack_into("<I", evil, 30, 0)           # compression
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(evil))  # typed path: fails fast, no spin
+    out = _payload_feature_mean("application/octet-stream", bytes(evil))
+    assert abs(out - sum(evil) / len(evil)) < 1e-9  # sniffed: falls back
+
+    # same check with a positive width but impossible height
+    struct.pack_into("<ii", evil, 18, 5, 0x7FFFFFFF)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(evil))
+
+    rng = random.Random(0xC0DEC)
+    magics = [
+        b"BM",
+        b"RIFF\x10\x00\x00\x00WAVE",
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8",
+        b"",
+    ]
+    for magic in magics:
+        for _ in range(25):
+            body = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
+            payload = magic + body
+            got = _payload_feature_mean("application/octet-stream", payload)
+            assert got is None or isinstance(got, float)
+
+
 def test_decode_features_declared_codec_contract_raises(spark):
     """A DECLARED codec type with a corrupt payload raises (honest-decoder
     contract) rather than silently degrading to a byte-mean."""
