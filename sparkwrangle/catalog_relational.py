@@ -1824,26 +1824,23 @@ def c_temporal_scd2_join(spark, sf_dir):
     "h_struct_map_suite",
     f"""
     WITH per AS (
-        SELECT user_id, event_type, count(*) AS n
+        SELECT user_id, event_type, count(*) AS n,
+               SUM(CAST(value AS DECIMAL(25,8))) AS v
         FROM events GROUP BY 1, 2
     ),
     agg AS (
         SELECT user_id,
                map_from_entries(list(struct_pack(k := event_type, v := n))) AS m,
-               CAST(sum(n) AS BIGINT) AS cnt
+               CAST(sum(n) AS BIGINT) AS cnt,
+               round(CAST(SUM(v) AS DOUBLE), 6) AS tot
         FROM per GROUP BY user_id
-    ),
-    tot AS (
-        SELECT user_id,
-               round({_DSUM.format(expr='value')}, 6) AS tot
-        FROM events GROUP BY user_id
     )
     SELECT a.user_id,
            COALESCE((m['purchase'])[1], 0) AS n_purchase,
            COALESCE((m['error'])[1], 0) AS n_error,
-           struct_pack(cnt := a.cnt, tot := t.tot).cnt AS n_events,
-           struct_pack(cnt := a.cnt, tot := t.tot).tot AS sum_value
-    FROM agg a JOIN tot t ON a.user_id = t.user_id
+           struct_pack(cnt := a.cnt, tot := a.tot).cnt AS n_events,
+           struct_pack(cnt := a.cnt, tot := a.tot).tot AS sum_value
+    FROM agg a
     """,
     doc="Struct/map scalar surface: per-user event-type counts pivoted "
     "into a MAP (map_from_entries over collected entries — key order "
