@@ -193,6 +193,25 @@ def test_grouped_rank_randomized_parity_fuzz(spark):
     assert not fp.FAILS, fp.FAILS
 
 
+def test_window_decorrelation_parity_fuzz_slice(spark):
+    """Committed slice of the window-decorrelation parity fuzz
+    (tools/fuzz_parity.py::fuzz_window_decorrelation — full campaign in
+    the tool): the round-9 tpch_q2/q17/q20/h_struct rewrites replaced
+    aggregate-join-back forms with window decorrelations; this pins
+    row-identity / bitwise equality between the two forms across tied
+    minima, NULL/NaN values, and dimension-filtered keys, so a future
+    semantics change to either shape fails here instead of shipping."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools import fuzz_parity as fp
+
+    fp.FAILS.clear()
+    fp.fuzz_window_decorrelation(spark, trials=4)
+    assert not fp.FAILS, fp.FAILS
+
+
 def test_grouped_rank_string_order_matches_window_form(spark):
     """The struct-sampled boundary path (non-numeric leading order key —
     the numeric approxQuantile fast path can't engage) is bitwise the

@@ -17,7 +17,10 @@ grouped_top_k (vs rank window, arbitrary orderings), edit_distance_pairs
 (vs Python DP brute force, incl. empty/sub-q strings, multi-byte),
 prefix_filter_pairs (vs set brute force, random thresholds incl. 1.0),
 connected_components (vs union-find, random/chain/star/clique shapes),
-duplicate_spans (vs Counter brute force, window AND join count modes).
+duplicate_spans (vs Counter brute force, window AND join count modes),
+window decorrelations (round-9 tpch_q2/q17/q20/h_struct rewrites vs
+the aggregate-join-back forms they replaced: tied minima, NULL/NaN,
+dimension-filtered keys).
 Exit code 1 on any mismatch.
 """
 
@@ -256,6 +259,104 @@ def fuzz_connected_components(spark):
         check("connected_components", got == want, f"trial {trial} {shape} n={nn}")
 
 
+def fuzz_window_decorrelation(spark, trials=None):
+    """Pins the round-9 TPC-H rewrites: the window decorrelations are
+    row-identical / bitwise-equal to the aggregate-join-back forms they
+    replaced (tpch_q2 min-tie keep, tpch_q20 / h_struct_map_suite
+    decimal-partial rollup, tpch_q17 slice-window avg), including tied
+    minima, NULL values (min ignores them; an equality join never
+    matches NULL — both forms must drop those rows), NaN (Spark defines
+    NaN == NaN true and NaN sorts largest, so both forms keep NaN rows
+    of an all-NaN group), and keys dropped wholesale by a dimension
+    filter (the avg must be computed over exactly the surviving keys'
+    full row sets)."""
+    rng = random.Random(17)
+    for trial in range(trials if trials is not None else 12 * MULT):
+        n = rng.choice([0, 1, 2, 30, 200])
+        nk = rng.choice([1, 3, 8])
+        rows = []
+        for i in range(n):
+            k = rng.randint(0, nk - 1)
+            s = rng.randint(0, 2)
+            r = rng.random()
+            v = (
+                None
+                if r < 0.12
+                else (float("nan") if r < 0.18 else float(rng.randint(0, 4)))
+            )
+            q = rng.randint(1, 50)
+            rows.append((i, k, s, v, q))
+        schema = "id long, k long, s long, v double, q int"
+        df = (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
+        )
+
+        # --- tpch_q2 shape: rows tying the per-key min ----------------
+        wmin = (
+            df.withColumn("_mn", F.min("v").over(Window.partitionBy("k")))
+            .filter(F.col("v") == F.col("_mn"))
+        )
+        mn = df.groupBy(F.col("k").alias("mk")).agg(F.min("v").alias("_jm"))
+        jmin = df.join(
+            mn, (df.k == F.col("mk")) & (df.v == F.col("_jm"))
+        )
+        got = sorted(r.id for r in wmin.collect())
+        want = sorted(r.id for r in jmin.collect())
+        check("min_decorrelation", got == want, f"trial {trial}: {got} != {want}")
+
+        # --- q20/h_struct shape: decimal partial rollup ---------------
+        per = df.groupBy("k", "s").agg(
+            F.sum(F.col("v").cast("decimal(25,8)")).alias("pv")
+        )
+        roll = {
+            r.k: r.tot
+            for r in per.groupBy("k")
+            .agg(F.sum("pv").cast("double").alias("tot"))
+            .collect()
+        }
+        wroll = {
+            (r.k, r.tot)
+            for r in per.withColumn(
+                "tot",
+                F.sum("pv").over(Window.partitionBy("k")).cast("double"),
+            ).collect()
+        }
+        direct = {
+            r.k: r.tot
+            for r in df.groupBy("k")
+            .agg(F.sum(F.col("v").cast("decimal(25,8)")).cast("double").alias("tot"))
+            .collect()
+        }
+        check("partial_rollup_agg", roll == direct, f"trial {trial}")
+        check(
+            "partial_rollup_window",
+            wroll == {(k, t) for k, t in direct.items()},
+            f"trial {trial}",
+        )
+
+        # --- tpch_q17 shape: slice-window avg over surviving keys -----
+        kept = [k for k in range(nk) if rng.random() < 0.6]
+        keep = (
+            spark.createDataFrame([(k,) for k in kept], "k long")
+            if kept
+            else spark.createDataFrame([], "k long")
+        )
+        wavg = {
+            r.id: r.lim
+            for r in df.join(keep, "k")
+            .withColumn("lim", F.avg("q").over(Window.partitionBy("k")))
+            .collect()
+        }
+        lim = df.groupBy(F.col("k").alias("lk")).agg(F.avg("q").alias("jlim"))
+        javg = {
+            r.id: r.jlim
+            for r in df.join(keep, "k").join(lim, df.k == F.col("lk")).collect()
+        }
+        check("slice_window_avg", wavg == javg, f"trial {trial}")
+
+
 def fuzz_duplicate_spans(spark):
     """Gaps-and-islands span merge vs a Python Counter brute force —
     whitespace-token corpora so the reference tokenizer is trivial."""
@@ -318,6 +419,7 @@ def main():
         fuzz_prefix_filter,
         fuzz_connected_components,
         fuzz_duplicate_spans,
+        fuzz_window_decorrelation,
     ):
         fn(spark)
         print(f"done  {fn.__name__}")
