@@ -472,7 +472,9 @@ def x_dedup_incremental(spark, sf_dir):
     new_bands = band_explode(new_sigs, "doc_id", 16, 4).select(
         F.col("doc_id").alias("_nid"), "band", "bh"
     )
-    hits = all_bands.join(F.broadcast(new_bands), ["band", "bh"]).filter(
+    # unhinted like ext/prepared.incremental_dedup: the batch-band side
+    # scales with the ingest batch, so AQE sizes the join at runtime
+    hits = all_bands.join(new_bands, ["band", "bh"]).filter(
         F.col("doc_id") != F.col("_nid")
     )
     return (

@@ -130,7 +130,11 @@ def incremental_lsh_pairs(
     new_bands = band_explode(new_sigs, "doc_id", k, bands).select(
         F.col("doc_id").alias("_nid"), "band", "bh"
     )
-    hits = all_bands.join(F.broadcast(new_bands), ["band", "bh"]).filter(
+    # no forced broadcast: new_bands scales with the INGEST BATCH (a
+    # daily web-scale batch is not structurally bounded) — statistics/
+    # AQE broadcast it when the batch is actually small and fall back to
+    # a shuffled equi-join otherwise; corpus bands never self-join
+    hits = all_bands.join(new_bands, ["band", "bh"]).filter(
         F.col("doc_id") != F.col("_nid")
     )
     return (
