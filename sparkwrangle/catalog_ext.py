@@ -2630,10 +2630,12 @@ def x_quality_prune(spark, sf_dir):
     # PARTITION BY lang window serializes each language's whole corpus
     # into a single task at 100 TB. (quality, doc_id) is a total order,
     # so the result is bitwise the window form's (oracle-pinned).
-    # quality ∈ [0, 1] by construction (NULL only for empty docs), so
+    # quality ∈ [0, 1] by construction and never NULL/NaN (F.least
+    # clamps NULL ratios — see the add_text_stats INVARIANT), so
     # floor(quality·32) is a ZERO-JOB order_block — no boundary
     # count/sample jobs, no checkpoint needed to shield them from
-    # re-evaluating the tokenize subtree
+    # re-evaluating the tokenize subtree (the coalesce below is
+    # belt-and-braces for a future formula change, not a live branch)
     pruned = grouped_percent_rank(
         scored,
         ["lang"],

@@ -120,9 +120,14 @@ def _payload_feature_mean(mt: str, b: bytes) -> float | None:
     if sniffed is not None:
         try:
             return sniffed(b)
-        except ValueError:
+        except Exception:
             # For an UNDECLARED type the magic match is a heuristic, not a
             # contract — a text document may legitimately begin with "BM".
+            # Exception, not just ValueError: a decoder failing in ANY way
+            # on heuristically-matched bytes (MemoryError from a crafted
+            # header, a future decoder bug) must degrade to the byte-mean,
+            # never kill the task. The DECLARED-type path above keeps the
+            # raise (there the codec is a contract).
             pass
     return sum(b) / len(b)
 
@@ -570,6 +575,11 @@ def _decode_png_unguarded(b: bytes) -> tuple[int, int, int, int]:
         raise ValueError(
             f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
         )
+    if w == 0 or h == 0:
+        # spec-invalid, and h=0 would skip _unfilter_sum's size check yet
+        # still allocate its stride-sized prior row from the DECLARED
+        # width (up to ~12 GB from a tiny crafted payload)
+        raise ValueError("unsupported PNG: zero dimension")
     raw = zlib.decompress(bytes(idat))
     bpp = 3
     if interlace == 0:
@@ -1199,6 +1209,16 @@ def _decode_jpeg_image(b: bytes):
                 raise ValueError(
                     f"unsupported JPEG: precision={prec} components={ncomp}"
                 )
+            if w == 0 or h == 0:
+                raise ValueError("unsupported JPEG: zero dimension")
+            if w * h > 16_000_000:
+                # coefficient storage is allocated from the DECLARED SOF
+                # dimensions before any entropy data is validated, so a
+                # ~30-byte crafted header could otherwise demand tens of
+                # GB (the BMP zero-width class, JPEG edition). 16 MPx is
+                # far above any payload this pure-Python decoder is for;
+                # a capacity ceiling raised honestly beats an OOM.
+                raise ValueError(f"unsupported JPEG: {w}x{h} exceeds decoder cap")
             n_hblocks = (w + 7) // 8
             n_vblocks = (h + 7) // 8
             coeffs = [[0] * 64 for _ in range(n_hblocks * n_vblocks)]

@@ -47,17 +47,23 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Quality = penalize too-short docs, high punctuation density, and a
     token stream with no common-word structure (word-salad detector).
 
-    INVARIANT (load-bearing, test-pinned): ``quality`` is NULL (empty or
-    token-free docs, via the NULL-propagating guarded ratios) or in
-    [0, 1] — each of the three terms is clamped to [0, 1] by
-    ``F.least`` and the weights sum to 1 — and is NEVER NaN (no 0/0
-    division reaches the formula: both ratios are NULL-guarded on their
-    denominators). x_quality_prune / the curation pipeline rely on this
-    to use ``floor(quality * 32)`` as a zero-job ``order_block`` for
-    ``grouped_percent_rank`` — a quality value outside [0, 1] or NaN
-    there would silently MIS-RANK (floor(NaN) lands in the wrong block
-    while NaN sorts last). If this formula changes, re-check those
-    order_block call sites and tests/test_ext.py's invariant test.
+    INVARIANT (load-bearing, test-pinned): ``quality`` is ALWAYS a
+    number in [0, 1] — never NULL and never NaN, for every input
+    including empty, whitespace-only, and NULL text. Why: ``F.least``
+    SKIPS null operands (it does not propagate them), so a NULL ratio
+    clamps its term to the bound instead of nulling the sum; no 0/0
+    reaches the formula (both ratios are NULL-guarded on their
+    denominators); and the one negative excursion — ``size(null)`` = -1
+    under non-ANSI sessions makes the length term -0.004 for NULL text —
+    is always dominated by the stopword term's clamped +0.3 in that same
+    branch (measured: NULL text scores 0.296, empty text 0.3).
+    x_quality_prune / the curation pipeline rely on this to use
+    ``floor(quality * 32)`` as a zero-job ``order_block`` for
+    ``grouped_percent_rank`` — a value outside [0, 1] or NaN there would
+    silently MIS-RANK (floor(NaN) lands in the wrong block while NaN
+    sorts last). If this formula changes — in particular if ``F.least``
+    is replaced by an arithmetic clamp that PROPAGATES nulls — re-check
+    those order_block call sites and tests/test_ext.py's invariant test.
     """
     t = F.col(text_col)
     tokens = tokenize(t)

@@ -1123,6 +1123,47 @@ def test_payload_feature_mean_sniffed_bytes_never_raise_or_hang():
     with pytest.raises(ValueError):
         decode_bmp(bytes(evil))
 
+    # crafted JPEG: a ~30-byte payload whose SOF declares 65528x65528
+    # would allocate ~67M coefficient blocks (tens of GB) before any
+    # entropy data is validated — must raise at the decoder cap, and
+    # fall back to byte-mean on the sniffed path
+    from sparkwrangle.ext.multimodal import decode_jpeg, decode_png
+
+    sof_body = struct.pack(">BHHB", 8, 65528, 65528, 1) + bytes([1, 0x11, 0])
+    evil_jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="cap"):
+        decode_jpeg(evil_jpeg)
+    out_j = _payload_feature_mean("application/octet-stream", evil_jpeg)
+    assert abs(out_j - sum(evil_jpeg) / len(evil_jpeg)) < 1e-9
+
+    # crafted PNG: zero height skips the unfilter size check yet would
+    # allocate a stride-sized prior row from the declared 2^31 width
+    import zlib as _z
+
+    def _chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 0x7FFFFFFF, 0, 8, 2, 0, 0, 0)
+    evil_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _z.compress(b""))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="zero dimension"):
+        decode_png(evil_png)
+    out_p = _payload_feature_mean("application/octet-stream", evil_png)
+    assert abs(out_p - sum(evil_png) / len(evil_png)) < 1e-9
+
     rng = random.Random(0xC0DEC)
     magics = [
         b"BM",
@@ -1618,11 +1659,15 @@ def test_weighted_sample_biases_toward_quality(spark):
 def test_quality_score_null_or_unit_interval_never_nan(spark):
     """Pins the add_text_stats quality INVARIANT the x_quality_prune /
     curation order_block=floor(quality*32) call sites depend on: quality
-    is NULL or in [0, 1] and NEVER NaN, on adversarial docs (empty,
-    NULL, whitespace-only, all-punctuation, huge, stopword-free,
-    non-ASCII) AND on the real corpus. floor(NaN) would land in the
-    wrong block while NaN sorts last — a silent mis-rank — so a quality
-    formula change that breaks this must fail here, not in the field."""
+    is ALWAYS a number in [0, 1] — never NULL (F.least SKIPS null
+    operands, clamping a NULL ratio to its bound rather than propagating
+    it) and never NaN — on adversarial docs (empty, NULL,
+    whitespace-only, all-punctuation, huge, stopword-free, non-ASCII)
+    AND on the real corpus. floor(NaN) would land in the wrong block
+    while NaN sorts last — a silent mis-rank — so a quality formula
+    change that breaks this (e.g. replacing F.least with a
+    null-propagating arithmetic clamp) must fail here, not in the
+    field."""
     import math
 
     from sparkwrangle.ext.text import add_text_stats
@@ -1642,15 +1687,14 @@ def test_quality_score_null_or_unit_interval_never_nan(spark):
     docs = spark.createDataFrame(adversarial, "doc_id long, text string")
     for r in add_text_stats(docs).select("doc_id", "quality").collect():
         q = r.quality
-        assert q is None or (not math.isnan(q) and 0.0 <= q <= 1.0), (r.doc_id, q)
+        assert q is not None, (r.doc_id, "quality must never be NULL")
+        assert not math.isnan(q) and 0.0 <= q <= 1.0, (r.doc_id, q)
     corpus = add_text_stats(load_table(spark, SF_ORACLE, "documents"))
     bad = corpus.filter(
-        F.col("quality").isNotNull()
-        & (
-            F.isnan("quality")
-            | (F.col("quality") < 0)
-            | (F.col("quality") > 1)
-        )
+        F.col("quality").isNull()
+        | F.isnan("quality")
+        | (F.col("quality") < 0)
+        | (F.col("quality") > 1)
     ).count()
     assert bad == 0
 
