@@ -61,6 +61,9 @@ QUERIES = [
     "tpch_q9_shape_product_profit",   # decimal profit rollup
     "tpch_q11_shape_important_inventory",  # threshold vs decimal mean
     "tpch_q20_shape_excess_suppliers",     # share boundary vs decimal sums
+    "tpch_q2_shape_min_cost_supplier",     # window-min tie keep (r9 rewrite)
+    "tpch_q17_small_quantity_revenue",     # slice-window integer avg (r9)
+    "h_struct_map_suite",       # two-level decimal partial rollup (r9)
     "x_stream_ann_batch_twin",  # persisted-index probe, unioned micro-batches
     "x_dedup_prefix_filter_join",  # prefix-filter candidates + exact verify
     "x_quality_prune",          # two-level range percent_rank (rank must
