@@ -275,6 +275,23 @@ def fuzz_window_decorrelation(spark, trials=None):
         n = rng.choice([0, 1, 2, 30, 200])
         nk = rng.choice([1, 3, 8])
         rows = []
+        if trial == 0:
+            # deterministic degenerate groups so even a small committed
+            # slice covers the cases that separate the two forms: an
+            # all-NULL group (v == NULL-min drops it in BOTH forms — an
+            # eqNullSafe join-back would wrongly keep it; verified to be
+            # the mutation this block catches), an all-NaN group (Spark
+            # NaN == NaN keeps it in both), and a tied-min group.
+            n, nk = 9, 8
+            rows = [
+                (100, 5, 0, None, 7),
+                (101, 5, 1, None, 9),
+                (102, 6, 0, float("nan"), 3),
+                (103, 6, 1, float("nan"), 4),
+                (104, 7, 0, 2.0, 5),
+                (105, 7, 1, 2.0, 6),
+                (106, 7, 2, 3.0, 8),
+            ]
         for i in range(n):
             k = rng.randint(0, nk - 1)
             s = rng.randint(0, 2)
