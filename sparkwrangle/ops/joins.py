@@ -130,7 +130,15 @@ def asof_join(
 
     Same cost shape as the backward idiom: one shuffle on (by, on); the
     direction only flips the window frame. Golden-tested against
-    pandas.merge_asof in tests/test_asof.py.
+    pandas.merge_asof in tests/test_asof.py and brute-force-fuzzed in
+    tools/fuzz_parity.py (directions x tolerance, heavy exact-timestamp
+    ties, missing keys, empty sides).
+
+    CONTRACT: ``right`` must be unique per (by, on) — with duplicate
+    right timestamps inside one key the window's tie order (and hence
+    which duplicate wins) is not defined, the same reason
+    pandas.merge_asof demands sorted keys. Dedup upstream (keep the
+    intended row) before calling.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)

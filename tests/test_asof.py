@@ -72,6 +72,24 @@ def test_asof_matches_pandas(spark, frames, direction, tol):
             assert abs(g - e) < 1e-12, f"row {i} ({direction}, tol={tol})"
 
 
+def test_asof_join_brute_force_fuzz_slice(spark):
+    """Committed slice of the asof_join brute-force fuzz
+    (tools/fuzz_parity.py::fuzz_asof_join — full campaign in the tool):
+    random direction/tolerance trials against a pure-Python
+    merge_asof-semantics reference, with dense exact-timestamp ties and
+    missing keys — independent of pandas, so it also cross-checks the
+    pandas golden above."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools import fuzz_parity as fp
+
+    fp.FAILS.clear()
+    fp.fuzz_asof_join(spark, trials=4)
+    assert not fp.FAILS, fp.FAILS
+
+
 def test_temporal_scd2_join_agrees_with_asof_backward(spark):
     """Two expressions of the same semantics must agree row-for-row on
     the real corpus: the SCD2 interval join (c_temporal_scd2_join) and

@@ -20,7 +20,9 @@ connected_components (vs union-find, random/chain/star/clique shapes),
 duplicate_spans (vs Counter brute force, window AND join count modes),
 window decorrelations (round-9 tpch_q2/q17/q20/h_struct rewrites vs
 the aggregate-join-back forms they replaced: tied minima, NULL/NaN,
-dimension-filtered keys).
+dimension-filtered keys), asof_join (vs a Python brute force of
+pandas.merge_asof semantics: all three directions x tolerance incl.
+0.0, dense exact-timestamp ties, missing keys, empty sides).
 Exit code 1 on any mismatch.
 """
 
@@ -259,6 +261,89 @@ def fuzz_connected_components(spark):
         check("connected_components", got == want, f"trial {trial} {shape} n={nn}")
 
 
+def fuzz_asof_join(spark, trials=None):
+    """asof_join vs a pure-Python brute force of pandas.merge_asof
+    semantics: per left row take the latest right ts' <= ts (backward) /
+    earliest ts' >= ts (forward) / the closer of the two with ties ->
+    backward (nearest), where tolerance NULLs the CHOSEN side's value
+    without falling back to the other side (pandas picks nearest first,
+    filters second — pinned here so a refactor cannot silently 'improve'
+    it). Timestamps draw from a tiny integer range so exact left==right
+    ties are dense; keys can be missing from either side; empty frames
+    included."""
+    from datetime import datetime, timezone
+
+    from sparkwrangle.ops.joins import asof_join
+
+    def ts(s):
+        return datetime.fromtimestamp(1_700_000_000 + s, tz=timezone.utc)
+
+    rng = random.Random(99)
+    for trial in range(trials if trials is not None else 10 * MULT):
+        nl = rng.choice([0, 1, 6, 40])
+        nr = rng.choice([0, 1, 5, 30])
+        keys = ["a", "b", "c"]
+        span = rng.choice([12, 200])
+        left = [
+            (i, rng.choice(keys), rng.randrange(span)) for i in range(nl)
+        ]
+        seen = set()
+        right = []
+        for _ in range(nr):
+            k, s = rng.choice(keys[:2]), rng.randrange(span)  # key 'c' never
+            if (k, s) in seen:  # contract: right unique per (by, on)
+                continue
+            seen.add((k, s))
+            right.append((k, s, float(rng.randrange(1000))))
+        direction = rng.choice(["backward", "forward", "nearest"])
+        tol = rng.choice([None, 0.0, 3.0, float(span)])
+        ldf = spark.createDataFrame(
+            [(i, k, ts(s)) for i, k, s in left] or [],
+            "id long, k string, ts timestamp",
+        )
+        rdf = spark.createDataFrame(
+            [(k, ts(s), v) for k, s, v in right] or [],
+            "k string, ts timestamp, rate double",
+        )
+        got = {
+            r.id: r.rate
+            for r in asof_join(
+                ldf, rdf, on="ts", by=["k"], value_col="rate",
+                direction=direction, tolerance_seconds=tol,
+            ).collect()
+        }
+        by_key: dict = {}
+        for k, s, v in right:
+            by_key.setdefault(k, []).append((s, v))
+        want = {}
+        for i, k, s in left:
+            rows = by_key.get(k, [])
+            back = max(((t, v) for t, v in rows if t <= s), default=None)
+            fwd = min(((t, v) for t, v in rows if t >= s), default=None)
+            if direction == "backward":
+                pick, gap = back, (s - back[0]) if back else None
+            elif direction == "forward":
+                pick, gap = fwd, (fwd[0] - s) if fwd else None
+            else:
+                if back is None:
+                    pick, gap = fwd, (fwd[0] - s) if fwd else None
+                elif fwd is None:
+                    pick, gap = back, s - back[0]
+                elif (fwd[0] - s) < (s - back[0]):
+                    pick, gap = fwd, fwd[0] - s
+                else:
+                    pick, gap = back, s - back[0]
+            v = pick[1] if pick else None
+            if v is not None and tol is not None and gap > tol:
+                v = None
+            want[i] = v
+        check(
+            "asof_join",
+            got == want,
+            f"trial {trial} ({direction}, tol={tol}): {got} != {want}",
+        )
+
+
 def fuzz_window_decorrelation(spark, trials=None):
     """Pins the round-9 TPC-H rewrites: the window decorrelations are
     row-identical / bitwise-equal to the aggregate-join-back forms they
@@ -437,6 +522,7 @@ def main():
         fuzz_connected_components,
         fuzz_duplicate_spans,
         fuzz_window_decorrelation,
+        fuzz_asof_join,
     ):
         fn(spark)
         print(f"done  {fn.__name__}")
