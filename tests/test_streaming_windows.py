@@ -271,6 +271,69 @@ def test_session_windows_stream_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_session_windows_stream_batch_fuzz(spark, tmp_path):
+    """Randomized stream≡batch parity for session windows: random event
+    sets (dense timestamp collisions, single-event sessions, sessions
+    that only merge once a later file arrives), random gap, random split
+    into 1-3 replay files — the streaming run must emit exactly the
+    batch sessions for every trial, whatever the file boundaries cut
+    through. Generalizes the fixed-fixture parity test above."""
+    import random
+
+    import pandas as pd
+
+    from sparkwrangle.streaming.windows import session_counts
+
+    rng = random.Random(31)
+    base = pd.Timestamp("2024-03-04 09:00:00")
+    for trial in range(3):
+        n = rng.choice([1, 7, 25])
+        gap_min = rng.choice([5, 30])
+        rows = pd.DataFrame(
+            {
+                "user": [rng.choice(["u1", "u2", "u3"]) for _ in range(n)],
+                "ts": [
+                    base + pd.Timedelta(minutes=rng.randrange(0, 240))
+                    for _ in range(n)
+                ],
+                "value": [float(i) for i in range(n)],
+            }
+        )
+        batch = session_counts(
+            spark.createDataFrame(rows), gap=f"{gap_min} minutes", keys=["user"]
+        )
+        want = {tuple(r) for r in batch.collect()}
+
+        d = str(tmp_path / f"fuzz{trial}")
+        nfiles = rng.choice([1, 2, 3])
+        cuts = sorted(rng.sample(range(1, n), min(nfiles - 1, n - 1))) if n > 1 else []
+        parts = []
+        prev = 0
+        for c in [*cuts, n]:
+            parts.append(rows.iloc[prev:c])
+            prev = c
+        for i, part in enumerate(p for p in parts if len(p)):
+            spark.createDataFrame(part).write.parquet(f"{d}/p{i}")
+        stream = (
+            spark.readStream.schema("user string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/*")
+        )
+        out = session_counts(
+            stream, gap=f"{gap_min} minutes", watermark=None, keys=["user"]
+        )
+        q = (
+            out.writeStream.format("memory").queryName(f"sess_fuzz{trial}")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(600)
+        got = {
+            tuple(r)
+            for r in spark.sql(f"SELECT * FROM sess_fuzz{trial}").collect()
+        }
+        assert got == want, f"trial {trial} (gap={gap_min}m, files={nfiles})"
+
+
 def test_curate_stream_matches_batch(spark, tmp_path):
     """Streaming curation (quality -> redact -> decontaminate -> dedup)
     emits exactly the batch pipeline's keep-set; the duplicate key keeps
