@@ -4658,7 +4658,7 @@ def _grouped_quantile_oracle() -> str:
                          THEN (v.value - st.mn) / (st.mx - st.mn)
                          ELSE CAST(0.0 AS DOUBLE) END) * {HIST_BINS})
                AS BIGINT), {HIST_BINS - 1}) AS bin
-        FROM v JOIN st ON st.event_type = v.event_type
+        FROM v JOIN st ON st.event_type IS NOT DISTINCT FROM v.event_type
     ),
     hist AS (SELECT event_type, bin, count(*) AS cnt
              FROM b GROUP BY event_type, bin),
@@ -4669,7 +4669,7 @@ def _grouped_quantile_oracle() -> str:
     ps AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS p),
     cand AS (
         SELECT c.event_type, ps.p, c.bin, c.cnt, c.cum, st.mn, st.mx, st.n
-        FROM ps, cum c JOIN st ON st.event_type = c.event_type
+        FROM ps, cum c JOIN st ON st.event_type IS NOT DISTINCT FROM c.event_type
         WHERE c.cum >= ps.p * st.n
     ),
     pick AS (
@@ -4688,7 +4688,8 @@ def _grouped_quantile_oracle() -> str:
     ex AS ({ex_arms})
     SELECT e.event_type, e.p, {rf_sql("e.est")} AS hist_q,
            {rf_sql("x.exq")} AS exact_q
-    FROM eq e JOIN ex x ON x.event_type = e.event_type AND x.p = e.p
+    FROM eq e JOIN ex x ON x.event_type IS NOT DISTINCT FROM e.event_type
+                        AND x.p = e.p
     """
 
 
@@ -4715,10 +4716,15 @@ def x_grouped_quantiles(spark, sf_dir):
     # (no corpus/|types| percentile() buffer in one task)
     ex = grouped_exact_quantiles(
         ev, ["event_type"], "value", ps, tiebreak_cols=["event_id"], out_v="exq"
-    )
-    return est.join(ex, ["event_type", "p"]).select(
+    ).select(F.col("event_type").alias("_x_event_type"), "p", "exq")
+    # null-safe on event_type: both sides keep the NULL-key group (like
+    # the GROUP BYs that built them), so the join must not drop it
+    return est.join(
+        ex,
+        est.event_type.eqNullSafe(F.col("_x_event_type")) & (est.p == ex.p),
+    ).select(
         "event_type",
-        "p",
+        est.p.alias("p"),
         rf(F.col("est")).alias("hist_q"),
         rf(F.col("exq")).alias("exact_q"),
     )

@@ -11,6 +11,19 @@ digest — md5 is byte-identical everywhere:
 15 hex chars = 60 bits → always positive, no overflow. MinHash mixes it
 with (a·(h mod p) + b) mod p over p = 2^31 − 1, keeping every intermediate
 below 2^62 so int64 arithmetic is exact in both engines.
+
+KNOWN LIMIT (documented, deliberate): every universal_hash row reduces the
+same x = h mod p, so two items with h ≡ h' (mod 2^31−1) collide in ALL k
+rows at once — the family's full-collision floor is 2⁻³¹ per pair instead
+of the independent-row ideal. At the sketch parameters shipped here this
+is immaterial: CMS's per-row bucket-collision rate is 1/width = 2⁻⁸ and
+Bloom's designed fp ≈ 10⁻³, both ~10⁶× larger than 2⁻³¹; for MinHash a
+full collision merely merges two shingles (tiny Jaccard perturbation). If
+width/m ever grow enough that 2⁻³¹ becomes the binding floor, switch to a
+two-coordinate family — x₁ = h mod p, x₂ = (h >> 31) mod p,
+(a·x₁ + c·x₂ + b) mod p — and regenerate the SQL twins from the same
+constants; every consumer is oracle/fuzz/golden-gated, so the migration
+is mechanical.
 """
 
 from __future__ import annotations

@@ -57,6 +57,22 @@ def cms_sketch(
     )
 
 
+def _row_preserving_probe(df: DataFrame, build_est) -> DataFrame:
+    """Shared probe shape for cms_estimates / bloom_probe: tag every input
+    row with an internal id, hand ``build_est`` a SLIM (_rid + probe
+    expressions) frame to aggregate one estimate row per _rid, and join
+    the estimates back. Row-preserving (duplicate input rows each keep
+    their own estimate), and the probe pipeline never sees the caller's
+    other columns — so a probe frame with columns named 'cnt'/'bits'/'d'
+    (join-key collisions) or un-groupable types (maps) works, and wide
+    rows are never shuffled as grouping keys. ``build_est(ridded)`` must
+    return (_rid, <estimate col>) with exactly one row per _rid."""
+    if "_rid" in df.columns:
+        raise ValueError("probe input must not contain a reserved '_rid' column")
+    ridded = df.withColumn("_rid", F.monotonically_increasing_id())
+    return ridded.join(build_est(ridded), "_rid").drop("_rid")
+
+
 def cms_estimates(
     items: DataFrame,
     sketch: DataFrame,
@@ -67,26 +83,26 @@ def cms_estimates(
 ) -> DataFrame:
     """Point-query the sketch for each row of ``items``: est = min over
     rows d of counter[d][bucket_d(item)]. CMS guarantees est ≥ true count.
-    The sketch side is ≤ depth·width rows → broadcast join, no shuffle of
-    the probe side beyond its own groupBy."""
-    probes = items.withColumn("_rid", F.monotonically_increasing_id()).select(
-        "*",
-        F.posexplode(cms_buckets(F.col(item_col), depth, width, seed)).alias(
-            "d", "bucket"
-        ),
-    )
-    # _rid in the regroup key keeps the probe ROW-PRESERVING (duplicate
-    # probe rows each keep their own estimate row); dropped before return.
-    keep = [c for c in items.columns]
-    # LEFT join + coalesce(cnt, 0): an item whose (d, bucket) rows are all
-    # absent from the sketch was never inserted — CMS point-query semantics
-    # say it estimates ~0, not "silently dropped from the output".
-    return (
-        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
-        .groupBy(*keep, "_rid")
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
-        .drop("_rid")
-    )
+    The sketch side is ≤ depth·width rows → broadcast join; only the slim
+    (_rid, d, bucket) stream is shuffled for the per-row min."""
+
+    def est(ridded):
+        probes = ridded.select(
+            "_rid",
+            F.posexplode(cms_buckets(F.col(item_col), depth, width, seed)).alias(
+                "d", "bucket"
+            ),
+        )
+        # LEFT join + coalesce(cnt, 0): an item whose (d, bucket) rows are
+        # all absent from the sketch was never inserted — CMS point-query
+        # semantics say it estimates ~0, not "silently dropped".
+        return (
+            probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+            .groupBy("_rid")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+        )
+
+    return _row_preserving_probe(items, est)
 
 
 def cms_sketch_sql(
@@ -150,9 +166,16 @@ def hll_estimate(registers: DataFrame, keys: list[str] | None = None) -> DataFra
     of mixed-magnitude powers of two is not."""
     keys = keys or []
     m = F.lit(HLL_M)
+    # coalesce: SUM over zero register rows (empty/all-NULL-item input on
+    # the ungrouped path) is NULL; present=0 then routes raw ≈ α·m ≤ 2.5m
+    # with v=m>0 into linear counting m·ln(m/m) = 0.0 — the correct
+    # distinct count for empty input, instead of a NULL that every caller
+    # would have to patch (tools/profile_table.py used to)
     agg = registers.groupBy(*keys).agg(
         F.count("*").alias("present"),
-        F.sum(F.pow(F.lit(2.0), 53 - F.col("mx")).cast("bigint")).alias("sum_i"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), 53 - F.col("mx")).cast("bigint")), F.lit(0)
+        ).alias("sum_i"),
     )
     v = m - F.col("present")
     sum_present = F.col("sum_i").cast("double") / F.lit(float(2**53))
@@ -164,19 +187,26 @@ def hll_estimate(registers: DataFrame, keys: list[str] | None = None) -> DataFra
 
 
 def hll_sql(src: str, item_expr: str, keys: str = "") -> str:
-    """DuckDB twin as CTE bodies (yields keys..., v_empty, hll_raw)."""
+    """DuckDB twin as CTE bodies (yields keys..., v_empty, hll_raw).
+
+    Mirrors hll_registers' NULL-item filter (WHERE item IS NOT NULL) and
+    hll_estimate's empty-input coalesce — without them a NULL item makes
+    a phantom (reg NULL, mx NULL) register row that inflates ``present``
+    on THIS engine only, breaking the parity this module exists for."""
     h = h60_sql(item_expr)
     ksel = f"{keys}, " if keys else ""
     kgrp = f"GROUP BY {keys}" if keys else ""
     kgrp_reg = f"GROUP BY {ksel}reg" if keys else "GROUP BY reg"
-    return f"""hsrc AS (SELECT {ksel}{h} AS h FROM {src}),
+    return f"""hsrc AS (SELECT {ksel}{h} AS h FROM {src}
+              WHERE ({item_expr}) IS NOT NULL),
     rho AS (SELECT {ksel}h % {HLL_M} AS reg,
                    CASE WHEN (h >> 8) = 0 THEN 53
                         ELSE 53 - length(bin(h >> 8)) END AS rho
             FROM hsrc),
     regs AS (SELECT {ksel}reg, max(rho) AS mx FROM rho {kgrp_reg}),
     hagg AS (SELECT {ksel}count(*) AS present,
-                    CAST(sum(CAST(pow(2.0, 53 - mx) AS BIGINT)) AS DOUBLE)
+                    CAST(coalesce(sum(CAST(pow(2.0, 53 - mx) AS BIGINT)), 0)
+                         AS DOUBLE)
                     / {float(2**53)!r} AS sum_present
              FROM regs {kgrp}),
     hest AS (SELECT {ksel}{HLL_M} - present AS v_empty,
@@ -209,6 +239,17 @@ def _bloom_positions(h: Column, seed: int = 7) -> list[Column]:
     ]
 
 
+def _word_bit() -> tuple[Column, Column]:
+    """(word_idx, bit) expressions over an exploded position column ``p``
+    — ONE definition shared by bloom_bitmap and bloom_probe, so a future
+    WORD-size or packing change cannot apply to the build but miss the
+    probe (or vice versa)."""
+    word = F.floor(F.col("p") / BLOOM_WORD).cast("bigint")
+    # SQL-form shiftleft: the Python API wants a literal shift count
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD} AS INT))")
+    return word, bit
+
+
 def bloom_bitmap(df: DataFrame, hash_col: str, seed: int = 7) -> DataFrame:
     """(word_idx, bits): BLOOM_M-bit Bloom filter over the int64 hash
     column, packed BLOOM_WORD bits per row — ≤ m/WORD rows total from any
@@ -217,9 +258,7 @@ def bloom_bitmap(df: DataFrame, hash_col: str, seed: int = 7) -> DataFrame:
     key set when the set itself is too big to ship."""
     pos = F.explode(F.array(*_bloom_positions(F.col(hash_col), seed))).alias("p")
     exploded = df.select(pos)
-    word = F.floor(F.col("p") / BLOOM_WORD).cast("bigint")
-    # SQL-form shiftleft: the Python API wants a literal shift count
-    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD} AS INT))")
+    word, bit = _word_bit()
     return (
         exploded.select(word.alias("word_idx"), bit.alias("b"))
         .groupBy("word_idx")
@@ -236,34 +275,33 @@ def bloom_probe(
     The probe is k narrow lookups against ≤ m/WORD broadcast rows — no
     shuffle of the probe side.
 
-    Row-preserving: duplicate probe rows each get their own bloom_hit —
-    the regroup key includes an internal per-row id (dropped from the
-    output; it never surfaces, so output determinism is unaffected)."""
-    probes = df.withColumn("_rid", F.monotonically_increasing_id()).select(
-        "*", F.posexplode(F.array(*_bloom_positions(F.col(hash_col), seed))).alias("j", "p")
-    )
-    word = F.floor(F.col("p") / BLOOM_WORD).cast("bigint")
-    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD} AS INT))")
-    hit = (
-        probes.select(*df.columns, "_rid", word.alias("word_idx"), bit.alias("b"))
-        .join(F.broadcast(bitmap), "word_idx", "left")
-        .select(
-            *df.columns,
+    Row-preserving via the shared ``_row_preserving_probe`` shape:
+    duplicate probe rows each get their own bloom_hit, and only the slim
+    (_rid, word, bit) stream ever reaches the join/regroup."""
+
+    def est(ridded):
+        probes = ridded.select(
             "_rid",
-            ((F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("b"))) != 0).alias(
-                "_set"
-            ),
+            F.explode(F.array(*_bloom_positions(F.col(hash_col), seed))).alias("p"),
         )
-    )
-    # bool_and, not sum(_set)==K: a duplicated probe row contributes each
-    # position multiple times, which would turn the row-count-dependent sum
-    # into a false NEGATIVE — violating the Bloom guarantee. AND over the
-    # per-position hits is duplicate-insensitive.
-    return (
-        hit.groupBy(*df.columns, "_rid")
-        .agg(F.bool_and("_set").alias("bloom_hit"))
-        .drop("_rid")
-    )
+        word, bit = _word_bit()
+        hit = (
+            probes.select("_rid", word.alias("word_idx"), bit.alias("b"))
+            .join(F.broadcast(bitmap), "word_idx", "left")
+            .select(
+                "_rid",
+                (
+                    (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("b"))) != 0
+                ).alias("_set"),
+            )
+        )
+        # bool_and, not sum(_set)==K: a duplicated probe row contributes
+        # each position multiple times, which would turn the row-count-
+        # dependent sum into a false NEGATIVE — violating the Bloom
+        # guarantee. AND over the per-position hits is duplicate-insensitive.
+        return hit.groupBy("_rid").agg(F.bool_and("_set").alias("bloom_hit"))
+
+    return _row_preserving_probe(df, est)
 
 
 def bloom_bitmap_sql(src: str, hash_expr: str, seed: int = 7) -> str:
@@ -300,7 +338,13 @@ def histogram_quantiles(
 
     ``keys`` gives the GROUPED form (per-key bounds, bins, and
     estimates — ≤ 256 bins of state per key); parallelism scales with
-    key count and the cumulative window partitions by key."""
+    key count and the cumulative window partitions by key. Keyed joins
+    against the per-key stats table are NULL-SAFE (a NULL grouping key
+    forms its own group, like any GROUP BY, instead of being silently
+    dropped by an equality join) and unhinted — st has one row per key,
+    which is NOT structurally bounded at the key cardinalities this
+    grouped form exists for, so statistics/AQE size it; only the
+    ungrouped path's 1-row stats frame keeps a forced broadcast."""
     from pyspark.sql import Window
 
     keys = keys or []
@@ -315,7 +359,21 @@ def histogram_quantiles(
         F.max("v").alias("mx"),
         F.count("*").alias("n"),
     )
-    joined = v.join(F.broadcast(st), keys) if keys else v.crossJoin(F.broadcast(st))
+    # st's key columns are renamed so the null-safe join condition can
+    # reference both sides unambiguously; dropped right after each join
+    sta = st.select(
+        *[F.col(k).alias(f"_hq_{k}") for k in keys], "mn", "mx", "n"
+    )
+    _renamed = [f"_hq_{k}" for k in keys]
+
+    def _stats_join(left):
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_hq_{k}"))
+            cond = c if cond is None else cond & c
+        return left.join(sta, cond).drop(*_renamed)
+
+    joined = _stats_join(v) if keys else v.crossJoin(F.broadcast(st))
     ratio = F.when(
         F.col("mx") > F.col("mn"),
         (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")),
@@ -333,7 +391,7 @@ def histogram_quantiles(
     cum = hist.withColumn("cum", F.sum("cnt").over(wc))
     pdf = df.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
     cand = (
-        pdf.crossJoin(cum.join(F.broadcast(st), keys) if keys else cum.crossJoin(F.broadcast(st)))
+        pdf.crossJoin(_stats_join(cum) if keys else cum.crossJoin(F.broadcast(st)))
         .filter(F.col("cum") >= F.col("p") * F.col("n"))
     )
     pick = cand.groupBy(*keys, "p").agg(

@@ -1195,6 +1195,76 @@ def test_decode_features_declared_codec_contract_raises(spark):
         decode_features(media).collect()
 
 
+def test_sketch_edge_semantics(spark):
+    """Pins the round-9 sketch-review fixes: (a) histogram_quantiles keeps
+    the NULL-key group (null-safe stats joins — a NULL grouping key is a
+    group, like any GROUP BY); (b) hll_estimate returns 0.0, not NULL,
+    for empty/all-NULL input; (c) the hll_sql DuckDB twin filters NULL
+    items exactly like hll_registers, so parity holds on NULL-bearing
+    columns; (d) cms_estimates / bloom_probe tolerate probe frames whose
+    columns collide with sketch internals ('cnt', 'bits') or carry
+    un-groupable types (maps), and reject a reserved '_rid' column."""
+    import duckdb
+    import pytest
+
+    from sparkwrangle.ext.hashing import h60
+    from sparkwrangle.ext.sketches import (
+        bloom_bitmap,
+        bloom_probe,
+        cms_estimates,
+        cms_sketch,
+        histogram_quantiles,
+        hll_estimate,
+        hll_registers,
+        hll_sql,
+    )
+
+    # (a) NULL-key group survives with correct quantiles
+    rows = [(None, float(v)) for v in range(1, 11)] + [("k1", 5.0), ("k1", 7.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {
+        (r.k, r.p): r.est
+        for r in histogram_quantiles(df, "value", [0.5], keys=["k"]).collect()
+    }
+    assert (None, 0.5) in got and ("k1", 0.5) in got
+    assert 4.0 <= got[(None, 0.5)] <= 6.5  # median of 1..10, bin-interpolated
+
+    # (b) empty and all-NULL inputs estimate 0.0 (not NULL)
+    empty = spark.createDataFrame([], "item string")
+    est = hll_estimate(hll_registers(empty, "item")).collect()[0]
+    assert est.hll_raw == 0.0
+    nulls = spark.createDataFrame([(None,), (None,)], "item string")
+    est = hll_estimate(hll_registers(nulls, "item")).collect()[0]
+    assert est.hll_raw == 0.0
+
+    # (c) Spark vs DuckDB parity on a NULL-bearing item column
+    items = [("a",), (None,), ("b",), ("a",), (None,)]
+    sdf = spark.createDataFrame(items, "item string")
+    spark_raw = hll_estimate(hll_registers(sdf, "item")).collect()[0].hll_raw
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES ('a'), (NULL), ('b'), ('a'), (NULL)) v(item)")
+    duck_raw = con.execute(
+        f"WITH {hll_sql('t', 'item')} SELECT hll_raw FROM hest"
+    ).fetchone()[0]
+    assert abs(spark_raw - duck_raw) < 1e-9, (spark_raw, duck_raw)
+
+    # (d) probe frames with colliding names / map columns; _rid reserved
+    probe = spark.createDataFrame(
+        [("a", 1, 2, {"x": 1}), ("c", 3, 4, {"y": 2})],
+        "item string, cnt int, bits int, m map<string,int>",
+    )
+    sketch = cms_sketch(sdf, "item")
+    out = cms_estimates(probe, sketch, "item").collect()
+    assert {r.item for r in out} == {"a", "c"}
+    assert all(r.cms_est >= 0 and r.m is not None for r in out)
+    hashed = probe.withColumn("h", h60(F.col("item")))
+    bits = bloom_bitmap(sdf.select(h60(F.col("item")).alias("h")), "h")
+    hits = {r.item: r.bloom_hit for r in bloom_probe(hashed, "h", bits).collect()}
+    assert hits["a"] is True  # member: guaranteed hit
+    with pytest.raises(ValueError, match="_rid"):
+        cms_estimates(probe.withColumn("_rid", F.lit(1)), sketch, "item")
+
+
 def test_cms_never_undercounts_and_mostly_exact(spark):
     """CMS hard guarantee: est ≥ true count for EVERY item (not just the
     top-20 the catalog query reports); with 150-1500 users in 4×256

@@ -44,11 +44,9 @@ def profile_table(spark, sf_dir: str, table: str, hh_col: str | None = None) -> 
             F.col("item").isNotNull()
         )
         est = hll_estimate(hll_registers(items, "item")).collect()[0]
-        # all-NULL column: hll_registers is empty, the global agg returns
-        # hll_raw=NULL (sum over zero rows) — distinct count is 0, not a
-        # TypeError from round(None, 1)
-        raw = 0.0 if est.hll_raw is None else est.hll_raw
-        out["columns"][name] = {"approx_distinct": round(raw, 1)}
+        # all-NULL column → hll_raw = 0.0 (empty-input coalesce lives in
+        # hll_estimate itself now, not in each caller)
+        out["columns"][name] = {"approx_distinct": round(est.hll_raw, 1)}
     for name in numeric:
         qs = histogram_quantiles(df, name, [0.5, 0.9, 0.99]).collect()
         out["columns"][name]["quantiles"] = {
