@@ -596,7 +596,7 @@ _IVF_TRAINED_SQL = f"""
         FROM embeddings
     ), cents AS (
         SELECT label AS cell, list(avg_x ORDER BY pos) AS centroid
-        FROM (SELECT label, pos, avg(x) AS avg_x FROM dims GROUP BY label, pos)
+        FROM (SELECT label, pos, round(avg(x), 6) AS avg_x FROM dims GROUP BY label, pos)
         GROUP BY label
     ), assigned AS (
         SELECT vec_id, cell FROM (
@@ -646,7 +646,7 @@ _IVF_NPROBE_SQL = f"""
         FROM embeddings
     ), cents AS (
         SELECT label AS cell, list(avg_x ORDER BY pos) AS centroid
-        FROM (SELECT label, pos, avg(x) AS avg_x FROM dims GROUP BY label, pos)
+        FROM (SELECT label, pos, round(avg(x), 6) AS avg_x FROM dims GROUP BY label, pos)
         GROUP BY label
     ), assigned AS (
         SELECT vec_id, cell FROM (
@@ -1550,7 +1550,7 @@ def x_ivf_centroids(spark, sf_dir):
         FROM embeddings
     ), cents AS (
         SELECT label, list(avg_x ORDER BY pos) AS centroid
-        FROM (SELECT label, pos, avg(x) AS avg_x FROM dims GROUP BY label, pos)
+        FROM (SELECT label, pos, round(avg(x), 6) AS avg_x FROM dims GROUP BY label, pos)
         GROUP BY label
     ), scored AS (
         SELECT e.vec_id, c.label AS cand,
@@ -1581,7 +1581,9 @@ def x_ivf_assign(spark, sf_dir):
     dims = emb.select(
         "label", F.posexplode("embedding").alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
-    per_dim = dims.groupBy("label", "pos").agg(F.avg("x").alias("avg_x"))
+    # round(avg, 6) like train_centroids / the SQL twin: these centroids
+    # feed a discrete argmax, where a raw avg's ulp wobble could flip it
+    per_dim = dims.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("avg_x"))
     cents = per_dim.groupBy("label").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "avg_x"))), lambda s: s.avg_x
@@ -3027,7 +3029,7 @@ def x_bm25_search(spark, sf_dir):
         FROM embeddings
     ), cents AS (
         SELECT label AS cell, list(avg_x ORDER BY pos) AS centroid
-        FROM (SELECT label, pos, avg(x) AS avg_x FROM dims GROUP BY label, pos)
+        FROM (SELECT label, pos, round(avg(x), 6) AS avg_x FROM dims GROUP BY label, pos)
         GROUP BY label
     ), assigned AS (
         SELECT vec_id, cell FROM (

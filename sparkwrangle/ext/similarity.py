@@ -34,8 +34,43 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _window_topk(scored: DataFrame, order_cols, k: int, out_cols) -> DataFrame:
+    """Shared per-query top-k tail: rank within query_id by ``order_cols``
+    (which must end in a deterministic tiebreak), keep rk ≤ k. One
+    definition for every ANN variant so the rank/filter/projection shape
+    cannot drift between them."""
+    w = Window.partitionBy("query_id").orderBy(*order_cols)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*out_cols, "rk")
+    )
+
+
+def _adc_scored(codes: DataFrame, lut: DataFrame, join_keys, id_col: str) -> DataFrame:
+    """Shared ADC scan: narrow code rows joined to the broadcast
+    (subspace, code) → d2 lookup table, summed per (query, neighbor).
+    One definition for the self-training and persisted-index paths.
+
+    DECIMAL accumulator: the m per-subspace d2 values arrive in shuffle
+    order, and a raw double sum is order-sensitive in the last ulp — with
+    duplicate/near-dup vectors (equal true distances) that ulp decides
+    the rank tiebreak, so the sum must be order-invariant and
+    engine-identical (same idiom as pagerank; the oracle mirrors the
+    cast chain). ``_n_sub`` stays on the frame so callers with an
+    external index can validate subspace coverage."""
+    return (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), list(join_keys))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("d2").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("adc_dist"),
+            F.count("*").alias("_n_sub"),
+        )
+    )
 
 
 def cosine_topk(
@@ -70,13 +105,11 @@ def cosine_topk(
             "cos_sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    return _window_topk(
+        scored,
+        [F.desc("cos_sim"), F.asc("neighbor_id")],
+        k,
+        ["query_id", "neighbor_id", "cos_sim"],
     )
 
 
@@ -117,13 +150,11 @@ def ivf_cosine_topk(
             "cos_sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    return _window_topk(
+        scored,
+        [F.desc("cos_sim"), F.asc("neighbor_id")],
+        k,
+        ["query_id", "neighbor_id", "cos_sim"],
     )
 
 
@@ -133,11 +164,18 @@ def train_centroids(
     """IVF training step: per-cell centroid = per-dimension mean of the
     cell's vectors (one Lloyd step from the given seed partition). One
     posexplode + one map-side-combinable groupBy; the centroid array is
-    reassembled position-sorted. Output: (cell, centroid array<double>)."""
+    reassembled position-sorted. Output: (cell, centroid array<double>).
+
+    Means are ROUNDED to 6 decimals (the same rule as _pq_means and the
+    round(avg(x), 6) in the SQL twins): a raw avg() is partition-order
+    sensitive in the last ulp, and these centroids feed assign_cells'
+    DISCRETE argmax — an unrounded 1-ulp wobble near a cosine tie could
+    flip a cell assignment between runs/engines, a membership change no
+    output rounding can absorb."""
     dims = base.select(
         F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
-    per_dim = dims.groupBy("cell", "pos").agg(F.avg("x").alias("c"))
+    per_dim = dims.groupBy("cell", "pos").agg(F.round(F.avg("x"), 6).alias("c"))
     return per_dim.groupBy("cell").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
@@ -254,6 +292,11 @@ def lsh_band_buckets(
             f"drop the last {n % bands if bands > 0 else n} sign bits"
         )
     per = n // bands
+    if per >= 32:
+        raise ValueError(
+            f"lsh_band_buckets: {per} bits per band overflows the int32 "
+            f"band_val (max 31) — use more bands or fewer planes"
+        )
     bits = [
         (_dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) >= 0).cast("int")
         for plane in planes
@@ -287,9 +330,16 @@ def lsh_band_buckets_vectorized(
     SQL oracle — numpy's pairwise-summing ``dot``/``sum`` would not be,
     and a sign bit sits exactly on the 0 boundary. Property-tested equal
     to the fold form; output schema identical (id, band, band_val).
-    Requires non-null embeddings (np.stack raises on a None row); the
-    fold-form twin instead degrades a NULL vector to null band values —
-    filter nulls before either path for identical behavior."""
+
+    Degenerate inputs: a fully-None row still raises (np.stack cannot
+    shape it; the fold twin degrades it to NULL band values), and a row
+    with a null or NaN ELEMENT emits NULL band_val for every band — a
+    bucket-less row that no candidate equi-join will match. (The fold
+    twin yields NULL for a null element but, by Spark's NaN-largest
+    comparison semantics, sign-bit 1 for a true NaN element — bucketing
+    a garbage vector. The forms are bit-identical on null/NaN-free
+    input, the property-tested contract; filter degenerate vectors
+    upstream when exact twin parity matters.)"""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -302,6 +352,11 @@ def lsh_band_buckets_vectorized(
             f"plane count (got {n_planes} planes, {bands} bands)"
         )
     per = n_planes // bands
+    if per >= 32:
+        raise ValueError(
+            f"lsh_band_buckets_vectorized: {per} bits per band overflows "
+            f"the int32 band_val (max 31) — use more bands or fewer planes"
+        )
 
     # explicit eval-type annotations (module has PEP-563 string
     # annotations, under which pandas_udf cannot resolve local names)
@@ -310,6 +365,10 @@ def lsh_band_buckets_vectorized(
         if n == 0:
             return pd.Series([], dtype=object)
         x = np.stack(emb.to_numpy()).astype(np.float64)
+        # a null element arrives as NaN after the Arrow->numpy cast; such
+        # a row gets NULL band_vals (bucket-less) instead of the garbage
+        # sign pattern `nan >= 0 == False` would silently produce
+        bad = np.isnan(x).any(axis=1)
         bits = np.empty((n, n_planes), dtype=bool)
         for p in range(n_planes):
             acc = np.zeros(n)
@@ -323,7 +382,10 @@ def lsh_band_buckets_vectorized(
         return pd.Series(
             [
                 [
-                    {"band": b, "band_val": int(vals[i, b])}
+                    {
+                        "band": b,
+                        "band_val": None if bad[i] else int(vals[i, b]),
+                    }
                     for b in range(bands)
                 ]
                 for i in range(n)
@@ -383,11 +445,11 @@ def lsh_cosine_topk(
             "cos_sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    return _window_topk(
+        scored,
+        [F.desc("cos_sim"), F.asc("neighbor_id")],
+        k,
+        ["query_id", "neighbor_id", "cos_sim"],
     )
 
 
@@ -441,8 +503,11 @@ def embedding_neardup_pairs_gemm(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos_sim": sims[keep]}
         )
 
+    # id columns keep the INPUT's id type (like the relational twin) —
+    # a hardcoded bigint would break string/other orderable id columns
+    id_type = base.schema[id_col].dataType.simpleString()
     return base.groupBy(cell_col).applyInPandas(
-        cell_pairs, "id_a bigint, id_b bigint, cos_sim double"
+        cell_pairs, f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
 
 
@@ -714,9 +779,15 @@ def pq_codebooks(
         F.asc(F.col("sv")[0]), F.asc(id_col)
     )
     n = F.count("*").over(Window.partitionBy("subspace"))
+    # bigint cast BEFORE the multiply: row_number() is int32, and on the
+    # full-corpus path (sample_mod=None) (rn−1)·k_codes would wrap
+    # negative past ~2^31/k_codes rows per subspace under non-ANSI Spark,
+    # silently corrupting the quantile seed cells
     assigned = subs.withColumn(
         "cell",
-        F.floor(((F.row_number().over(w) - 1) * k_codes) / n).cast("int"),
+        F.floor(
+            ((F.row_number().over(w).cast("bigint") - 1) * k_codes) / n
+        ).cast("int"),
     )
     for _ in range(iters):
         cb = _pq_means(assigned, d_sub)
@@ -833,28 +904,12 @@ def pq_adc_topk(
             "query_id",
         )
         join_keys.append("route")
-    scored = (
-        codes.withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(lut), join_keys)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            # DECIMAL accumulator: the m per-subspace d2 values arrive in
-            # shuffle order, and a raw double sum is order-sensitive in the
-            # last ulp — with duplicate/near-dup vectors (equal true
-            # distances) that ulp decides the rank tiebreak, so the sum
-            # must be order-invariant and engine-identical (same idiom as
-            # pagerank; oracle mirrors the cast chain)
-            F.sum(F.col("d2").cast("decimal(38,18)"))
-            .cast("double")
-            .alias("adc_dist")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "adc_dist", "rk")
+    scored = _adc_scored(codes, lut, join_keys, id_col)
+    return _window_topk(
+        scored,
+        [F.asc("adc_dist"), F.asc("neighbor_id")],
+        k,
+        ["query_id", "neighbor_id", "adc_dist"],
     )
 
 
@@ -954,13 +1009,11 @@ def pq_rerank_topk(
             / (F.col("q_norm") * F.col("b_norm"))
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    return _window_topk(
+        exact,
+        [F.desc("cos_sim"), F.asc("neighbor_id")],
+        k,
+        ["query_id", "neighbor_id", "cos_sim"],
     )
 
 
@@ -981,7 +1034,21 @@ def pq_adc_from_index(
     combinable groupBy sum — the raw embedding column of the corpus is
     never read at query time. Output (query_id, neighbor_id, adc_dist,
     rk); shared by the batch CLI and the streaming foreachBatch server.
+
+    The index artifacts are EXTERNAL, so coverage is validated: the
+    codebooks' distinct subspace count must equal ``m`` (a build-time
+    check — one bounded job over an m·K-row frame), and every scored
+    pair must have summed exactly m subspace distances (an executor-side
+    raise; a corrupt/mismatched codes table would otherwise silently
+    drop subspaces from the join and rank by a PREFIX of the true
+    distance).
     """
+    idx_m = codebooks.agg(F.countDistinct("subspace").alias("n")).collect()[0]["n"]
+    if idx_m != m:
+        raise ValueError(
+            f"pq_adc_from_index: index has {idx_m} subspaces but m={m} "
+            f"was requested — wrong m/d_sub for this persisted index"
+        )
     q_subs = _subspace_explode(queries, id_col, vec_col, m, d_sub)
     lut = q_subs.join(F.broadcast(codebooks), "subspace").select(
         F.col(id_col).alias("query_id"),
@@ -989,28 +1056,21 @@ def pq_adc_from_index(
         F.col("cell").alias("code"),
         _sub_l2sq(F.col("sv"), F.col("centroid")).alias("d2"),
     )
-    scored = (
-        codes.withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(lut), ["subspace", "code"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            # DECIMAL accumulator: the m per-subspace d2 values arrive in
-            # shuffle order, and a raw double sum is order-sensitive in the
-            # last ulp — with duplicate/near-dup vectors (equal true
-            # distances) that ulp decides the rank tiebreak, so the sum
-            # must be order-invariant and engine-identical (same idiom as
-            # pagerank; oracle mirrors the cast chain)
-            F.sum(F.col("d2").cast("decimal(38,18)"))
-            .cast("double")
-            .alias("adc_dist")
-        )
+    scored = _adc_scored(codes, lut, ["subspace", "code"], id_col).withColumn(
+        "adc_dist",
+        F.when(F.col("_n_sub") == m, F.col("adc_dist")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_adc_from_index: pair summed "),
+                    F.col("_n_sub").cast("string"),
+                    F.lit(f" of {m} subspaces — corrupt or mismatched index"),
+                )
+            )
+        ),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "adc_dist", "rk")
+    return _window_topk(
+        scored,
+        [F.asc("adc_dist"), F.asc("neighbor_id")],
+        k,
+        ["query_id", "neighbor_id", "adc_dist"],
     )

@@ -256,6 +256,13 @@ def test_streaming_ann_serving_matches_batch_probe(spark, tmp_path):
     batches = {r.batch_id for r in spark.read.parquet(out_dir).collect()}
     assert len(batches) == 2  # two micro-batches really served
 
+    # index-coverage validation: asking the persisted index for the wrong
+    # m must raise loudly, not rank by a prefix of the true distance
+    import pytest
+
+    with pytest.raises(ValueError, match="subspaces"):
+        pq_adc_from_index(codes, cb, emb.filter(F.col("vec_id") < 2), k=5, m=4, d_sub=16)
+
 
 def test_ann_serving_replayed_batch_overwrites_not_duplicates(spark, tmp_path):
     """ADVICE r4: the serving sink must be IDEMPOTENT under foreachBatch
