@@ -180,11 +180,14 @@ def x_doc_fingerprint(spark, sf_dir):
     f"""
     WITH normed AS (
         SELECT doc_id,
-               {h60_sql("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS text_hash
-        FROM documents
+               CASE WHEN nt <> '' THEN {h60_sql("nt")} END AS text_hash
+        FROM (SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+              FROM documents)
     )
     SELECT doc_id, text_hash,
-           count(*) OVER (PARTITION BY text_hash) AS dup_count
+           CASE WHEN text_hash IS NULL THEN 1
+                ELSE count(*) OVER (PARTITION BY text_hash) END AS dup_count
     FROM normed
     """,
     doc="North-star exact dedup: hash-groupBy over normalized text "
@@ -1768,19 +1771,22 @@ def x_corpus_stats(spark, sf_dir):
     "x_dedup_exact_keep_first",
     f"""
     WITH normed AS (
-        SELECT doc_id, text,
-               {h60_sql("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS text_hash
-        FROM documents
+        SELECT doc_id,
+               CASE WHEN nt <> '' THEN {h60_sql("nt")} END AS text_hash
+        FROM (SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+              FROM documents)
     )
-    SELECT doc_id, text_hash FROM (
-        SELECT doc_id, text_hash,
-               row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
-        FROM normed
-    ) WHERE rn = 1
+    SELECT doc_id, text_hash FROM normed WHERE text_hash IS NULL
+    UNION ALL
+    SELECT min(doc_id) AS doc_id, text_hash
+    FROM normed WHERE text_hash IS NOT NULL GROUP BY text_hash
     """,
     doc="North-star exact dedup, materialized: keep the lowest doc_id per "
     "normalized-text group (keep='first') — the actual dedup OUTPUT, not "
-    "just group counts.",
+    "just group counts. NULL-hash docs (NULL or empty-normalizing text — "
+    "non-Latin content the normalizer strips wholesale) are each kept: "
+    "they are not duplicates of each other.",
 )
 def x_dedup_exact_keep_first(spark, sf_dir):
     from sparkwrangle.ext.dedup import exact_dup_groups
@@ -1788,10 +1794,15 @@ def x_dedup_exact_keep_first(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     hashed = exact_dup_groups(docs).select("doc_id", "text_hash")
     # keep='first' == min(doc_id) per hash — a combinable groupBy-min,
-    # not a sorting window over every group
-    return hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id", "text_hash"
+    # not a sorting window over every group; NULL-hash docs bypass the
+    # aggregate (each is its own group — see exact_dup_groups)
+    kept = (
+        hashed.filter(F.col("text_hash").isNotNull())
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text_hash")
     )
+    return hashed.filter(F.col("text_hash").isNull()).unionByName(kept)
 
 
 # ---------------------------------------------------------------------------

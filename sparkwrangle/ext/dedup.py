@@ -103,17 +103,65 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "))
 
 
-def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", count_mode: str = "window"
+) -> DataFrame:
     """Exact dedup: normalized-text hash → group size per doc. Keep rows
     with dup_count == 1 (or min doc_id per group) to dedupe.
 
-    Window form, not groupBy+join-back: one scan, one shuffle, and the
-    (expensive) normalize+hash expression evaluates once per row."""
+    Docs whose text is NULL or normalizes to EMPTY (the [a-z0-9 ]
+    normalizer strips CJK/Cyrillic/emoji/punctuation-only content
+    wholesale) get text_hash NULL and dup_count 1 — they are NOT
+    duplicates of each other just because the normalizer cannot see
+    them. Without this, one giant md5('') group would mark every
+    non-Latin document in a multilingual corpus as a duplicate and the
+    keep-one-per-group policy would silently delete the slice.
+
+    ``count_mode``:
+
+    * ``"window"`` (default): one scan, one shuffle, the (expensive)
+      normalize+hash expression evaluates once per row. Caveat: the
+      window pins every row of one text_hash to one task, and window
+      shuffles are invisible to AQE skew splitting — on a corpus where
+      one boilerplate page has 10⁸ copies (exactly what exact dedup
+      exists to find), that group is a straggler/OOM.
+    * ``"join"`` (skew-safe scale form): map-side-combinable
+      ``groupBy(text_hash).count()`` joined back — the hot group's rows
+      stay AQE-splittable. Costs a second evaluation of the hash
+      subtree; flip to this on dup-heavy corpora. Output pinned equal
+      to the window form by test.
+
+    No ``"auto"`` probe here, unlike ngram_jaccard_pairs: the group key
+    IS the content, so any content-derived deterministic sample keeps or
+    drops whole groups together and cannot estimate the max group size —
+    pick the mode from what you know about the corpus."""
     from pyspark.sql import Window
 
-    withhash = df.withColumn("text_hash", h60(normalize_text(F.col(text_col))))
+    if count_mode not in ("window", "join"):
+        raise ValueError(
+            f"exact_dup_groups: count_mode must be 'window' or 'join', "
+            f"got {count_mode!r}"
+        )
+    norm = normalize_text(F.col(text_col))
+    withhash = df.withColumn("text_hash", F.when(norm != "", h60(norm)))
+    if count_mode == "join":
+        counts = (
+            withhash.filter(F.col("text_hash").isNotNull())
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("dup_count"))
+        )
+        # left join: NULL-hash rows miss (null keys never equi-match)
+        # and coalesce to 1 — the same rule as the window form's when()
+        return withhash.join(counts, "text_hash", "left").withColumn(
+            "dup_count", F.coalesce(F.col("dup_count"), F.lit(1))
+        )
     w = Window.partitionBy("text_hash")
-    return withhash.withColumn("dup_count", F.count("*").over(w))
+    return withhash.withColumn(
+        "dup_count",
+        F.when(F.col("text_hash").isNull(), F.lit(1)).otherwise(
+            F.count("*").over(w)
+        ),
+    )
 
 
 def shingles(
@@ -137,20 +185,14 @@ def shingles(
 
     Short docs: the `when` guard short-circuits, so the negative-length
     slices in the zip branch are never evaluated for size(t) < n.
+
+    The gram construction itself is ``_gram_array_expr`` — ONE definition
+    shared with positional_shingles and the span-mode probe, so a fix to
+    the zip shape or the short-doc guard cannot apply to one consumer
+    and miss the others.
     """
     t1 = df.select(id_col, tokenize(F.col(text_col)).alias("_t"))
-    sz = F.size("_t")
-    shifted = [
-        F.slice(F.col("_t"), i + 1, sz - (n - 1)).alias(f"t{i}") for i in range(n)
-    ]
-    grams = F.when(
-        sz >= n,
-        F.transform(
-            F.arrays_zip(*shifted),
-            lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = t1.select(id_col, F.explode(grams).alias("shingle"))
+    out = t1.select(id_col, F.explode(_gram_array_expr("_t", n)).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -239,6 +281,15 @@ def mapside_minhash_sigs(
 def band_struct_array(k: int = 16, bands: int = 4) -> Column:
     """Array of (band, bh) structs from the mh0..mh{k-1} columns — the
     map-side banding expression shared by batch and streaming paths."""
+    if bands <= 0 or k % bands != 0:
+        # bands > k would make rows_per_band 0 and every band hash the
+        # CONSTANT h60('') — the bucket join degenerates into the full
+        # n² cross product; a non-dividing bands silently drops the
+        # trailing signature rows and changes the recall curve
+        raise ValueError(
+            f"band_struct_array: bands must evenly divide k "
+            f"(got k={k}, bands={bands})"
+        )
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -331,6 +382,10 @@ def ngram_jaccard_pairs(
       evaluation of the shingle subtree; flip to this when one gram's
       df is pathological (boilerplate at 10⁹). Output is pinned equal
       to the window form by test.
+
+    NOTE: ``"auto"`` (with ``max_df`` set) runs its probe job EAGERLY at
+    plan-construction time, like duplicate_spans' auto mode — pass an
+    explicit ``"window"``/``"join"`` to stay fully lazy.
     """
     from pyspark.sql import Window
 
@@ -409,7 +464,12 @@ def connected_components(
     id reachable from each node.
 
     ``pairs`` is an undirected edge list (id_a, id_b); ``all_ids`` the
-    full node universe (singleton docs become their own cluster). Each
+    full node universe (singleton docs become their own cluster).
+    PRECONDITION: every edge endpoint must appear in ``all_ids`` — for
+    an endpoint outside it the output row set is path-dependent (the
+    one-round fast path would emit a row for it, the contraction path's
+    all_ids-left-join would not), so outsiders are a contract violation,
+    not a supported input. Each
     round rewires every node toward the minimum of its neighborhood:
 
     * large-star: for each node u, attach every STRICTLY LARGER neighbor
@@ -516,8 +576,10 @@ def connected_components(
             )
 
     rounds = 1 if prev[0] > 0 else 0  # the propagation probe round above
+    converged = prev[0] == 0
     for _ in range(max_iter):
         if prev[0] == 0:
+            converged = True
             break
         # -- large-star: und = both directions; m(u) = min(u, min N(u));
         #    emit (v, m(u)) for v > u
@@ -554,8 +616,18 @@ def connected_components(
         rounds += 1
         cur = (obs.get["n"], obs.get["hs"])
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a non-fixpoint edge set is NOT a star forest: the label join
+        # below would assign different cluster_ids to nodes of the same
+        # component — plausible-looking but WRONG output, so fail loudly
+        raise RuntimeError(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            f"contraction rounds (contraction needs ~log2(diameter) "
+            f"rounds; raise max_iter)"
+        )
     if stats is not None:
         stats["rounds"] = rounds
         stats["path"] = "contraction"
@@ -609,6 +681,7 @@ def connected_components_propagation(
         .agg(F.min("lbl").alias("lbl"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges["dst"] == labels["node"]).select(
             F.col("src").alias("node"), F.col("lbl")
@@ -627,7 +700,14 @@ def connected_components_propagation(
         )
         labels = agg.drop("_old").localCheckpoint()
         if obs.get["changed"] == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_propagation: labels still changing "
+            f"after max_iter={max_iter} rounds (propagation needs "
+            f"diameter rounds; raise max_iter or use connected_components)"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
@@ -638,6 +718,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     Expressed as one explode + one groupBy with ``bits`` conditional sums —
     map-side combinable, no UDF.
     """
+    if not (0 < bits <= 60):
+        # h60 is a 60-bit hash: bit positions 60+ of shiftright(h, j) are
+        # always 0, so a wider signature would carry constant-zero high
+        # bits (silently weaker hamming distances); 64+ additionally
+        # overflows the int64 2**j literal at plan build
+        raise ValueError(f"simhash: bits must be in 1..60, got {bits}")
     toks = df.select(id_col, F.explode(tokenize(F.col(text_col))).alias("tok"))
     toks = toks.withColumn("h", h60(F.col("tok")))
     bit_sums = [

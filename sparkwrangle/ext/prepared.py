@@ -52,8 +52,11 @@ def prepare_corpus(
     minhash_signatures(sh_mat, "doc_id", k=k).write.mode("overwrite").parquet(
         f"{out_dir}/minhash_sigs.parquet"
     )
+    # NULL-hash rule matches exact_dup_groups: NULL/empty-normalizing
+    # texts are not duplicates of each other (see dedup.exact_dup_groups)
+    _norm = normalize_text(F.col("text"))
     docs.select(
-        "doc_id", h60(normalize_text(F.col("text"))).alias("text_hash")
+        "doc_id", F.when(_norm != "", h60(_norm)).alias("text_hash")
     ).write.mode("overwrite").parquet(f"{out_dir}/text_hashes.parquet")
 
 
@@ -87,12 +90,18 @@ def jaccard_from_prepared(
 
 
 def exact_dup_groups_from_prepared(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Exact-dup group sizes from the materialized normalized-hash table."""
+    """Exact-dup group sizes from the materialized normalized-hash table
+    (NULL text_hash → dup_count 1, the exact_dup_groups rule)."""
     from pyspark.sql import Window
 
     th = load_prepared(spark, out_dir)["text_hashes"]
     w = Window.partitionBy("text_hash")
-    return th.withColumn("dup_count", F.count("*").over(w))
+    return th.withColumn(
+        "dup_count",
+        F.when(F.col("text_hash").isNull(), F.lit(1)).otherwise(
+            F.count("*").over(w)
+        ),
+    )
 
 
 def incremental_lsh_pairs(

@@ -1195,6 +1195,86 @@ def test_decode_features_declared_codec_contract_raises(spark):
         decode_features(media).collect()
 
 
+def test_exact_dedup_edge_semantics(spark):
+    """Pins the round-9 dedup-review fixes: (a) NULL/empty-normalizing
+    texts (CJK, punctuation-only, whitespace-only — everything the
+    [a-z0-9 ] normalizer strips wholesale) are NOT duplicates of each
+    other: each gets text_hash NULL and dup_count 1, and keep-first keeps
+    them ALL (one md5('') group would have deleted every non-Latin doc of
+    a multilingual corpus); (b) the skew-safe join count_mode is
+    row-identical to the window form; (c) parameter guards raise instead
+    of silently corrupting (bands not dividing k -> constant band hash ->
+    n^2 cross product; simhash bits beyond the 60-bit hash -> constant
+    zero signature bits); (d) connected_components raises on max_iter
+    exhaustion instead of returning a non-star-forest labeling."""
+    import pytest
+
+    from sparkwrangle.ext.dedup import (
+        band_struct_array,
+        connected_components,
+        connected_components_propagation,
+        exact_dup_groups,
+        simhash,
+    )
+
+    rows = [
+        (1, "the quick fox"),
+        (2, "the quick fox"),
+        (3, "漢字テキスト"),
+        (4, "другой текст"),
+        (5, "!!! ??? ..."),
+        (6, "   "),
+        (7, None),
+        (8, "unique latin doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_hash, r.dup_count) for r in exact_dup_groups(docs).collect()}
+    assert got[1][1] == 2 and got[2][1] == 2 and got[1][0] == got[2][0]
+    for d in (3, 4, 5, 6, 7):
+        assert got[d][0] is None and got[d][1] == 1, (d, got[d])
+    assert got[8][1] == 1 and got[8][0] is not None
+
+    joined = {
+        r.doc_id: (r.text_hash, r.dup_count)
+        for r in exact_dup_groups(docs, count_mode="join").collect()
+    }
+    assert joined == got
+    with pytest.raises(ValueError, match="count_mode"):
+        exact_dup_groups(docs, count_mode="auto")
+
+    # keep-first keeps every NULL-hash doc, one per real group
+    hashed = exact_dup_groups(docs).select("doc_id", "text_hash")
+    kept_nonnull = (
+        hashed.filter(F.col("text_hash").isNotNull())
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept_ids = {r.doc_id for r in kept_nonnull.collect()} | {
+        r.doc_id for r in hashed.filter(F.col("text_hash").isNull()).collect()
+    }
+    assert kept_ids == {1, 3, 4, 5, 6, 7, 8}
+
+    with pytest.raises(ValueError, match="bands"):
+        band_struct_array(k=16, bands=32)
+    with pytest.raises(ValueError, match="bands"):
+        band_struct_array(k=16, bands=5)
+    with pytest.raises(ValueError, match="bits"):
+        simhash(docs, "doc_id", "text", bits=61)
+
+    # a 5-chain needs 3 propagation hops / >1 contraction round: starving
+    # max_iter must raise, not return a wrong labeling
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    with pytest.raises(Exception, match="max_iter"):
+        connected_components_propagation(chain, ids, max_iter=1).collect()
+    with pytest.raises(Exception, match="max_iter"):
+        connected_components(chain, ids, max_iter=0)
+    ok = connected_components(chain, ids).collect()
+    assert {r.cluster_id for r in ok} == {1}
+
+
 def test_sketch_edge_semantics(spark):
     """Pins the round-9 sketch-review fixes: (a) histogram_quantiles keeps
     the NULL-key group (null-safe stats joins — a NULL grouping key is a
