@@ -2952,10 +2952,11 @@ def x_source_mixing_weights(spark, sf_dir):
     "block (by portable hash), drop blocks occurring >= 3 times, and "
     "reassemble the surviving text in order. Docs losing every block "
     "drop out entirely. Two shuffles total (by block hash for the "
-    "occurrence window, by doc for reassembly); at 100 TB the flagged "
-    "boilerplate set is tiny relative to the corpus, so the window form "
-    "can be swapped for an agg + broadcast anti-join without changing "
-    "results.",
+    "occurrence window, by doc for reassembly); at 100 TB flip "
+    "count_mode='join' — boilerplate blocks are hot by construction, and "
+    "the map-side-combinable groupBy+join form is AQE-skew-splittable "
+    "where the window form pins a hot block to one straggler task "
+    "(output pinned equal by test).",
 )
 def x_boilerplate_prune(spark, sf_dir):
     from sparkwrangle.ext.text import prune_boilerplate

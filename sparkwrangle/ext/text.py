@@ -223,19 +223,41 @@ def prune_boilerplate(
     text_col: str = "text",
     block: int = 4,
     min_occ: int = 3,
+    count_mode: str = "window",
 ) -> DataFrame:
     """C4/RefinedWeb-style boilerplate span removal: split each document
     into aligned ``block``-token blocks, count corpus-wide occurrences of
     each block (by portable hash), drop blocks occurring ``min_occ``+
     times, reassemble survivors in order. Docs losing every block drop
-    out. Two shuffles (block hash, then doc reassembly); at corpus scale
-    the flagged set is tiny, so an agg + broadcast anti-join over a
-    MATERIALIZED block layout is the swap-in (ext/prepared pattern).
+    out.
+
+    ``count_mode`` picks how the corpus-wide block count is computed —
+    the same dial (and the same caveat) as ``duplicate_spans``:
+
+    * ``"window"`` (default): ``count(*) OVER (PARTITION BY block_hash)``
+      — one scan, one shuffle; fastest locally. Caveat: a boilerplate
+      block shared by 10⁹ documents (a common footer on a web crawl) is
+      a single straggler task, and window shuffles are invisible to AQE
+      skew splitting — and hot blocks are exactly what this operator
+      hunts, so flip the mode when the corpus is known to carry
+      high-multiplicity boilerplate.
+    * ``"join"`` (skew-safe scale form): map-side-combinable
+      ``groupBy(block_hash).count()`` (shuffle volume = distinct blocks
+      per map partition, not all block instances) joined back onto the
+      block stream — AQE-skew-splittable, broadcast-upgradable when the
+      count table is small. Costs a second evaluation of the
+      tokenize/explode subtree. Output pinned equal to the window form
+      by test.
 
     Returns (id_col, n_blocks, n_dropped, cleaned_text).
     """
     from pyspark.sql import Window
 
+    if count_mode not in ("window", "join"):
+        raise ValueError(
+            f"prune_boilerplate: count_mode must be 'window' or 'join', "
+            f"got {count_mode!r}"
+        )
     toks = df.select(id_col, tokenize(F.col(text_col)).alias("t")).filter(
         F.size("t") > 0
     )
@@ -250,9 +272,13 @@ def prune_boilerplate(
                 ),
             )
         ).alias("b"),
-    ).select(id_col, "b.s", "b.bt")
-    occ = F.count("*").over(Window.partitionBy(h60(F.col("bt"))))
-    counted = blocks.withColumn("occ", occ)
+    ).select(id_col, "b.s", "b.bt", h60(F.col("b.bt")).alias("_bh"))
+    if count_mode == "join":
+        occs = blocks.groupBy("_bh").agg(F.count("*").alias("occ"))
+        counted = blocks.join(occs, "_bh").drop("_bh")
+    else:
+        occ = F.count("*").over(Window.partitionBy("_bh"))
+        counted = blocks.withColumn("occ", occ).drop("_bh")
     dropped = F.sum((F.col("occ") >= min_occ).cast("bigint"))
     kept = F.array_sort(
         F.collect_list(F.when(F.col("occ") < min_occ, F.struct("s", "bt")))
@@ -381,15 +407,18 @@ def bpe_segment_counts(
     trained word → symbols table (the tokenizer's encode step, corpus
     side). Per doc: whitespace token count, BPE symbol count after
     ``rounds`` merges, and chars-per-BPE-token — the compression metric a
-    tokenizer budget decision reads. The vocabulary join broadcasts (it
-    is vocabulary-sized); per-word symbol counts come map-side from the
-    trained table, so the corpus is scanned once."""
+    tokenizer budget decision reads. The vocabulary join is
+    statistics/AQE-sized, NOT force-broadcast: the word vocabulary is
+    corpus-scaling (Heaps' law — billions of distinct tokens on a
+    web-scale corpus), the same reason the unigram-NLL vocab join is
+    unhinted. Per-word symbol counts come map-side from the trained
+    table, so the corpus is scanned once."""
     _, v = bpe_train(docs, text_col, rounds)
     words = docs.select(
         "doc_id", F.explode(tokenize(F.col(text_col))).alias("w")
     )
     seg = words.join(
-        F.broadcast(v.select("w", F.size("syms").alias("nsym"), F.length("w").alias("nchr"))),
+        v.select("w", F.size("syms").alias("nsym"), F.length("w").alias("nchr")),
         "w",
     )
     return seg.groupBy("doc_id").agg(

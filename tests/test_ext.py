@@ -1586,6 +1586,43 @@ def test_duplicate_spans_join_mode_equals_window_mode(spark):
     assert "windowspecdefinition(gh" not in plan
 
 
+def test_prune_boilerplate_join_mode_equals_window_mode(spark):
+    """prune_boilerplate's skew-safe groupBy+join block count is pinned
+    output-equal to the default window form — boilerplate blocks are hot
+    BY CONSTRUCTION (a footer shared by 10⁹ docs is one straggler task
+    under the window form), so the join dial is the scale path — and the
+    join plan carries NO window partitioned by the block hash."""
+    import re
+
+    from sparkwrangle.ext.text import prune_boilerplate
+
+    footer = "all rights reserved contact us"  # shared boilerplate
+    rows = [(i, f"unique body {i} words here {footer}") for i in range(8)]
+    rows += [(100, f"{footer} {footer} {footer}"),  # within-doc repetition
+             (101, "entirely unique document nothing shared"),
+             (102, "")]  # zero-token doc drops out pre-blocking
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    win = prune_boilerplate(docs, "doc_id", "text", block=2, min_occ=3,
+                            count_mode="window")
+    jon = prune_boilerplate(docs, "doc_id", "text", block=2, min_occ=3,
+                            count_mode="join")
+    w_rows = sorted(map(tuple, win.collect()))
+    j_rows = sorted(map(tuple, jon.collect()))
+    assert w_rows == j_rows
+    # the shared footer must actually have been pruned somewhere
+    assert any(r[2] > 0 for r in w_rows), w_rows
+
+    plan = jon._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_bh" not in spec.split(",")[0], spec
+
+    import pytest
+
+    with pytest.raises(ValueError, match="count_mode"):
+        prune_boilerplate(docs, count_mode="broadcast")
+
+
 def test_ngram_df_cap_join_mode_equals_window_mode(spark):
     """df-cap via anti-join against the map-side-counted hot-shingle list
     (the AQE-skew-splittable scale form) is pinned output-equal to the

@@ -46,7 +46,7 @@ QUERIES = [
     "x_bpe_train_merges",       # iterative argmax + greedy merge rounds
     "x_bloom_decontaminate",    # bit_or bitmap + broadcast probe counts
     "x_pagerank_centrality",    # decimal-accumulated power iteration
-    "x_bpe_segment",            # trained-vocab broadcast encode counts
+    "x_bpe_segment",            # trained-vocab join (AQE-sized) encode counts
     "x_token_entropy",          # decimal-accumulated c·ln(c) sums
     "x_perplexity_prune",       # decimal-accumulated per-doc ln(p) average
     "x_frequent_pairs",         # basket self-join support + lift
