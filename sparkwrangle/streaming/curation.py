@@ -130,7 +130,12 @@ def curate_stream(
                 .select("doc_id")
                 .distinct()
             )
-            clean = red.join(F.broadcast(contaminated), "doc_id", "left_anti")
+            # no forced broadcast: the contaminated doc-id set scales with
+            # corpus size × contamination rate (an eval-heavy corpus makes
+            # it corpus-sized), unlike the structurally bounded eval-hash
+            # set above — statistics/AQE size the anti join, matching the
+            # batch pipeline's form (catalog_ext curation)
+            clean = red.join(contaminated, "doc_id", "left_anti")
     else:
         ev = F.lit(eval_hashes).cast("array<bigint>")
         # coalesce: a NULL shingle array (NULL text — reachable at
