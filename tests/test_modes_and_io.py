@@ -216,3 +216,52 @@ def test_register_views_reports_skipped_tables(spark, tmp_path):
     assert spark.sql("SELECT count(*) FROM events").collect()[0][0] > 0
     # full dataset: nothing skipped
     assert register_views(spark, SF_SMOKE) == []
+
+
+def test_load_table_normalizes_every_ts_generation(spark, tmp_path):
+    """The driver's testdata generator has shipped events.ts as INT64
+    TIMESTAMP(NANOS) in some rounds and timestamp[us] (NTZ or UTC) in
+    others; load_table sniffs and normalizes all three to TimestampType
+    with identical values. The live testdata only carries ONE variant per
+    generation, so pin every sniff branch with synthesized parquet here —
+    otherwise a regeneration flip is only covered by luck."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    base = [
+        datetime.datetime(2024, 1, 1, 9, 30, 0, 123456),
+        datetime.datetime(2024, 1, 2, 16, 0, 5, 0),
+        datetime.datetime(2024, 2, 28, 0, 0, 59, 999999),
+    ]
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["click", "view", "error"]),
+        "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+    }
+    variants = {
+        # INT64 TIMESTAMP(NANOS): Spark can't read it as a timestamp;
+        # the nanosAsLong conf + floor-to-micros branch handles it
+        "nanos": pa.array(base, pa.timestamp("ns")),
+        # no tz annotation -> Spark infers TIMESTAMP_NTZ (cast branch)
+        "ntz": pa.array(base, pa.timestamp("us")),
+        # isAdjustedToUTC -> plain TimestampType (no-op branch)
+        "utc": pa.array(base, pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for name, ts_arr in variants.items():
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        tbl = pa.table({**cols, "ts": ts_arr})
+        # version 2.6 keeps nanosecond logical types instead of coercing
+        pq.write_table(tbl, f"{d}/events.parquet", version="2.6")
+        df = load_table(spark, d, "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), name
+        got[name] = [
+            r["ts"] for r in df.orderBy("event_id").select("ts").collect()
+        ]
+    assert got["nanos"] == got["ntz"] == got["utc"] == base
