@@ -169,3 +169,122 @@ def test_no_unbounded_single_partition_exchange(spark):
                 continue
             problems.append(f"{name}: Exchange SinglePartition over {child.strip()[:80]!r}")
     assert not problems, problems
+
+
+def test_forced_broadcast_sites_are_allowlisted():
+    """The SCALE.md forced-broadcast policy as a lint: an explicit
+    ``F.broadcast`` hint may only sit on a structurally bounded side —
+    bounded by construction, not by expected data. Every call site in the
+    package is enumerated by AST walk and must match this allowlist
+    exactly, so adding a hint (or moving one) fails here until the new
+    site is reviewed against the policy and listed with its bound.
+    Sides that scale with the corpus, an ingest batch, a vertex table, a
+    vocabulary, near-dup density, or a contamination rate belong to
+    statistics/AQE, not on this list (see the r8/r9 unhinting sweeps)."""
+    import ast
+    import os
+
+    import sparkwrangle
+
+    # (relpath, enclosing function) -> number of F.broadcast call sites.
+    # Bound classes: [agg] 1-row in-plan aggregate; [dim] fixed dimension
+    # (nation/region/time_blocks/listings/fx/blocklist); [eval] eval-suite
+    # hash set; [sample] bounded sample/boundary table (n_blocks*64 rows,
+    # fixed anchor count); [query] bounded query set; [codebook] PQ
+    # codebooks / centroids (m*cells or k rows); [sketch] constant-size
+    # sketch table (depth*width / registers / bitmap words).
+    allow = {
+        ("catalog.py", "c_block_range_join"): (1, "dim"),
+        ("catalog_ext.py", "x_bloom_decontaminate"): (1, "eval"),
+        ("catalog_ext.py", "x_curation_pipeline_end_to_end"): (1, "eval"),
+        ("catalog_ext.py", "x_decontaminate"): (1, "eval"),
+        ("catalog_ext.py", "x_frequent_pairs"): (1, "agg"),
+        ("catalog_ext.py", "x_hll_set_ops"): (3, "sketch"),
+        ("catalog_ext.py", "x_ivf_assign"): (1, "codebook"),
+        ("catalog_ext.py", "x_negative_sampling"): (1, "sample"),
+        ("catalog_ext.py", "x_source_blocklist"): (1, "dim"),
+        ("catalog_ext.py", "x_source_mixing_weights"): (1, "agg"),
+        ("catalog_ext.py", "x_tfidf_top_terms"): (1, "agg"),
+        ("catalog_ext.py", "x_unigram_logprob"): (1, "agg"),
+        ("catalog_relational.py", "k6_faithful_ticker_share"): (1, "agg"),
+        ("catalog_relational.py", "q_cube_grouping_id"): (1, "agg"),
+        ("catalog_relational.py", "q_rank_family"): (1, "dim"),
+        ("catalog_relational.py", "q_rollup_revenue"): (1, "dim"),
+        ("catalog_relational.py", "tpch_q10_returned_items"): (1, "dim"),
+        ("catalog_relational.py", "tpch_q11_shape_important_inventory"): (3, "dim/agg"),
+        ("catalog_relational.py", "tpch_q15_top_supplier"): (1, "agg"),
+        ("catalog_relational.py", "tpch_q20_shape_excess_suppliers"): (2, "dim"),
+        ("catalog_relational.py", "tpch_q22_shape_idle_customers"): (1, "agg"),
+        ("catalog_relational.py", "tpch_q5_local_supplier"): (2, "dim"),
+        ("catalog_relational.py", "tpch_q7_volume_shipping"): (2, "dim"),
+        ("catalog_relational.py", "tpch_q8_market_share"): (3, "dim"),
+        ("catalog_relational.py", "tpch_q9_shape_product_profit"): (1, "dim"),
+        ("ext/graph.py", "pagerank"): (2, "agg"),
+        ("ext/similarity.py", "_adc_scored"): (1, "codebook"),
+        ("ext/similarity.py", "_pq_assign"): (1, "codebook"),
+        ("ext/similarity.py", "assign_cells"): (1, "codebook"),
+        ("ext/similarity.py", "cosine_topk"): (1, "query"),
+        ("ext/similarity.py", "ivf_cosine_topk"): (1, "query"),
+        ("ext/similarity.py", "lsh_cosine_topk"): (2, "query"),
+        ("ext/similarity.py", "pq_adc_from_index"): (1, "codebook"),
+        ("ext/similarity.py", "pq_adc_topk"): (1, "codebook"),
+        ("ext/similarity.py", "pq_encode_long"): (1, "codebook"),
+        ("ext/similarity.py", "pq_rerank_topk"): (1, "query"),
+        ("ext/sketches.py", "est"): (2, "sketch"),
+        ("ext/sketches.py", "histogram_quantiles"): (2, "agg"),
+        ("ext/text.py", "bm25_scores"): (1, "agg"),
+        ("jobs/report.py", "downsample_series"): (1, "agg"),
+        ("ops/joins.py", "block_range_join"): (1, "dim"),
+        ("ops/windows.py", "_grouped_global_rank"): (1, "sample"),
+        ("ops/windows.py", "grouped_exact_quantiles"): (1, "sample"),
+        ("pipelines/intraday.py", "balance_report"): (1, "agg"),
+        ("pipelines/intraday.py", "build_intraday_feed"): (3, "dim"),
+        ("streaming/curation.py", "curate_stream"): (2, "eval/agg"),
+    }
+
+    root = os.path.dirname(sparkwrangle.__file__)
+    found: dict[tuple[str, str], int] = {}
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root).replace(os.sep, "/")
+            tree = ast.parse(open(p).read())
+            spans = [
+                (n.lineno, n.end_lineno or n.lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "F"
+                ):
+                    enc = "<module>"
+                    enc_lo = -1
+                    for lo, hi, name in spans:
+                        if lo <= node.lineno <= hi and lo > enc_lo:
+                            enc, enc_lo = name, lo
+                    key = (rel, enc)
+                    found[key] = found.get(key, 0) + 1
+
+    expected = {k: n for k, (n, _bound) in allow.items()}
+    new_sites = {k: v for k, v in found.items() if k not in expected}
+    gone_sites = {k: v for k, v in expected.items() if k not in found}
+    changed = {
+        k: (expected[k], found[k])
+        for k in found
+        if k in expected and found[k] != expected[k]
+    }
+    assert not new_sites, (
+        f"unreviewed F.broadcast hint(s) {new_sites}: justify the bound "
+        "against the SCALE.md policy and add to the allowlist"
+    )
+    assert not gone_sites and not changed, (
+        f"allowlist stale: removed {gone_sites}, changed {changed} - "
+        "update the list so it keeps matching reality"
+    )
