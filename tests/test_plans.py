@@ -288,3 +288,68 @@ def test_forced_broadcast_sites_are_allowlisted():
         f"allowlist stale: removed {gone_sites}, changed {changed} - "
         "update the list so it keeps matching reality"
     )
+
+
+def test_driver_collect_sites_are_allowlisted():
+    """No driver-side materialization on a hot path: every ``.collect()``/
+    ``.toPandas()``/``.toLocalIterator()`` in the package must be a known
+    site whose result is structurally bounded (a report tail, a 1-row
+    aggregate, a capped sample, a codebook) — an operator that iterates
+    collect() results is not distributed. AST-enumerated like the
+    broadcast lint; a new site fails here until reviewed and listed."""
+    import ast
+    import os
+
+    import sparkwrangle
+
+    # (relpath, enclosing function) -> (count, what bounds the result)
+    allow = {
+        ("jobs/report.py", "write_report_svg"): (1, "downsampled chart points, capped by max_points"),
+        ("ops/windows.py", "_quantile_block_expr"): (1, "boundary sample capped at n_blocks*64 rows"),
+        ("streaming/replay.py", "stage_replay"): (1, "1-row min/max feed_seq bounds aggregate"),
+        ("ext/similarity.py", "collect_codebooks"): (1, "m*cells codebook LUT"),
+        ("ext/similarity.py", "pq_adc_from_index"): (1, "m*cells codebook LUT"),
+        ("ext/text.py", "bpe_train"): (1, "top-1 pair row per BPE round"),
+    }
+
+    root = os.path.dirname(sparkwrangle.__file__)
+    found: dict[tuple[str, str], int] = {}
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root).replace(os.sep, "/")
+            tree = ast.parse(open(p).read())
+            spans = [
+                (n.lineno, n.end_lineno or n.lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr
+                    in ("collect", "toPandas", "toLocalIterator")
+                ):
+                    enc = "<module>"
+                    enc_lo = -1
+                    for lo, hi, name in spans:
+                        if lo <= node.lineno <= hi and lo > enc_lo:
+                            enc, enc_lo = name, lo
+                    key = (rel, enc)
+                    found[key] = found.get(key, 0) + 1
+
+    expected = {k: n for k, (n, _bound) in allow.items()}
+    new_sites = {k: v for k, v in found.items() if k not in expected}
+    stale = {
+        k: (expected.get(k), found.get(k))
+        for k in set(expected) | set(found)
+        if expected.get(k) != found.get(k) and k in expected
+    }
+    assert not new_sites, (
+        f"unreviewed driver materialization {new_sites}: state what bounds "
+        "the result and add to the allowlist"
+    )
+    assert not stale, f"allowlist stale: {stale}"
