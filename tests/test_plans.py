@@ -353,3 +353,99 @@ def test_driver_collect_sites_are_allowlisted():
         "the result and add to the allowlist"
     )
     assert not stale, f"allowlist stale: {stale}"
+
+
+def test_python_on_executor_sites_are_allowlisted():
+    """SCALE.md's 'Python executes on executors in exactly these places'
+    claim as a lint: every Arrow/Python executor entry point in the
+    package (applyInPandas / mapInPandas / *WithState* / pandas_udf /
+    udf / mapPartitions / flatMap / foreachBatch) must be a listed site
+    whose rationale is one of: inherently sequential state (the trade
+    state machines), binary decode (multimodal), per-group vectorized
+    numerics built-ins cannot express (GEMM, Lloyd), a data-dependent
+    per-batch sink, or the sanctioned UDF template. Anything new fails
+    here until reviewed — built-in Catalyst expressions are the default
+    and UDFs the exception, not the reverse."""
+    import ast
+    import os
+
+    import sparkwrangle
+
+    attrs = (
+        "applyInPandas",
+        "mapInPandas",
+        "applyInPandasWithState",
+        "transformWithStateInPandas",
+        "mapPartitions",
+        "flatMap",
+        "foreachBatch",
+        "pandas_udf",
+        "udf",
+    )
+
+    # (relpath, enclosing function, api) -> (count, why Python is needed)
+    allow = {
+        ("functions.py", "<module>", "pandas_udf"): (1, "sanctioned scalar-UDF template, equivalence test-pinned"),
+        ("streaming/ann_serving.py", "serve_ann_stream", "foreachBatch"): (1, "per-batch data-dependent LUT broadcast + idempotent partition overwrite"),
+        ("streaming/trader_stream.py", "streaming_backtest_trades", "applyInPandasWithState"): (1, "sequential trader state machine (streaming twin)"),
+        ("streaming/trader_stream.py", "streaming_backtest_balances", "applyInPandasWithState"): (1, "sequential trader state machine (streaming twin)"),
+        ("streaming/trader_tws.py", "tws_backtest_trades", "transformWithStateInPandas"): (1, "sequential trader state machine (Spark 4 tws twin)"),
+        ("ext/multimodal.py", "decode_features", "mapInPandas"): (1, "binary decode, Arrow-batched"),
+        ("ext/multimodal.py", "sample_frames", "mapInPandas"): (1, "binary decode (video stub), Arrow-batched"),
+        ("ext/multimodal.py", "decode_png_features", "mapInPandas"): (1, "binary decode, Arrow-batched"),
+        ("ext/multimodal.py", "decode_jpeg_features", "mapInPandas"): (1, "binary decode, Arrow-batched"),
+        ("ext/multimodal.py", "resize_features", "mapInPandas"): (1, "binary decode + resample, Arrow-batched"),
+        ("ext/multimodal.py", "audio_features", "mapInPandas"): (1, "binary decode + DSP, Arrow-batched"),
+        ("ext/multimodal.py", "_payload_table", "pandas_udf"): (1, "deterministic payload synthesis for the pointer table"),
+        ("ext/similarity.py", "embedding_neardup_pairs_gemm", "applyInPandas"): (1, "per-block numpy GEMM - no built-in matmul"),
+        ("ext/similarity.py", "lsh_band_buckets_vectorized", "pandas_udf"): (1, "vectorized hyperplane dot - measured 3x over fold HOF"),
+        ("ext/similarity.py", "pq_codebooks", "applyInPandas"): (1, "per-subspace Lloyd iterations on a bounded sample"),
+        ("stateful/pairs_scan.py", "pairs_trade_scan", "applyInPandas"): (1, "sequential pair-scan state machine"),
+        ("stateful/trader.py", "backtest_trades", "applyInPandas"): (1, "sequential trader state machine"),
+        ("stateful/trader.py", "backtest_trades_ledger", "applyInPandas"): (1, "sequential trader state machine"),
+        ("stateful/trader.py", "backtest_balances", "applyInPandas"): (1, "sequential trader state machine"),
+    }
+
+    root = os.path.dirname(sparkwrangle.__file__)
+    found: dict[tuple[str, str, str], int] = {}
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root).replace(os.sep, "/")
+            tree = ast.parse(open(p).read())
+            spans = [
+                (n.lineno, n.end_lineno or n.lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                api = None
+                if isinstance(node, ast.Call):
+                    if isinstance(node.func, ast.Attribute) and node.func.attr in attrs:
+                        api = node.func.attr
+                    elif isinstance(node.func, ast.Name) and node.func.id in attrs:
+                        api = node.func.id
+                if api is None:
+                    continue
+                enc = "<module>"
+                enc_lo = -1
+                for lo, hi, name in spans:
+                    if lo <= node.lineno <= hi and lo > enc_lo:
+                        enc, enc_lo = name, lo
+                key = (rel, enc, api)
+                found[key] = found.get(key, 0) + 1
+
+    expected = {k: n for k, (n, _why) in allow.items()}
+    new_sites = {k: v for k, v in found.items() if k not in expected}
+    stale = {
+        k: (expected.get(k), found.get(k))
+        for k in set(expected) | set(found)
+        if k in expected and expected.get(k) != found.get(k)
+    }
+    assert not new_sites, (
+        f"unreviewed Python-on-executor site(s) {new_sites}: built-ins "
+        "first; if Python is genuinely required, state why and allowlist"
+    )
+    assert not stale, f"allowlist stale: {stale}"
