@@ -449,3 +449,81 @@ def test_python_on_executor_sites_are_allowlisted():
         "first; if Python is genuinely required, state why and allowlist"
     )
     assert not stale, f"allowlist stale: {stale}"
+
+
+def test_checkpoint_sites_are_allowlisted():
+    """Every ``localCheckpoint`` is an eager job plus executor storage,
+    so each site must name what it materializes and why: per-round
+    iterative artifacts (vertex/vocab-sized), multi-consumer stage
+    outputs that would otherwise replay an expensive subtree (the
+    cluster-scale form is a staged table write), bounded top-k/report
+    rows, or an index-build artifact standing in for a persisted write.
+    ``cache``/``persist`` are banned outright (measured slower than
+    whole-stage pipelines here, and state dies with the session —
+    see ext/prepared.py). New sites fail until reviewed."""
+    import ast
+    import os
+
+    import sparkwrangle
+
+    # (relpath, enclosing function) -> (count, what is materialized)
+    allow = {
+        ("catalog_ext.py", "x_stream_ann_batch_twin"): (2, "index-build artifacts: codebooks (m*K rows) + narrow code table - stands in for the persisted index write"),
+        ("catalog_ext.py", "x_curation_pipeline_end_to_end"): (1, "quality-pruned survivor set, consumed by LSH + CC + final join - staged-table stand-in"),
+        ("catalog_ext.py", "x_pagerank_centrality"): (1, "per-round rank vector, vertex-sized"),
+        ("catalog_relational.py", "q_rank_family"): (1, "top-5 per event_type, bounded"),
+        ("ext/dedup.py", "connected_components"): (3, "edge list once + per-round label vector, vertex-sized"),
+        ("ext/dedup.py", "connected_components_propagation"): (3, "edge list once + per-round label vector, vertex-sized"),
+        ("ext/dedup.py", "lsh_verified_pairs"): (1, "LSH candidate pair list, candidate-sized"),
+        ("ext/dedup.py", "prefix_filter_pairs"): (2, "rarest-first prefix table ((1-t)*shingle rows) feeding both self-join sides + candidate pairs"),
+        ("ext/dedup.py", "edit_distance_pairs"): (1, "q-gram candidate pairs, candidate-sized"),
+        ("ext/graph.py", "pagerank"): (2, "static vertex table once + per-round rank vector, vertex-sized"),
+        ("ext/similarity.py", "pq_adc_topk"): (1, "trained codebook, m*K rows"),
+        ("ext/text.py", "bpe_train"): (2, "per-round merge row + per-round symbol table, vocab-sized"),
+    }
+
+    root = os.path.dirname(sparkwrangle.__file__)
+    found: dict[tuple[str, str], int] = {}
+    banned: list[str] = []
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root).replace(os.sep, "/")
+            tree = ast.parse(open(p).read())
+            spans = [
+                (n.lineno, n.end_lineno or n.lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                ):
+                    continue
+                if node.func.attr in ("cache", "persist"):
+                    banned.append(f"{rel}:{node.lineno} .{node.func.attr}()")
+                elif node.func.attr in ("localCheckpoint", "checkpoint"):
+                    enc = "<module>"
+                    enc_lo = -1
+                    for lo, hi, name in spans:
+                        if lo <= node.lineno <= hi and lo > enc_lo:
+                            enc, enc_lo = name, lo
+                    key = (rel, enc)
+                    found[key] = found.get(key, 0) + 1
+
+    assert not banned, f"cache/persist banned in the package: {banned}"
+    expected = {k: n for k, (n, _what) in allow.items()}
+    new_sites = {k: v for k, v in found.items() if k not in expected}
+    stale = {
+        k: (expected.get(k), found.get(k))
+        for k in set(expected) | set(found)
+        if k in expected and expected.get(k) != found.get(k)
+    }
+    assert not new_sites, (
+        f"unreviewed checkpoint site(s) {new_sites}: name the materialized "
+        "artifact and its bound, then allowlist"
+    )
+    assert not stale, f"allowlist stale: {stale}"
