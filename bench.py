@@ -14,6 +14,14 @@ A warmup query absorbs JVM/codegen startup so the numbers measure the
 plans, not session boot; table loads are memoized per-session in
 sparkwrangle.io so per-query parquet listing/footer reads don't mask
 plan regressions.
+
+Contention sentinels (round 10): three trivial pinned queries are timed
+first and last; their ratios to committed quiet-host levels become
+`host_factor_first/last` and a `contention_suspect` flag in both the
+final JSON line and BENCH_DETAIL.json, so a slow round-end driver bench
+is adjudicable from the artifact alone. REPS>=2 runs additionally write
+BENCH_BUILDER.json, which the driver's reps=1 round-end run never
+touches.
 """
 
 from __future__ import annotations
@@ -29,6 +37,51 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from sparkwrangle.catalog import CATALOG
 from sparkwrangle.session import get_spark
+
+# Contention sentinels: three trivial, code-stable catalog entries timed
+# FIRST (right after warmup) and LAST (after the full loop). Their quiet-
+# host min-of-2 levels are pinned below (from the committed r9-close
+# REPS=2 record, commit 0cdb768); a run whose sentinels sit far above
+# those levels was measured on a contended/slow host, and the artifact
+# says so itself (`contention_suspect`) instead of leaving the
+# adjudication to a next-round probe session. `host_factor` (median
+# sentinel ratio vs the pinned levels) is the normalization factor
+# per-entry attribution should divide by before comparing raw times
+# across hosts.
+_SENTINELS = ("a_rows_to_table", "g_pivot_wide", "h_string_suite")
+_SENTINEL_QUIET_REF = {
+    "a_rows_to_table": 0.307,
+    "g_pivot_wide": 0.279,
+    "h_string_suite": 0.083,
+}
+_CONTENTION_FACTOR = 3.0
+
+
+def _time_sentinels(spark, sf_dir: str) -> dict[str, float]:
+    """Min-of-2 wall time for each sentinel query (sub-second each)."""
+    out: dict[str, float] = {}
+    for name in _SENTINELS:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = CATALOG[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 4)
+    return out
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
+def _host_factor(sentinels: dict[str, float]) -> float:
+    return round(
+        _median([sentinels[k] / _SENTINEL_QUIET_REF[k] for k in _SENTINELS]), 2
+    )
 
 
 def main() -> None:
@@ -62,6 +115,8 @@ def main() -> None:
         lambda pdf: pdf, "k int, v double"
     ).write.format("noop").mode("overwrite").save()
 
+    sentinel_first = _time_sentinels(spark, sf_dir)
+
     # Opt-in repetitions for local measurement on noisy hosts (this box's
     # effective speed fluctuates several-fold between windows — NOTES.md).
     # Default 1 keeps the driver-observed metric exactly what it always
@@ -83,6 +138,11 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
 
+    sentinel_last = _time_sentinels(spark, sf_dir)
+    hf_first = _host_factor(sentinel_first)
+    hf_last = _host_factor(sentinel_last)
+    contention_suspect = max(hf_first, hf_last) > _CONTENTION_FACTOR
+
     total = round(sum(timings.values()), 4)
     # Record the first-pass (cold) numbers NEXT TO the min-of-N so a
     # driver-vs-builder delta is attributable: the driver runs reps=1
@@ -90,22 +150,32 @@ def main() -> None:
     # carry both — this host's effective speed swings ±15% between runs
     # on identical code (round-6 verdict), and a single overwritten
     # number cannot distinguish regression from noise.
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    detail_path.write_text(
-        json.dumps(
-            {
-                "metric": "sparkwrangle catalog wall-clock",
-                "value": total,
-                "unit": "sec",
-                "reps": reps,
-                "value_cold": round(sum(cold.values()), 4),
-                "queries": timings,
-                "queries_cold": cold,
-                "sf": sf,
-            },
-            indent=2,
-        )
-    )
+    payload = {
+        "metric": "sparkwrangle catalog wall-clock",
+        "value": total,
+        "unit": "sec",
+        "reps": reps,
+        "value_cold": round(sum(cold.values()), 4),
+        "queries": timings,
+        "queries_cold": cold,
+        "sf": sf,
+        "sentinel_first": sentinel_first,
+        "sentinel_last": sentinel_last,
+        "sentinel_quiet_ref": dict(_SENTINEL_QUIET_REF),
+        "host_factor_first": hf_first,
+        "host_factor_last": hf_last,
+        "contention_suspect": contention_suspect,
+    }
+    here = Path(__file__).resolve().parent
+    (here / "BENCH_DETAIL.json").write_text(json.dumps(payload, indent=2))
+    if reps >= 2:
+        # Builder-owned record: the driver benches with the default
+        # reps=1 at round end and overwrites BENCH_DETAIL.json, which
+        # twice cost a round of driver-vs-builder adjudication
+        # (NOTES.md round-9 item 6). A REPS>=2 run — the builder's
+        # quiet-host protocol — ALSO lands here, where the driver
+        # never writes.
+        (here / "BENCH_BUILDER.json").write_text(json.dumps(payload, indent=2))
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
@@ -119,6 +189,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf,
                 "detail": "BENCH_DETAIL.json",
+                "host_factor_first": hf_first,
+                "host_factor_last": hf_last,
+                "contention_suspect": contention_suspect,
             }
         )
     )
