@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from sparkwrangle.stateful.trader import TraderState
+from ira_reference import ReferenceIntradayTrader, sod_time
 
 
 # ---------------------------------------------------------------------------
@@ -78,8 +78,12 @@ def ep2_run_company(
 ):
     """The trade() loop of cell 8 for one company: per block build price and
     normalized-return frames, per day-of-month group slice the session,
-    base the returns, and feed ticks sequentially."""
-    trader = TraderState(**params)
+    base the returns, and feed ticks sequentially.
+
+    The expected side is the ENGINE-INDEPENDENT reference transcription
+    (ira_reference.py), not the engine's own TraderState — a ledger bug
+    shared with the engine cannot hide here (VERDICT r9 missing #2)."""
+    trader = ReferenceIntradayTrader(**params)
     fx_series = fx.set_index("ts")["rate"].sort_index()
     history: list[tuple] = []
 
@@ -114,6 +118,6 @@ def ep2_run_company(
                 price_data = td_price.loc[idx].values.flatten().tolist()
                 return_data = diff.loc[idx].values.flatten().tolist()
                 sod = idx.hour * 3600 + idx.minute * 60 + idx.second
-                trader.data_feed(sod, return_data, price_data)
+                trader.data_feed(sod_time(sod), return_data, price_data, tickers)
                 history.append((idx, trader.balance))
     return trader.trades, history
