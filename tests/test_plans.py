@@ -171,6 +171,82 @@ def test_no_unbounded_single_partition_exchange(spark):
     assert not problems, problems
 
 
+def _broadcast_hint_sites(src: str) -> list[tuple[str, int]]:
+    """All forced-broadcast call sites in a module source, as
+    (enclosing function, lineno). Matches the three spellings: the
+    canonical ``F.broadcast(...)``, a DataFrame ``.hint(<broadcast-ish
+    string>, ...)``, and a call to a bare ``broadcast`` imported from
+    ``pyspark.sql.functions`` (incl. aliases)."""
+    import ast
+
+    tree = ast.parse(src)
+    spans = [
+        (n.lineno, n.end_lineno or n.lineno, n.name)
+        for n in ast.walk(tree)
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    ]
+    bare_broadcast = {
+        (a.asname or a.name)
+        for n in ast.walk(tree)
+        if isinstance(n, ast.ImportFrom)
+        and n.module == "pyspark.sql.functions"
+        for a in n.names
+        if a.name == "broadcast"
+    }
+
+    def _is_broadcast_call(node: ast.Call) -> bool:
+        f = node.func
+        if isinstance(f, ast.Attribute):
+            if (
+                f.attr == "broadcast"
+                and isinstance(f.value, ast.Name)
+                and f.value.id == "F"
+            ):
+                return True
+            if f.attr == "hint" and node.args:
+                a0 = node.args[0]
+                if isinstance(a0, ast.Constant) and isinstance(a0.value, str):
+                    low = a0.value.lower()
+                    return "broadcast" in low or low == "mapjoin"
+            return False
+        return isinstance(f, ast.Name) and f.id in bare_broadcast
+
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call) and _is_broadcast_call(node):
+            enc = "<module>"
+            enc_lo = -1
+            for lo, hi, name in spans:
+                if lo <= node.lineno <= hi and lo > enc_lo:
+                    enc, enc_lo = name, lo
+            out.append((enc, node.lineno))
+    return out
+
+
+def test_broadcast_lint_catches_all_three_spellings():
+    """Mutation check for the lint's detector: each evasion spelling the
+    r9 ADVICE named must be caught, and lookalikes must not be."""
+    src = (
+        "from pyspark.sql import functions as F\n"
+        "from pyspark.sql.functions import broadcast as bc\n"
+        "def f(df, dim):\n"
+        "    a = df.join(F.broadcast(dim), 'k')\n"
+        "    b = df.join(dim.hint('broadcast'), 'k')\n"
+        "    c = df.join(dim.hint('BROADCASTJOIN'), 'k')\n"
+        "    d = df.join(dim.hint('mapjoin'), 'k')\n"
+        "    e = df.join(bc(dim), 'k')\n"
+        "    f2 = df.hint('shuffle_hash')\n"  # not a broadcast hint
+        "    g = df.select(F.first('v'))\n"  # unrelated F function
+        "    return a, b, c, d, e, f2, g\n"
+    )
+    hits = _broadcast_hint_sites(src)
+    assert len(hits) == 5, hits
+    assert all(enc == "f" for enc, _ in hits)
+    # a module that never imports broadcast bare: calls to other names
+    # named 'broadcast' via attribute on non-F receivers stay unmatched
+    assert _broadcast_hint_sites("def g(x):\n    return x.broadcast()\n") == []
+
+
 def test_forced_broadcast_sites_are_allowlisted():
     """The SCALE.md forced-broadcast policy as a lint: an explicit
     ``F.broadcast`` hint may only sit on a structurally bounded side —
@@ -180,7 +256,14 @@ def test_forced_broadcast_sites_are_allowlisted():
     site is reviewed against the policy and listed with its bound.
     Sides that scale with the corpus, an ingest batch, a vertex table, a
     vocabulary, near-dup density, or a contamination rate belong to
-    statistics/AQE, not on this list (see the r8/r9 unhinting sweeps)."""
+    statistics/AQE, not on this list (see the r8/r9 unhinting sweeps).
+
+    Besides ``F.broadcast(...)`` the walk also matches the two spellings
+    that would otherwise evade the policy (r9 ADVICE): a DataFrame
+    ``.hint("broadcast"/"broadcastjoin"/"mapjoin", ...)`` call, and a
+    call to a bare ``broadcast`` name imported from
+    ``pyspark.sql.functions``. No such sites exist today, so any
+    appearance is a new site to review."""
     import ast
     import os
 
@@ -250,27 +333,9 @@ def test_forced_broadcast_sites_are_allowlisted():
                 continue
             p = os.path.join(dirpath, fn)
             rel = os.path.relpath(p, root).replace(os.sep, "/")
-            tree = ast.parse(open(p).read())
-            spans = [
-                (n.lineno, n.end_lineno or n.lineno, n.name)
-                for n in ast.walk(tree)
-                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
-            ]
-            for node in ast.walk(tree):
-                if (
-                    isinstance(node, ast.Call)
-                    and isinstance(node.func, ast.Attribute)
-                    and node.func.attr == "broadcast"
-                    and isinstance(node.func.value, ast.Name)
-                    and node.func.value.id == "F"
-                ):
-                    enc = "<module>"
-                    enc_lo = -1
-                    for lo, hi, name in spans:
-                        if lo <= node.lineno <= hi and lo > enc_lo:
-                            enc, enc_lo = name, lo
-                    key = (rel, enc)
-                    found[key] = found.get(key, 0) + 1
+            for enc, _lineno in _broadcast_hint_sites(open(p).read()):
+                key = (rel, enc)
+                found[key] = found.get(key, 0) + 1
 
     expected = {k: n for k, (n, _bound) in allow.items()}
     new_sites = {k: v for k, v in found.items() if k not in expected}
@@ -292,11 +357,13 @@ def test_forced_broadcast_sites_are_allowlisted():
 
 def test_driver_collect_sites_are_allowlisted():
     """No driver-side materialization on a hot path: every ``.collect()``/
-    ``.toPandas()``/``.toLocalIterator()`` in the package must be a known
-    site whose result is structurally bounded (a report tail, a 1-row
-    aggregate, a capped sample, a codebook) — an operator that iterates
-    collect() results is not distributed. AST-enumerated like the
-    broadcast lint; a new site fails here until reviewed and listed."""
+    ``.toPandas()``/``.toLocalIterator()``/``.first()``/``.head()``/
+    ``.take()`` in the package must be a known site whose result is
+    structurally bounded (a report tail, a 1-row aggregate, a capped
+    sample, a codebook) — an operator that iterates collect() results is
+    not distributed. AST-enumerated like the broadcast lint; a new site
+    fails here until reviewed and listed. (first/head/take added per r9
+    ADVICE: they materialize to the driver exactly like collect.)"""
     import ast
     import os
 
@@ -310,6 +377,8 @@ def test_driver_collect_sites_are_allowlisted():
         ("ext/similarity.py", "collect_codebooks"): (1, "m*cells codebook LUT"),
         ("ext/similarity.py", "pq_adc_from_index"): (1, "m*cells codebook LUT"),
         ("ext/text.py", "bpe_train"): (1, "top-1 pair row per BPE round"),
+        ("ext/dedup.py", "_probe_max_key_count"): (1, "1-row max-count aggregate (skew probe)"),
+        ("ext/dedup.py", "_span_probe_max_gram_count"): (2, "two 1-row max aggregates (within/cross-doc span probe)"),
     }
 
     root = os.path.dirname(sparkwrangle.__file__)
@@ -331,7 +400,15 @@ def test_driver_collect_sites_are_allowlisted():
                     isinstance(node, ast.Call)
                     and isinstance(node.func, ast.Attribute)
                     and node.func.attr
-                    in ("collect", "toPandas", "toLocalIterator")
+                    in ("collect", "toPandas", "toLocalIterator",
+                        "first", "head", "take")
+                    # F.first(...) is the SQL aggregate/window function,
+                    # not DataFrame.first() — only DataFrame-method calls
+                    # materialize to the driver
+                    and not (
+                        isinstance(node.func.value, ast.Name)
+                        and node.func.value.id == "F"
+                    )
                 ):
                     enc = "<module>"
                     enc_lo = -1
