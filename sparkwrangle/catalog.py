@@ -596,7 +596,10 @@ def d_day_of_month_quirk(spark, sf_dir):
     FROM finals
     """,
     doc="D10: profitable-ticker share — fraction of series whose final "
-    "value beats the threshold (intra_day_arbitrage.ipynb:11708-11711).",
+    "value beats the threshold (intra_day_arbitrage.ipynb:11708-11711). "
+    "This IS quirk K.6's CORRECTED mode (no ticker dropped), so both "
+    "K.6 modes are oracle-checked: faithful by k6_faithful_ticker_share, "
+    "corrected here — a separate k6 twin would be a byte-duplicate.",
 )
 def d_final_above_share(spark, sf_dir):
     from sparkwrangle.ops.aggregates import final_above_share

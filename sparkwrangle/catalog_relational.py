@@ -336,7 +336,9 @@ def q_global_sort_limit(spark, sf_dir):
     """,
     doc="Quirk K.6 faithful mode: the cell-33 ticker-share metric silently "
     "drops the LAST ticker column (columns[:-2] though only TOTAL was "
-    "appended) — reproduced by excluding the max-order company.",
+    "appended) — reproduced by excluding the max-order company. The "
+    "CORRECTED mode (nothing dropped) is d_final_above_share — both "
+    "modes of the quirk are oracle-checked.",
 )
 def k6_faithful_ticker_share(spark, sf_dir):
     from sparkwrangle.ops.aggregates import final_above_share
