@@ -432,11 +432,115 @@ def test_driver_collect_sites_are_allowlisted():
     assert not stale, f"allowlist stale: {stale}"
 
 
+_EXECUTOR_ATTRS = (
+    "applyInPandas",
+    "mapInPandas",
+    "applyInPandasWithState",
+    "transformWithStateInPandas",
+    "mapPartitions",
+    "flatMap",
+    "foreachBatch",
+    "foreach",
+    "foreachPartition",
+    "pandas_udf",
+    "udf",
+)
+
+
+def _executor_entry_sites(src: str) -> list[tuple[str, str, int]]:
+    """All Python-on-executor entry points in a module source, as
+    (enclosing function, api, lineno). Matches attribute and bare-name
+    calls of _EXECUTOR_ATTRS, ``spark.udf.register(...)``, and BARE
+    ``@udf`` / ``@pandas_udf`` decorators (Name nodes, not Calls)."""
+    import ast
+
+    tree = ast.parse(src)
+    spans = [
+        (n.lineno, n.end_lineno or n.lineno, n.name)
+        for n in ast.walk(tree)
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    ]
+
+    def _enclosing(lineno: int) -> str:
+        enc, enc_lo = "<module>", -1
+        for lo, hi, name in spans:
+            if lo <= lineno <= hi and lo > enc_lo:
+                enc, enc_lo = name, lo
+        return enc
+
+    out = []
+    for node in ast.walk(tree):
+        api = None
+        if isinstance(node, ast.Call):
+            if (
+                isinstance(node.func, ast.Attribute)
+                and node.func.attr in _EXECUTOR_ATTRS
+            ):
+                api = node.func.attr
+            elif isinstance(node.func, ast.Name) and node.func.id in _EXECUTOR_ATTRS:
+                api = node.func.id
+            # spark.udf.register(...) registers a Python UDF too
+            elif (
+                isinstance(node.func, ast.Attribute)
+                and node.func.attr == "register"
+                and isinstance(node.func.value, ast.Attribute)
+                and node.func.value.attr == "udf"
+            ):
+                api = "udf.register"
+        # a BARE @udf / @pandas_udf decorator is a Name, not a Call —
+        # scan decorator lists so it cannot evade
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for dec in node.decorator_list:
+                if isinstance(dec, ast.Name) and dec.id in ("udf", "pandas_udf"):
+                    out.append((node.name, dec.id, node.lineno))
+        if api is not None:
+            out.append((_enclosing(node.lineno), api, node.lineno))
+    return out
+
+
+def test_executor_lint_catches_evasion_spellings():
+    """Mutation check for the executor-lint detector: bare decorators,
+    bare-name calls, udf.register, and foreach must all be caught."""
+    src = (
+        "from pyspark.sql.functions import udf, pandas_udf\n"
+        "@udf\n"
+        "def a(x):\n"
+        "    return x\n"
+        "@pandas_udf('double')\n"
+        "def b(s):\n"
+        "    return s\n"
+        "def c(df, spark):\n"
+        "    spark.udf.register('f', a)\n"
+        "    df.foreach(print)\n"
+        "    df.rdd.foreachPartition(print)\n"
+        "    g = udf(lambda x: x)\n"
+        "    return g\n"
+    )
+    hits = {(enc, api) for enc, api, _ in _executor_entry_sites(src)}
+    assert hits == {
+        ("a", "udf"),  # bare decorator (attributed to the function)
+        # a CALLED decorator is a Call on the decorator line, which sits
+        # above the def — it attributes to the surrounding scope, which
+        # is how the package allowlist records functions.py's template
+        ("<module>", "pandas_udf"),
+        ("c", "udf.register"),
+        ("c", "foreach"),
+        ("c", "foreachPartition"),
+        ("c", "udf"),  # bare-name call
+    }, hits
+    # lookalikes stay unmatched: a method named register on a non-udf
+    # receiver, and an unrelated decorator
+    clean = "def h(m):\n    m.codec.register('x')\n    return m\n"
+    assert _executor_entry_sites(clean) == []
+
+
 def test_python_on_executor_sites_are_allowlisted():
     """SCALE.md's 'Python executes on executors in exactly these places'
     claim as a lint: every Arrow/Python executor entry point in the
     package (applyInPandas / mapInPandas / *WithState* / pandas_udf /
-    udf / mapPartitions / flatMap / foreachBatch) must be a listed site
+    udf — incl. bare decorators and spark.udf.register — /
+    mapPartitions / flatMap / foreach / foreachPartition /
+    foreachBatch) must be a listed site
     whose rationale is one of: inherently sequential state (the trade
     state machines), binary decode (multimodal), per-group vectorized
     numerics built-ins cannot express (GEMM, Lloyd), a data-dependent
@@ -447,18 +551,6 @@ def test_python_on_executor_sites_are_allowlisted():
     import os
 
     import sparkwrangle
-
-    attrs = (
-        "applyInPandas",
-        "mapInPandas",
-        "applyInPandasWithState",
-        "transformWithStateInPandas",
-        "mapPartitions",
-        "flatMap",
-        "foreachBatch",
-        "pandas_udf",
-        "udf",
-    )
 
     # (relpath, enclosing function, api) -> (count, why Python is needed)
     allow = {
@@ -491,26 +583,7 @@ def test_python_on_executor_sites_are_allowlisted():
                 continue
             p = os.path.join(dirpath, fn)
             rel = os.path.relpath(p, root).replace(os.sep, "/")
-            tree = ast.parse(open(p).read())
-            spans = [
-                (n.lineno, n.end_lineno or n.lineno, n.name)
-                for n in ast.walk(tree)
-                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
-            ]
-            for node in ast.walk(tree):
-                api = None
-                if isinstance(node, ast.Call):
-                    if isinstance(node.func, ast.Attribute) and node.func.attr in attrs:
-                        api = node.func.attr
-                    elif isinstance(node.func, ast.Name) and node.func.id in attrs:
-                        api = node.func.id
-                if api is None:
-                    continue
-                enc = "<module>"
-                enc_lo = -1
-                for lo, hi, name in spans:
-                    if lo <= node.lineno <= hi and lo > enc_lo:
-                        enc, enc_lo = name, lo
+            for enc, api, _lineno in _executor_entry_sites(open(p).read()):
                 key = (rel, enc, api)
                 found[key] = found.get(key, 0) + 1
 
