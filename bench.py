@@ -15,13 +15,14 @@ plans, not session boot; table loads are memoized per-session in
 sparkwrangle.io so per-query parquet listing/footer reads don't mask
 plan regressions.
 
-Contention sentinels (round 10): three trivial pinned queries are timed
-first and last; their ratios to committed quiet-host levels become
-`host_factor_first/last` and a `contention_suspect` flag in both the
-final JSON line and BENCH_DETAIL.json, so a slow round-end driver bench
-is adjudicable from the artifact alone. REPS>=2 runs additionally write
-BENCH_BUILDER.json, which the driver's reps=1 round-end run never
-touches.
+Contention sentinels (round 10): three SYNTHETIC scale-independent
+plans (pre-warmed in warmup, so no catalog entry's cold number is
+disturbed) are timed first and last; their ratios to pinned quiet-host
+levels become `host_factor_first/last` and a `contention_suspect` flag
+in both the final JSON line and BENCH_DETAIL.json, so a slow round-end
+driver bench is adjudicable from the artifact alone. REPS>=2 runs
+additionally write BENCH_BUILDER.json, which the driver's reps=1
+round-end run never touches.
 """
 
 from __future__ import annotations
@@ -38,33 +39,78 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from sparkwrangle.catalog import CATALOG
 from sparkwrangle.session import get_spark
 
-# Contention sentinels: three trivial, code-stable catalog entries timed
-# FIRST (right after warmup) and LAST (after the full loop). Their quiet-
-# host min-of-2 levels are pinned below (from the committed r9-close
-# REPS=2 record, commit 0cdb768); a run whose sentinels sit far above
-# those levels was measured on a contended/slow host, and the artifact
-# says so itself (`contention_suspect`) instead of leaving the
-# adjudication to a next-round probe session. `host_factor` (median
-# sentinel ratio vs the pinned levels) is the normalization factor
-# per-entry attribution should divide by before comparing raw times
-# across hosts.
-_SENTINELS = ("a_rows_to_table", "g_pivot_wide", "h_string_suite")
-_SENTINEL_QUIET_REF = {
-    "a_rows_to_table": 0.307,
-    "g_pivot_wide": 0.279,
-    "h_string_suite": 0.083,
-}
+# Contention sentinels: three SYNTHETIC, scale-independent plans timed
+# FIRST (right after warmup, which also pre-builds them once so codegen
+# is absorbed) and LAST (after the full loop). Deliberately NOT catalog
+# entries — timing a catalog query here would warm it before the main
+# loop and silently corrupt its cold first-pass number (and the driver's
+# reps=1 headline) relative to every historical BENCH_r*.json. A run
+# whose sentinels sit far above the pinned quiet-host levels was
+# measured on a contended/slow host, and the artifact says so itself
+# (`contention_suspect`) instead of leaving the adjudication to a
+# next-round probe session. `host_factor` (median warmed-sentinel ratio
+# vs the pinned levels) is the normalization factor per-entry
+# attribution should divide by before comparing raw MIN-OF-N times
+# across hosts (cold numbers carry codegen and normalize less cleanly).
 _CONTENTION_FACTOR = 3.0
+# pinned quiet levels: min-of-2 of each warmed sentinel on the round-10
+# quiet window whose catalog total (145.9 s min-of-2) matched the best
+# committed quiet records (r9-close 146.3 / d8bb400-era 0cdb768 132.5 on
+# a ~1.2x faster host family) — re-pin from a fresh quiet REPS>=2 run if
+# the host family changes (NOTES.md round-10 lead 2)
+_SENTINEL_QUIET_REF = {
+    "agg_sum_mod": 0.50,
+    "join_window": 0.60,
+    "string_ops": 0.15,
+}
 
 
-def _time_sentinels(spark, sf_dir: str) -> dict[str, float]:
-    """Min-of-2 wall time for each sentinel query (sub-second each)."""
+def _sentinel_frames(spark) -> dict:
+    """Three deterministic sf-independent plans: a pure-CPU aggregate, a
+    broadcast join + window, and a string-function pipeline — the
+    machinery classes whose throughput collapses under host contention."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    r = spark.range(2_000_000)
+    agg = r.select((F.col("id") % 9973).alias("k")).groupBy("k").agg(
+        F.sum("k").alias("s"), F.count("*").alias("c")
+    )
+    small = spark.range(64).select(
+        (F.col("id") % 8).alias("k"), F.col("id").alias("v")
+    )
+    jw = (
+        spark.range(500_000)
+        .select(
+            (F.col("id") % 8).alias("k"), (F.col("id") % 1013).alias("v"), "id"
+        )
+        .join(F.broadcast(small.groupBy("k").agg(F.max("v").alias("mx"))), "k")
+        .withColumn("rn", F.row_number().over(Window.partitionBy("k").orderBy("v", "id")))
+        .groupBy("k")
+        .agg(F.sum("rn").alias("s"), F.max("mx").alias("m"))
+    )
+    s = (
+        spark.range(300_000)
+        .select(F.concat(F.lit("row-"), F.col("id").cast("string")).alias("t"))
+        .select(
+            F.length("t").alias("l"),
+            F.upper("t").alias("u"),
+            F.substring("t", 2, 5).alias("m"),
+            F.regexp_replace("t", "[0-9]", "#").alias("r"),
+        )
+        .groupBy()
+        .agg(F.sum("l").alias("sl"), F.count("*").alias("c"))
+    )
+    return {"agg_sum_mod": agg, "join_window": jw, "string_ops": s}
+
+
+def _time_sentinels(frames: dict) -> dict[str, float]:
+    """Min-of-2 wall time for each pre-built sentinel plan."""
     out: dict[str, float] = {}
-    for name in _SENTINELS:
+    for name, df in frames.items():
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            df = CATALOG[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
@@ -80,7 +126,10 @@ def _median(xs: list[float]) -> float:
 
 def _host_factor(sentinels: dict[str, float]) -> float:
     return round(
-        _median([sentinels[k] / _SENTINEL_QUIET_REF[k] for k in _SENTINELS]), 2
+        _median(
+            [sentinels[k] / _SENTINEL_QUIET_REF[k] for k in _SENTINEL_QUIET_REF]
+        ),
+        2,
     )
 
 
@@ -115,7 +164,16 @@ def main() -> None:
         lambda pdf: pdf, "k int, v double"
     ).write.format("noop").mode("overwrite").save()
 
-    sentinel_first = _time_sentinels(spark, sf_dir)
+    # pre-run each sentinel plan TWICE so the timed passes measure host
+    # throughput, not their own codegen/JIT ramp (measured: the third
+    # execution reaches steady state; the pinned refs are steady-state
+    # levels, so an unwarmed first pass would read as false contention)
+    sentinel_frames = _sentinel_frames(spark)
+    for _df in sentinel_frames.values():
+        _df.write.format("noop").mode("overwrite").save()
+        _df.write.format("noop").mode("overwrite").save()
+
+    sentinel_first = _time_sentinels(sentinel_frames)
 
     # Opt-in repetitions for local measurement on noisy hosts (this box's
     # effective speed fluctuates several-fold between windows — NOTES.md).
@@ -138,7 +196,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
 
-    sentinel_last = _time_sentinels(spark, sf_dir)
+    sentinel_last = _time_sentinels(sentinel_frames)
     hf_first = _host_factor(sentinel_first)
     hf_last = _host_factor(sentinel_last)
     contention_suspect = max(hf_first, hf_last) > _CONTENTION_FACTOR

@@ -193,15 +193,27 @@ def _broadcast_hint_sites(src: str) -> list[tuple[str, int]]:
         for a in n.names
         if a.name == "broadcast"
     }
+    # every local name bound to the pyspark.sql.functions MODULE — the
+    # conventional F, plus any alias (`from pyspark.sql import functions
+    # as fn`, `import pyspark.sql.functions as psf`), so an aliased
+    # fn.broadcast(...) cannot evade
+    fmod_names = {"F"}
+    for n in ast.walk(tree):
+        if isinstance(n, ast.ImportFrom) and n.module == "pyspark.sql":
+            for a in n.names:
+                if a.name == "functions":
+                    fmod_names.add(a.asname or a.name)
+        elif isinstance(n, ast.Import):
+            for a in n.names:
+                if a.name == "pyspark.sql.functions":
+                    fmod_names.add(a.asname or "pyspark.sql.functions")
+
+    fmod_names.add("pyspark.sql.functions")  # fully dotted receiver
 
     def _is_broadcast_call(node: ast.Call) -> bool:
         f = node.func
         if isinstance(f, ast.Attribute):
-            if (
-                f.attr == "broadcast"
-                and isinstance(f.value, ast.Name)
-                and f.value.id == "F"
-            ):
+            if f.attr == "broadcast" and ast.unparse(f.value) in fmod_names:
                 return True
             if f.attr == "hint" and node.args:
                 a0 = node.args[0]
@@ -228,6 +240,9 @@ def test_broadcast_lint_catches_all_three_spellings():
     r9 ADVICE named must be caught, and lookalikes must not be."""
     src = (
         "from pyspark.sql import functions as F\n"
+        "from pyspark.sql import functions as fn\n"
+        "import pyspark.sql.functions as psf\n"
+        "import pyspark.sql.functions\n"
         "from pyspark.sql.functions import broadcast as bc\n"
         "def f(df, dim):\n"
         "    a = df.join(F.broadcast(dim), 'k')\n"
@@ -235,12 +250,15 @@ def test_broadcast_lint_catches_all_three_spellings():
         "    c = df.join(dim.hint('BROADCASTJOIN'), 'k')\n"
         "    d = df.join(dim.hint('mapjoin'), 'k')\n"
         "    e = df.join(bc(dim), 'k')\n"
+        "    e2 = df.join(fn.broadcast(dim), 'k')\n"  # module alias
+        "    e3 = df.join(psf.broadcast(dim), 'k')\n"  # import-as alias
+        "    e4 = df.join(pyspark.sql.functions.broadcast(dim), 'k')\n"
         "    f2 = df.hint('shuffle_hash')\n"  # not a broadcast hint
         "    g = df.select(F.first('v'))\n"  # unrelated F function
         "    return a, b, c, d, e, f2, g\n"
     )
     hits = _broadcast_hint_sites(src)
-    assert len(hits) == 5, hits
+    assert len(hits) == 8, hits
     assert all(enc == "f" for enc, _ in hits)
     # a module that never imports broadcast bare: calls to other names
     # named 'broadcast' via attribute on non-F receivers stay unmatched
@@ -435,6 +453,8 @@ def test_driver_collect_sites_are_allowlisted():
 _EXECUTOR_ATTRS = (
     "applyInPandas",
     "mapInPandas",
+    "applyInArrow",
+    "mapInArrow",
     "applyInPandasWithState",
     "transformWithStateInPandas",
     "mapPartitions",
@@ -487,12 +507,17 @@ def _executor_entry_sites(src: str) -> list[tuple[str, str, int]]:
                 and node.func.value.attr == "udf"
             ):
                 api = "udf.register"
-        # a BARE @udf / @pandas_udf decorator is a Name, not a Call —
-        # scan decorator lists so it cannot evade
+        # a BARE @udf / @pandas_udf / @F.udf decorator is a Name or an
+        # Attribute, not a Call — scan decorator lists so it cannot evade
         elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             for dec in node.decorator_list:
                 if isinstance(dec, ast.Name) and dec.id in ("udf", "pandas_udf"):
                     out.append((node.name, dec.id, node.lineno))
+                elif isinstance(dec, ast.Attribute) and dec.attr in (
+                    "udf",
+                    "pandas_udf",
+                ):
+                    out.append((node.name, dec.attr, node.lineno))
         if api is not None:
             out.append((_enclosing(node.lineno), api, node.lineno))
     return out
@@ -502,6 +527,7 @@ def test_executor_lint_catches_evasion_spellings():
     """Mutation check for the executor-lint detector: bare decorators,
     bare-name calls, udf.register, and foreach must all be caught."""
     src = (
+        "from pyspark.sql import functions as F\n"
         "from pyspark.sql.functions import udf, pandas_udf\n"
         "@udf\n"
         "def a(x):\n"
@@ -509,16 +535,21 @@ def test_executor_lint_catches_evasion_spellings():
         "@pandas_udf('double')\n"
         "def b(s):\n"
         "    return s\n"
+        "@F.udf\n"
+        "def a2(x):\n"
+        "    return x\n"
         "def c(df, spark):\n"
         "    spark.udf.register('f', a)\n"
         "    df.foreach(print)\n"
         "    df.rdd.foreachPartition(print)\n"
+        "    df.mapInArrow(a, 'x long')\n"
         "    g = udf(lambda x: x)\n"
         "    return g\n"
     )
     hits = {(enc, api) for enc, api, _ in _executor_entry_sites(src)}
     assert hits == {
         ("a", "udf"),  # bare decorator (attributed to the function)
+        ("a2", "udf"),  # bare ATTRIBUTE decorator @F.udf
         # a CALLED decorator is a Call on the decorator line, which sits
         # above the def — it attributes to the surrounding scope, which
         # is how the package allowlist records functions.py's template
@@ -526,6 +557,7 @@ def test_executor_lint_catches_evasion_spellings():
         ("c", "udf.register"),
         ("c", "foreach"),
         ("c", "foreachPartition"),
+        ("c", "mapInArrow"),
         ("c", "udf"),  # bare-name call
     }, hits
     # lookalikes stay unmatched: a method named register on a non-udf
