@@ -22,7 +22,9 @@ window decorrelations (round-9 tpch_q2/q17/q20/h_struct rewrites vs
 the aggregate-join-back forms they replaced: tied minima, NULL/NaN,
 dimension-filtered keys), asof_join (vs a Python brute force of
 pandas.merge_asof semantics: all three directions x tolerance incl.
-0.0, dense exact-timestamp ties, missing keys, empty sides).
+0.0, dense exact-timestamp ties, missing keys, empty sides),
+trader_transcription (engine trader vs the engine-independent
+reference transcription, bitwise, fresh random multi-ticker feeds).
 Exit code 1 on any mismatch.
 """
 
@@ -511,6 +513,97 @@ def fuzz_duplicate_spans(spark):
         check("duplicate_spans", got == brute(docs, n, mc), f"trial {trial} mode={mode}")
 
 
+def fuzz_trader_transcription(spark):
+    """The engine's trader (run_trader_on_feed, vectorized skip-ahead)
+    vs the engine-independent reference transcription
+    (tests/ira_reference.py) — BITWISE trade/ledger/balance parity on
+    randomized multi-ticker feeds (1-4 arb tickers, trigger/TP-band/NaN
+    regimes, fixed + percent sizing). Pure pandas on both sides; spark
+    is unused. Complements the committed 7-seed pytest suite with a
+    fresh-seed campaign every gate run."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    from ira_reference import ReferenceIntradayTrader, sod_time
+
+    from sparkwrangle.stateful.trader import run_trader_on_feed
+
+    base_params = dict(
+        bal=10_000.0, min_deviation=0.05, sl_percent=0.02,
+        trigger_range=0.01, trade_size=1_000.0, trade_size_percent=False,
+    )
+
+    def feq(a, b):
+        if isinstance(a, float) and math.isnan(a):
+            return isinstance(b, float) and math.isnan(b)
+        return a == b
+
+    rng = random.Random(31)
+    total_trades = 0
+    for trial in range(12 * MULT):
+        nrng = np.random.RandomState(rng.randint(0, 10**6))
+        n_arb = nrng.randint(1, 5)
+        n = n_arb + 1
+        params = dict(base_params)
+        if trial % 2:
+            params.update(trade_size=0.2, trade_size_percent=True)
+        prices = 40.0 + nrng.rand(n) * 80.0
+        ticks = []
+        sod = 9 * 3600 + 30 * 60
+        for _ in range(int(nrng.randint(40, 120))):
+            sod += int(nrng.randint(30, 1800))
+            if sod > 17 * 3600:
+                sod = 9 * 3600 + 30 * 60 + int(nrng.randint(0, 600))
+            prices = prices * np.exp(nrng.randn(n) * 0.1)
+            rets = []
+            for _ in range(n_arb):
+                u = nrng.rand()
+                if u < 0.12:
+                    rets.append(0.05 + nrng.rand() * 0.2)
+                elif u < 0.30:
+                    rets.append((nrng.rand() - 0.5) * 0.02)
+                elif u < 0.34:
+                    rets.append(float("nan"))
+                else:
+                    rets.append((nrng.rand() - 0.5) * 0.09)
+            ticks.append((sod, prices.tolist(), rets))
+
+        tickers = ["BASE"] + [f"A{i}.DE" for i in range(n_arb)]
+        ref = ReferenceIntradayTrader(**params)
+        exp_bal = []
+        for s, p, r in ticks:
+            ref.data_feed(sod_time(s), list(r), list(p), tickers)
+            exp_bal.append(ref.balance)
+
+        rows = []
+        base_ts = pd.Timestamp("2024-01-01")
+        for seq, (s, p, r) in enumerate(ticks):
+            ts = base_ts + pd.Timedelta(days=seq) + pd.Timedelta(seconds=int(s))
+            for idx in range(n):
+                rows.append(
+                    (seq, ts, idx, float(p[idx]),
+                     float("nan") if idx == 0 else float(r[idx - 1]))
+                )
+        feed = pd.DataFrame(
+            rows, columns=["feed_seq", "ts", "ticker_idx", "price", "ret"]
+        )
+        got_trades, got_hist, _ = run_trader_on_feed(feed, params)
+        total_trades += len(got_trades)
+        check(
+            "trader_transcription",
+            [t for t, _ in got_trades] == [t for t, _ in ref.trades]
+            and all(feq(g, e) for (_, e), (_, g) in zip(ref.trades, got_trades))
+            and len(got_hist) == len(exp_bal)
+            and all(feq(g, e) for e, (_, g) in zip(exp_bal, got_hist)),
+            f"trial {trial} n_arb={n_arb} pct={params['trade_size_percent']}",
+        )
+    # regime guard: a campaign that never trades proves nothing
+    check("trader_transcription", total_trades > 20, f"only {total_trades} trades")
+
+
 def main():
     spark = get_spark("fuzz_parity")
     spark.sparkContext.setLogLevel("ERROR")
@@ -523,6 +616,7 @@ def main():
         fuzz_duplicate_spans,
         fuzz_window_decorrelation,
         fuzz_asof_join,
+        fuzz_trader_transcription,
     ):
         fn(spark)
         print(f"done  {fn.__name__}")
