@@ -43,6 +43,7 @@ def build_intraday_feed(
     session_start: tuple[int, int] = (14, 30),
     session_end: tuple[int, int] = (16, 30),
     strict_reference: bool = True,
+    with_block_id: bool = False,
 ) -> DataFrame:
     """Build the per-tick trader feed.
 
@@ -52,7 +53,9 @@ def build_intraday_feed(
     listings: (company, ticker, ticker_idx) — idx 0 is the base (first US
               listing, IntradayRegionArbitrage.py:47)
 
-    Returns (company, feed_seq, ts, ticker_idx, price, ret).
+    Returns (company, feed_seq, ts, ticker_idx, price, ret), plus
+    block_id when ``with_block_id=True`` (required by the trader's relaxed
+    ``state_scope="block"`` mode — see stateful.trader).
     """
     b = bars.join(
         F.broadcast(blocks),
@@ -138,16 +141,23 @@ def build_intraday_feed(
     wseq = Window.partitionBy("company").orderBy("block_id", day_key, "ts")
     g = g.withColumn("feed_seq", F.dense_rank().over(wseq))
 
-    return g.select(
-        "company", "feed_seq", "ts", "ticker_idx", F.col("price_ff").alias("price"), "ret"
-    )
+    out_cols = [
+        "company", "feed_seq", "ts", "ticker_idx",
+        F.col("price_ff").alias("price"), "ret",
+    ]
+    if with_block_id:
+        out_cols.append("block_id")
+    return g.select(*out_cols)
 
 
 def intraday_backtest(
-    feed: DataFrame, params: dict
+    feed: DataFrame, params: dict, state_scope: str = "company"
 ) -> tuple[DataFrame, DataFrame]:
     """Run S2 over the feed → (trades, balance_history)."""
-    return backtest_trades(feed, params), backtest_balances(feed, params)
+    return (
+        backtest_trades(feed, params, state_scope=state_scope),
+        backtest_balances(feed, params, state_scope=state_scope),
+    )
 
 
 def balance_report(balances: DataFrame) -> DataFrame:

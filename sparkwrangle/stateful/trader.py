@@ -24,6 +24,35 @@ inside ``applyInPandas`` keyed by company — Spark's parallelism axis is
 companies (S4's fan-out loop, intra_day_arbitrage.ipynb:11121-11126), and
 per-company history is bounded, so the sequential core never sees more
 than one group.
+
+Scale lever — ``state_scope="block"`` (relaxed mode): faithful mode is
+per-company sequential because the reference trader object survives the
+weekly block loop (intra_day_arbitrage.ipynb:11122-11125), so one company
+with years of 5-minute history is ONE sequential task. But the reference's
+own protocol force-closes every position strictly after 16:29 daily, so at
+any block boundary the position book is empty and the ONLY state that
+crosses the boundary is the scalar balance. Relaxed mode exploits that:
+the Python state machine runs with a FRESH TraderState per
+(company, block_id) — the applyInPandas keys by both, so parallelism is
+company × block — and the carried balance is reconstructed afterwards with
+a cheap JVM scan (scan decomposition):
+
+* percent sizing (``trade_size_percent=True``): the whole within-block
+  trajectory is scale-invariant in the starting balance (shares ∝ balance,
+  SL pnl is a ratio), so per-block ROIs equal faithful ROIs and the global
+  ledger is ``bal₀ · ∏(1+roi)`` — a cumulative-product window. Relaxed is
+  EXACT (up to FP roundoff) for market-close-bounded feeds.
+* fixed sizing: per-trade cash deltas are balance-independent, so the
+  global ledger is ``bal₀ + Σdelta`` and per-trade roi is re-derived from
+  the stitched series. One caveat: the SL check divides mark-to-market by
+  the CURRENT balance (ref :121), and relaxed blocks start from bal₀
+  instead of the carried balance — SL decisions that are balance-marginal
+  can flip. Exact only when no SL decision is marginal (always true under
+  percent sizing, where the ratio is invariant).
+
+A position held across a block boundary is silently dropped by relaxed
+mode (the per-block state object is discarded) — that is the explicit,
+tested difference from faithful mode, and why faithful stays the default.
 """
 
 from __future__ import annotations
@@ -270,12 +299,107 @@ def run_trader_on_feed(
     return st.trades, list(zip(ts_list, bal.tolist())), st.trade_balances
 
 
+def _col_type(feed: DataFrame, name: str) -> str:
+    return {f.name: f.dataType.simpleString() for f in feed.schema.fields}[name]
+
+
 def _key_type(feed: DataFrame) -> str:
-    return {f.name: f.dataType.simpleString() for f in feed.schema.fields}["company"]
+    return _col_type(feed, "company")
 
 
-def backtest_trades(feed: DataFrame, params: dict) -> DataFrame:
-    """Distributed S2 trade log: (company, trade_seq, close_type, roi)."""
+def _check_scope(feed: DataFrame, state_scope: str) -> None:
+    if state_scope not in ("company", "block"):
+        raise ValueError(f"state_scope must be 'company' or 'block', got {state_scope!r}")
+    if state_scope == "block" and "block_id" not in feed.columns:
+        raise ValueError(
+            "state_scope='block' needs a block_id column in the feed — "
+            "build it with build_intraday_feed(..., with_block_id=True)"
+        )
+
+
+def _block_trades_local(feed: DataFrame, params: dict) -> DataFrame:
+    """Relaxed-mode local pass: fresh TraderState per (company, block_id).
+
+    Emits, per trade, everything the JVM stitch needs to reconstruct the
+    carried ledger without re-running Python: ``roi_local`` (the within-
+    block roi starting from bal₀ — equal to the faithful roi under percent
+    sizing's scale invariance) and ``bal_delta`` (the within-block cash
+    delta of this close — balance-independent under fixed sizing).
+    """
+    bal0 = float(params["bal"])
+    schema = (
+        f"company {_key_type(feed)}, block_id {_col_type(feed, 'block_id')}, "
+        "trade_seq_local int, close_type string, roi_local double, bal_delta double"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        trades, _, balances = run_trader_on_feed(pdf, params)
+        prev = [bal0] + balances[:-1]
+        return pd.DataFrame(
+            [
+                {
+                    "company": pdf["company"].iloc[0],
+                    "block_id": pdf["block_id"].iloc[0],
+                    "trade_seq_local": i,
+                    "close_type": t,
+                    "roi_local": r,
+                    "bal_delta": b - p,
+                }
+                for i, ((t, r), b, p) in enumerate(zip(trades, balances, prev))
+            ],
+            columns=[
+                "company", "block_id", "trade_seq_local",
+                "close_type", "roi_local", "bal_delta",
+            ],
+        )
+
+    cols = ["company", "block_id", "feed_seq", "ts", "ticker_idx", "price", "ret"]
+    return feed.select(*cols).groupBy("company", "block_id").applyInPandas(run, schema)
+
+
+def _stitch_ledger(local: DataFrame, params: dict) -> DataFrame:
+    """JVM scan that turns per-block relaxed trades into the carried
+    ledger: (company, trade_seq, close_type, roi, bal_after). The windows
+    run over the TRADE relation (≪ ticks), ordered by (block_id, local
+    seq) — the exact feed order faithful mode closes trades in."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bal0 = F.lit(float(params["bal"]))
+    w = Window.partitionBy("company").orderBy("block_id", "trade_seq_local")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = local.withColumn("trade_seq", (F.row_number().over(w) - 1).cast("int"))
+    if params.get("trade_size_percent", False):
+        # scale-invariant trajectory: roi_local IS the faithful roi and the
+        # carried balance is bal₀·∏(1+roi) — ordered cumulative product
+        out = out.withColumn(
+            "bal_after", bal0 * F.product(1.0 + F.col("roi_local")).over(wcum)
+        ).withColumn("roi", F.col("roi_local"))
+    else:
+        # fixed sizing: cash deltas are context-free; carried balance is
+        # bal₀ + Σdelta and roi is re-derived against the carried series
+        out = out.withColumn("bal_after", bal0 + F.sum("bal_delta").over(wcum))
+        out = out.withColumn(
+            "roi",
+            F.col("bal_after") / F.coalesce(F.lag("bal_after").over(w), bal0) - 1.0,
+        )
+    return out
+
+
+def backtest_trades(
+    feed: DataFrame, params: dict, state_scope: str = "company"
+) -> DataFrame:
+    """Distributed S2 trade log: (company, trade_seq, close_type, roi).
+
+    ``state_scope="company"`` (default) is the faithful reference protocol
+    (state persists across blocks); ``"block"`` is the relaxed scale mode
+    (fresh state per block, JVM-stitched ledger — see module docstring).
+    """
+    _check_scope(feed, state_scope)
+    if state_scope == "block":
+        return _stitch_ledger(_block_trades_local(feed, params), params).select(
+            "company", "trade_seq", "close_type", "roi"
+        )
     schema = f"company {_key_type(feed)}, trade_seq int, close_type string, roi double"
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -293,12 +417,19 @@ def backtest_trades(feed: DataFrame, params: dict) -> DataFrame:
     return feed.select(*cols).groupBy("company").applyInPandas(run, schema)
 
 
-def backtest_trades_ledger(feed: DataFrame, params: dict) -> DataFrame:
+def backtest_trades_ledger(
+    feed: DataFrame, params: dict, state_scope: str = "company"
+) -> DataFrame:
     """Distributed S2/S3 trade log WITH the ledger: (company, trade_seq,
     close_type, roi, bal_after). ``bal_after`` is the state machine's
     balance right after each close — under percent sizing the compounded
     series bal₀·∏(1+roiⱼ), which is what the recursive-CTE oracle twin
     re-derives independently (ref :90-99 open / :137-139 close)."""
+    _check_scope(feed, state_scope)
+    if state_scope == "block":
+        return _stitch_ledger(_block_trades_local(feed, params), params).select(
+            "company", "trade_seq", "close_type", "roi", "bal_after"
+        )
     schema = (
         f"company {_key_type(feed)}, trade_seq int, close_type string, "
         "roi double, bal_after double"
@@ -325,10 +456,80 @@ def backtest_trades_ledger(feed: DataFrame, params: dict) -> DataFrame:
     return feed.select(*cols).groupBy("company").applyInPandas(run, schema)
 
 
-def backtest_balances(feed: DataFrame, params: dict) -> DataFrame:
+def _block_balances_local(feed: DataFrame, params: dict) -> DataFrame:
+    """Relaxed-mode local pass for the balance history: one fresh-state
+    run per (company, block_id), emitting the per-tick within-block
+    balance plus ``tick_seq`` (feed order inside the block — NOT ts order,
+    quirk K.2) and ``block_last`` so the stitch can read each block's end
+    balance without a second aggregation pass over the Python output."""
+    schema = (
+        f"company {_key_type(feed)}, block_id {_col_type(feed, 'block_id')}, "
+        "tick_seq int, ts timestamp, balance double, block_last boolean"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        _, history, _ = run_trader_on_feed(pdf, params)
+        n = len(history)
+        ts, bals = zip(*history) if history else ((), ())
+        return pd.DataFrame(
+            {
+                "company": pdf["company"].iloc[0],
+                "block_id": pdf["block_id"].iloc[0],
+                "tick_seq": range(n),
+                "ts": list(ts),
+                "balance": list(bals),
+                "block_last": [i == n - 1 for i in range(n)],
+            },
+            columns=["company", "block_id", "tick_seq", "ts", "balance", "block_last"],
+        )
+
+    cols = ["company", "block_id", "feed_seq", "ts", "ticker_idx", "price", "ret"]
+    return feed.select(*cols).groupBy("company", "block_id").applyInPandas(run, schema)
+
+
+def backtest_balances(
+    feed: DataFrame, params: dict, state_scope: str = "company"
+) -> DataFrame:
     """Distributed S2 balance history: (company, ts, balance) per tick,
     in feed order (which is NOT ts order across month boundaries — quirk
-    K.2's day-of-month grouping reorders days; see pipelines.intraday)."""
+    K.2's day-of-month grouping reorders days; see pipelines.intraday).
+
+    Relaxed mode (``state_scope="block"``) runs the Python state machine
+    per block and lifts each block's history onto the carried ledger with
+    one JVM window: the prior-blocks adjustment is ``∏ end_bal/bal₀``
+    (percent sizing) or ``Σ (end_bal − bal₀)`` (fixed sizing) read off the
+    ``block_last`` rows. The window partitions by company — the same
+    granularity as the feed's own feed_seq window — but it is a pure
+    linear JVM scan; the expensive Python pass above it is per-block."""
+    _check_scope(feed, state_scope)
+    if state_scope == "block":
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        bal0 = F.lit(float(params["bal"]))
+        local = _block_balances_local(feed, params)
+        wprior = (
+            Window.partitionBy("company")
+            .orderBy("block_id", "tick_seq")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        if params.get("trade_size_percent", False):
+            factor = F.coalesce(
+                F.product(
+                    F.when(F.col("block_last"), F.col("balance") / bal0)
+                ).over(wprior),
+                F.lit(1.0),
+            )
+            stitched = F.col("balance") * factor
+        else:
+            offset = F.coalesce(
+                F.sum(F.when(F.col("block_last"), F.col("balance") - bal0)).over(
+                    wprior
+                ),
+                F.lit(0.0),
+            )
+            stitched = F.col("balance") + offset
+        return local.select("company", "ts", stitched.alias("balance"))
     schema = f"company {_key_type(feed)}, ts timestamp, balance double"
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -605,6 +605,8 @@ def test_python_on_executor_sites_are_allowlisted():
         ("stateful/trader.py", "backtest_trades", "applyInPandas"): (1, "sequential trader state machine"),
         ("stateful/trader.py", "backtest_trades_ledger", "applyInPandas"): (1, "sequential trader state machine"),
         ("stateful/trader.py", "backtest_balances", "applyInPandas"): (1, "sequential trader state machine"),
+        ("stateful/trader.py", "_block_trades_local", "applyInPandas"): (1, "sequential trader state machine, relaxed per-(company, block) scope"),
+        ("stateful/trader.py", "_block_balances_local", "applyInPandas"): (1, "sequential trader state machine, relaxed per-(company, block) scope"),
     }
 
     root = os.path.dirname(sparkwrangle.__file__)
