@@ -133,6 +133,26 @@ def write_table(
     writer.format(fmt).save(path)
 
 
+def load_user_parquet(spark: SparkSession, path: str, ts_cols: tuple = ()):
+    """Read USER-supplied parquet defensively (tools/backtest.py inputs).
+
+    pandas ``to_parquet`` writes datetime64[ns] as INT64 TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects outright — and a reference
+    user's bars/fx files come straight from pandas. Same sniff-and-floor
+    strategy as ``load_table``: read nanos as raw longs, floor to
+    microseconds; lift NTZ to the session-TZ timestamp contract. Floors
+    are exact for this data (bars are minutes apart)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ts_cols:
+        t = df.schema[c].dataType
+        if isinstance(t, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(t, TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None):
     """Format-flexible reader for ingest jobs (csv/json/orc/parquet).
     Always pass an explicit schema for text formats — inference scans the

@@ -50,13 +50,15 @@ def main() -> None:
     spark = get_spark("sparkwrangle-backtest")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from sparkwrangle.io import load_user_parquet
+
     if args.cmd == "ep1":
         from sparkwrangle.pipelines.daily_pairs import (
             compounded_return_pct,
             daily_pairs_backtest,
         )
 
-        bars = spark.read.parquet(args.bars)
+        bars = load_user_parquet(spark, args.bars, ts_cols=("ts",))
         trades = daily_pairs_backtest(
             bars,
             args.ticker1,
@@ -79,10 +81,10 @@ def main() -> None:
         )
 
         feed = build_intraday_feed(
-            spark.read.parquet(args.bars),
-            spark.read.parquet(args.fx),
-            spark.read.parquet(args.blocks),
-            spark.read.parquet(args.listings),
+            load_user_parquet(spark, args.bars, ts_cols=("ts",)),
+            load_user_parquet(spark, args.fx, ts_cols=("ts",)),
+            load_user_parquet(spark, args.blocks, ts_cols=("start_ts", "end_ts")),
+            load_user_parquet(spark, args.listings),
         )
         params = dict(
             bal=args.bal,
