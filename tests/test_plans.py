@@ -171,12 +171,41 @@ def test_no_unbounded_single_partition_exchange(spark):
     assert not problems, problems
 
 
+def _functions_module_names(tree) -> set[str]:
+    """Every local name bound to the pyspark.sql.functions MODULE in this
+    file — the conventional F, plus any alias (`from pyspark.sql import
+    functions as fn`, `import pyspark.sql.functions as psf`). Taken from
+    the file's ACTUAL imports, nothing assumed: an aliased fn.broadcast()
+    cannot evade, and a DataFrame variable that merely happens to be
+    named F is not silently exempted (round-10 advice)."""
+    import ast
+
+    names: set[str] = set()
+    for n in ast.walk(tree):
+        if isinstance(n, ast.ImportFrom) and n.module == "pyspark.sql":
+            for a in n.names:
+                if a.name == "functions":
+                    names.add(a.asname or a.name)
+        elif isinstance(n, ast.Import):
+            for a in n.names:
+                if a.name == "pyspark.sql.functions":
+                    names.add(a.asname or "pyspark.sql.functions")
+    names.add("pyspark.sql.functions")  # fully dotted receiver
+    return names
+
+
 def _broadcast_hint_sites(src: str) -> list[tuple[str, int]]:
     """All forced-broadcast call sites in a module source, as
     (enclosing function, lineno). Matches the three spellings: the
     canonical ``F.broadcast(...)``, a DataFrame ``.hint(<broadcast-ish
     string>, ...)``, and a call to a bare ``broadcast`` imported from
-    ``pyspark.sql.functions`` (incl. aliases)."""
+    ``pyspark.sql.functions`` (incl. aliases).
+
+    Static-analysis limit: a hint NAME is only classified when the first
+    argument is a string literal — ``.hint(h)`` with a variable holding
+    'broadcast' cannot be resolved statically. Such non-constant
+    ``.hint()`` calls are therefore flagged unconditionally for manual
+    review rather than silently passed (round-10 advice)."""
     import ast
 
     tree = ast.parse(src)
@@ -193,22 +222,7 @@ def _broadcast_hint_sites(src: str) -> list[tuple[str, int]]:
         for a in n.names
         if a.name == "broadcast"
     }
-    # every local name bound to the pyspark.sql.functions MODULE — the
-    # conventional F, plus any alias (`from pyspark.sql import functions
-    # as fn`, `import pyspark.sql.functions as psf`), so an aliased
-    # fn.broadcast(...) cannot evade
-    fmod_names = {"F"}
-    for n in ast.walk(tree):
-        if isinstance(n, ast.ImportFrom) and n.module == "pyspark.sql":
-            for a in n.names:
-                if a.name == "functions":
-                    fmod_names.add(a.asname or a.name)
-        elif isinstance(n, ast.Import):
-            for a in n.names:
-                if a.name == "pyspark.sql.functions":
-                    fmod_names.add(a.asname or "pyspark.sql.functions")
-
-    fmod_names.add("pyspark.sql.functions")  # fully dotted receiver
+    fmod_names = _functions_module_names(tree)
 
     def _is_broadcast_call(node: ast.Call) -> bool:
         f = node.func
@@ -220,6 +234,9 @@ def _broadcast_hint_sites(src: str) -> list[tuple[str, int]]:
                 if isinstance(a0, ast.Constant) and isinstance(a0.value, str):
                     low = a0.value.lower()
                     return "broadcast" in low or low == "mapjoin"
+                # non-constant hint name: unresolvable statically — flag
+                # for manual review instead of silently passing
+                return True
             return False
         return isinstance(f, ast.Name) and f.id in bare_broadcast
 
@@ -253,12 +270,13 @@ def test_broadcast_lint_catches_all_three_spellings():
         "    e2 = df.join(fn.broadcast(dim), 'k')\n"  # module alias
         "    e3 = df.join(psf.broadcast(dim), 'k')\n"  # import-as alias
         "    e4 = df.join(pyspark.sql.functions.broadcast(dim), 'k')\n"
+        "    e5 = df.join(dim.hint(hname), 'k')\n"  # non-constant: flagged
         "    f2 = df.hint('shuffle_hash')\n"  # not a broadcast hint
         "    g = df.select(F.first('v'))\n"  # unrelated F function
         "    return a, b, c, d, e, f2, g\n"
     )
     hits = _broadcast_hint_sites(src)
-    assert len(hits) == 8, hits
+    assert len(hits) == 9, hits
     assert all(enc == "f" for enc, _ in hits)
     # a module that never imports broadcast bare: calls to other names
     # named 'broadcast' via attribute on non-F receivers stay unmatched
@@ -413,6 +431,13 @@ def test_driver_collect_sites_are_allowlisted():
                 for n in ast.walk(tree)
                 if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
             ]
+            # F.first(...) is the SQL aggregate/window function, not
+            # DataFrame.first() — only DataFrame-method calls materialize
+            # to the driver. Exempt by the file's ACTUAL functions-module
+            # bindings (F and aliases), same detection as the broadcast
+            # lint, so `fn.first(...)` is exempt while a DataFrame
+            # variable named F is not (round-10 advice).
+            fmod_names = _functions_module_names(tree)
             for node in ast.walk(tree):
                 if (
                     isinstance(node, ast.Call)
@@ -420,12 +445,9 @@ def test_driver_collect_sites_are_allowlisted():
                     and node.func.attr
                     in ("collect", "toPandas", "toLocalIterator",
                         "first", "head", "take")
-                    # F.first(...) is the SQL aggregate/window function,
-                    # not DataFrame.first() — only DataFrame-method calls
-                    # materialize to the driver
                     and not (
                         isinstance(node.func.value, ast.Name)
-                        and node.func.value.id == "F"
+                        and node.func.value.id in fmod_names
                     )
                 ):
                     enc = "<module>"
