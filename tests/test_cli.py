@@ -54,7 +54,13 @@ def test_cli_ep1_smoke(tmp_path):
     assert abs(float(got["Return"].rstrip("%")) - exp_ret) < 1e-6 * abs(exp_ret)
 
 
-def test_cli_ep2_smoke(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("scope", ["company", "block"])
+def test_cli_ep2_smoke(tmp_path, scope):
+    """Both state scopes must print the same oracle-matching headline on
+    the market-close-bounded fixture (relaxed ≡ faithful there)."""
     bars, fx, blocks, listings = intraday_fixture()
     paths = {}
     for name, df, ts_cols in [
@@ -97,6 +103,7 @@ def test_cli_ep2_smoke(tmp_path):
             "--fx", str(paths["fx"]),
             "--blocks", str(paths["blocks"]),
             "--listings", str(paths["listings"]),
+            "--state-scope", scope,
         ]
     )
     assert got["Total ROI"] == f"{ratio - 1:.3%}"

@@ -43,6 +43,15 @@ def main() -> None:
     e2.add_argument("--sl-percent", type=float, default=0.03)
     e2.add_argument("--trigger-range", type=float, default=0.01)
     e2.add_argument("--trade-size", type=float, default=0.1)
+    e2.add_argument(
+        "--state-scope",
+        choices=["company", "block"],
+        default="company",
+        help="'company' = faithful reference protocol (state carries "
+        "across weekly blocks); 'block' = relaxed scale mode (fresh "
+        "state per block + stitched ledger — exact for market-close-"
+        "bounded feeds; see SCALE.md)",
+    )
 
     args = p.parse_args()
     from sparkwrangle.session import get_spark
@@ -85,6 +94,7 @@ def main() -> None:
             load_user_parquet(spark, args.fx, ts_cols=("ts",)),
             load_user_parquet(spark, args.blocks, ts_cols=("start_ts", "end_ts")),
             load_user_parquet(spark, args.listings),
+            with_block_id=args.state_scope == "block",
         )
         params = dict(
             bal=args.bal,
@@ -94,7 +104,7 @@ def main() -> None:
             trade_size=args.trade_size,
             trade_size_percent=True,
         )
-        trades, balances = intraday_backtest(feed, params)
+        trades, balances = intraday_backtest(feed, params, state_scope=args.state_scope)
         r = balance_report(balances).collect()[0]
 
         # every metric can legitimately be NULL (empty balances, a
