@@ -68,15 +68,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(ts_type, TimestampNTZType):
-            # Session TZ is pinned to UTC (session.py), so NTZ -> LTZ is
-            # value-identical; LTZ keeps the engine-wide contract that
-            # ts casts to epoch seconds (sessionize, as-of joins).
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = _lift_ts_col(df, "ts")
     per_session[key] = df
+    return df
+
+
+def _lift_ts_col(df: DataFrame, col: str) -> DataFrame:
+    """Lift one sniffed timestamp column onto the engine's LTZ contract
+    (shared by ``load_table`` and ``load_user_parquet`` so the two read
+    paths cannot drift): raw nanos longs (read under ``nanosAsLong``)
+    floor to microseconds; NTZ casts to the session-TZ timestamp —
+    value-identical because session TZ is pinned UTC (session.py) — so
+    ``cast(ts as bigint)`` consumers (sessionize, as-of joins) keep
+    working."""
+    t = df.schema[col].dataType
+    if isinstance(t, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -139,17 +148,14 @@ def load_user_parquet(spark: SparkSession, path: str, ts_cols: tuple = ()):
     pandas ``to_parquet`` writes datetime64[ns] as INT64 TIMESTAMP(NANOS),
     which Spark's vectorized reader rejects outright — and a reference
     user's bars/fx files come straight from pandas. Same sniff-and-floor
-    strategy as ``load_table``: read nanos as raw longs, floor to
-    microseconds; lift NTZ to the session-TZ timestamp contract. Floors
-    are exact for this data (bars are minutes apart)."""
+    strategy as ``load_table`` (shared ``_lift_ts_col``): read nanos as
+    raw longs, floor to microseconds; lift NTZ to the session-TZ
+    timestamp contract. Floors are exact for this data (bars are minutes
+    apart)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ts_cols:
-        t = df.schema[c].dataType
-        if isinstance(t, LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        elif isinstance(t, TimestampNTZType):
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        df = _lift_ts_col(df, c)
     return df
 
 

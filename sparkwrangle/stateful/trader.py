@@ -329,17 +329,20 @@ def _block_trades_local(feed: DataFrame, params: dict) -> DataFrame:
     bal0 = float(params["bal"])
     schema = (
         f"company {_key_type(feed)}, block_id {_col_type(feed, 'block_id')}, "
-        "trade_seq_local int, close_type string, roi_local double, bal_delta double"
+        "first_seq long, trade_seq_local int, close_type string, "
+        "roi_local double, bal_delta double"
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         trades, _, balances = run_trader_on_feed(pdf, params)
         prev = [bal0] + balances[:-1]
+        first_seq = int(pdf["feed_seq"].min())
         return pd.DataFrame(
             [
                 {
                     "company": pdf["company"].iloc[0],
                     "block_id": pdf["block_id"].iloc[0],
+                    "first_seq": first_seq,
                     "trade_seq_local": i,
                     "close_type": t,
                     "roi_local": r,
@@ -348,7 +351,7 @@ def _block_trades_local(feed: DataFrame, params: dict) -> DataFrame:
                 for i, ((t, r), b, p) in enumerate(zip(trades, balances, prev))
             ],
             columns=[
-                "company", "block_id", "trade_seq_local",
+                "company", "block_id", "first_seq", "trade_seq_local",
                 "close_type", "roi_local", "bal_delta",
             ],
         )
@@ -360,13 +363,20 @@ def _block_trades_local(feed: DataFrame, params: dict) -> DataFrame:
 def _stitch_ledger(local: DataFrame, params: dict) -> DataFrame:
     """JVM scan that turns per-block relaxed trades into the carried
     ledger: (company, trade_seq, close_type, roi, bal_after). The windows
-    run over the TRADE relation (≪ ticks), ordered by (block_id, local
-    seq) — the exact feed order faithful mode closes trades in."""
+    run over the TRADE relation (≪ ticks), ordered by each block's FIRST
+    feed_seq then the local trade seq — i.e. by the feed order the blocks
+    were actually consumed in, not by block_id, so a feed whose block ids
+    are not feed-order-aligned still stitches to faithful semantics.
+    (Blocks whose feed_seq ranges INTERLEAVE are outside the
+    decomposition's domain entirely — there the faithful trader's state
+    alternates between blocks mid-stream and no per-block run can
+    reproduce it; build_intraday_feed always emits block-contiguous
+    feed_seq.)"""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     bal0 = F.lit(float(params["bal"]))
-    w = Window.partitionBy("company").orderBy("block_id", "trade_seq_local")
+    w = Window.partitionBy("company").orderBy("first_seq", "trade_seq_local")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     out = local.withColumn("trade_seq", (F.row_number().over(w) - 1).cast("int"))
     if params.get("trade_size_percent", False):
@@ -464,7 +474,8 @@ def _block_balances_local(feed: DataFrame, params: dict) -> DataFrame:
     balance without a second aggregation pass over the Python output."""
     schema = (
         f"company {_key_type(feed)}, block_id {_col_type(feed, 'block_id')}, "
-        "tick_seq int, ts timestamp, balance double, block_last boolean"
+        "first_seq long, tick_seq int, ts timestamp, balance double, "
+        "block_last boolean"
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -475,12 +486,14 @@ def _block_balances_local(feed: DataFrame, params: dict) -> DataFrame:
             {
                 "company": pdf["company"].iloc[0],
                 "block_id": pdf["block_id"].iloc[0],
+                "first_seq": int(pdf["feed_seq"].min()),
                 "tick_seq": range(n),
                 "ts": list(ts),
                 "balance": list(bals),
                 "block_last": [i == n - 1 for i in range(n)],
             },
-            columns=["company", "block_id", "tick_seq", "ts", "balance", "block_last"],
+            columns=["company", "block_id", "first_seq", "tick_seq", "ts",
+                     "balance", "block_last"],
         )
 
     cols = ["company", "block_id", "feed_seq", "ts", "ticker_idx", "price", "ret"]
@@ -508,9 +521,11 @@ def backtest_balances(
 
         bal0 = F.lit(float(params["bal"]))
         local = _block_balances_local(feed, params)
+        # ordered by each block's first feed_seq (= consumption order;
+        # see _stitch_ledger on why not block_id), then within-block tick
         wprior = (
             Window.partitionBy("company")
-            .orderBy("block_id", "tick_seq")
+            .orderBy("first_seq", "tick_seq")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         if params.get("trade_size_percent", False):

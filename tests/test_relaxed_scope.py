@@ -146,6 +146,52 @@ def test_relaxed_differs_on_cross_block_position(spark):
     assert abs(f_bal.balance.iloc[-1] - r_bal.balance.iloc[-1]) > 1e-6
 
 
+def test_relaxed_stitch_follows_feed_order_not_block_id(spark):
+    """The stitch orders blocks by their first feed_seq (consumption
+    order), not by block_id: a feed where block 5 is consumed BEFORE
+    block 1 must still reproduce faithful mode exactly."""
+    rows = []
+
+    def tick(seq, block, ts, ret1, p0, p1):
+        rows.append(("X", block, seq, pd.Timestamp(ts), 0, p0, float("nan")))
+        rows.append(("X", block, seq, pd.Timestamp(ts), 1, p1, ret1))
+
+    # block 5 first in feed order: open, then market-close drain
+    tick(1, 5, "2026-01-05 15:00:00", 0.20, 100.0, 50.0)
+    tick(2, 5, "2026-01-05 16:30:00", 0.18, 101.0, 52.0)
+    # block 1 second: different-magnitude trade so order is observable
+    tick(3, 1, "2026-01-12 15:00:00", 0.25, 90.0, 40.0)
+    tick(4, 1, "2026-01-12 16:30:00", 0.22, 92.0, 44.0)
+    feed = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["company", "block_id", "feed_seq", "ts",
+                     "ticker_idx", "price", "ret"],
+        )
+    )
+    faithful = _trades_pdf(backtest_trades_ledger(feed, TRADER_PARAMS))
+    relaxed = _trades_pdf(
+        backtest_trades_ledger(feed, TRADER_PARAMS, state_scope="block")
+    )
+    assert list(faithful.close_type) == ["mc", "mc"]
+    _assert_trade_parity_loose(faithful, relaxed)
+
+    f_bal = backtest_balances(feed, TRADER_PARAMS).orderBy("ts").toPandas()
+    r_bal = (
+        backtest_balances(feed, TRADER_PARAMS, state_scope="block")
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert max(abs(f_bal.balance.to_numpy() - r_bal.balance.to_numpy())) < 1e-9
+
+
+def _assert_trade_parity_loose(faithful, relaxed):
+    assert list(faithful.trade_seq) == list(relaxed.trade_seq)
+    assert list(faithful.close_type) == list(relaxed.close_type)
+    assert max(abs(faithful.roi.to_numpy() - relaxed.roi.to_numpy())) < 1e-9
+    assert max(abs(faithful.bal_after.to_numpy() - relaxed.bal_after.to_numpy())) < 1e-9
+
+
 def test_relaxed_mode_validation(spark, feed_with_blocks):
     no_block = feed_with_blocks.drop("block_id")
     with pytest.raises(ValueError, match="block_id"):

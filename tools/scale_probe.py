@@ -17,8 +17,9 @@ shape):
 
 1. ngram Jaccard with the auto df-cap probe  — records the sampled
    est_max_df and the window/join mode decision at each scale, plus a
-   universal-boilerplate 10x variant whose hot shingles (df = corpus
-   size = 50k >= HOT_KEY_EST_THRESHOLD) must flip the mode to "join";
+   universal-boilerplate 20x variant (100k docs; at 10x/50k docs the
+   sampled estimate sits exactly ON the 50k threshold boundary) whose
+   hot shingles (df = corpus size = 100k) must flip the mode to "join";
    both forced modes are also timed head-to-head on that corpus.
 2. MinHash-LSH -> connected components      — iterative rounds.
 3. prefix-filter (AllPairs/PPJoin) exact join — candidate fan-out.
@@ -59,11 +60,13 @@ def build_corpus(scale: int, boilerplate: bool = False) -> str:
     corpus size — the pathological hot key the auto probe exists for."""
     tag = f"x{scale}" + ("_boiler" if boilerplate else "")
     d = OUT / tag
-    if (d / "documents.parquet").exists():
+    # the boilerplate corpora feed only the documents-side df-cap probe;
+    # skipping their embeddings saves the dominant share of build time
+    want = ["documents.parquet"] + ([] if boilerplate else ["embeddings.parquet"])
+    if all((d / f).exists() for f in want):  # complete build only
         return str(d)
     d.mkdir(parents=True, exist_ok=True)
     docs, emb = _load_base()
-    vocab = sorted({w for t in docs["text"] for w in t.split()})
     doc_parts, emb_parts = [], []
     for k in range(scale):
         rng = np.random.default_rng(1000 + k)
@@ -79,23 +82,28 @@ def build_corpus(scale: int, boilerplate: bool = False) -> str:
         dk["doc_id"] = dk["doc_id"] + k * 10_000_000
         dk["n_chars"] = dk["text"].str.len()
         doc_parts.append(dk)
-        ek = emb.copy()
-        ek["vec_id"] = ek["vec_id"] + k * 10_000_000
-        if k > 0:
-            noise = rng.normal(0, 0.05, size=(len(ek), len(ek["embedding"].iloc[0])))
-            vecs = np.stack(ek["embedding"].to_numpy()) + noise
-            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-            ek["embedding"] = list(vecs.astype(np.float32))
-        emb_parts.append(ek)
+        if not boilerplate:
+            ek = emb.copy()
+            ek["vec_id"] = ek["vec_id"] + k * 10_000_000
+            if k > 0:
+                noise = rng.normal(
+                    0, 0.05, size=(len(ek), len(ek["embedding"].iloc[0]))
+                )
+                vecs = np.stack(ek["embedding"].to_numpy()) + noise
+                vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+                ek["embedding"] = list(vecs.astype(np.float32))
+            emb_parts.append(ek)
     all_docs = pd.concat(doc_parts, ignore_index=True)
     if boilerplate:
         boiler = " ".join(f"bplt{i}z" for i in range(12))
         all_docs["text"] = all_docs["text"] + " " + boiler
         all_docs["n_chars"] = all_docs["text"].str.len()
+    # write documents LAST: its presence is the build-complete marker
+    if emb_parts:
+        pd.concat(emb_parts, ignore_index=True).to_parquet(
+            d / "embeddings.parquet", index=False
+        )
     all_docs.to_parquet(d / "documents.parquet", index=False)
-    pd.concat(emb_parts, ignore_index=True).to_parquet(
-        d / "embeddings.parquet", index=False
-    )
     return str(d)
 
 
@@ -148,13 +156,15 @@ def main() -> None:
         results.setdefault("auto_mode_natural", {})[scale] = stats
         print(json.dumps({"op": "auto_df_cap_probe", "scale": scale, **stats}), flush=True)
 
-    # universal-boilerplate 20x (100k docs): every boilerplate shingle's
-    # df == corpus size, decisively ABOVE HOT_KEY_EST_THRESHOLD (50k) —
-    # at 10x/50k docs the sampled estimate sits exactly on the boundary,
-    # which is the threshold doing its job (the flip targets keys whose
-    # window partition would hold df² work at cluster scale, not toy
-    # sizes). auto MUST flip to the skew-safe join mode here; both
-    # forced modes are timed head-to-head for the record.
+    # universal-boilerplate 2*max(scales) corpus: every boilerplate
+    # shingle's df == corpus size. With the DEFAULT scales that is 20x =
+    # 100k docs, decisively ABOVE HOT_KEY_EST_THRESHOLD (50k), so auto
+    # MUST flip to the skew-safe join mode — at 10x/50k docs the sampled
+    # estimate sits exactly on the boundary, which is the threshold
+    # doing its job (the flip targets keys whose window partition would
+    # hold df² work at cluster scale, not toy sizes). Smaller --scales
+    # runs stay below the threshold and correctly keep window mode.
+    # Both forced modes are timed head-to-head for the record.
     bdir = build_corpus(2 * max(scales), boilerplate=True)
     from sparkwrangle.ext.dedup import ngram_jaccard_pairs, shingles
     from sparkwrangle.io import load_table
