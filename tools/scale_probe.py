@@ -1,8 +1,9 @@
 """Empirical scale probe: rows-vs-wall-clock on the scale-critical paths.
 
 Builds DETERMINISTIC 1x / 3x / 10x corpora from the sf0.1 documents and
-embeddings tables (vocab-SUFFIXED replicas: replica k rewrites every
-word w -> w§k, so each replica's internal shingle/dup structure is
+embeddings tables (token-SUFFIXED replicas: replica k rewrites every
+word w -> w + "xkq" — alphanumeric, so the shingle normalizer keeps the
+marker attached — making each replica's internal shingle/dup structure
 exactly isomorphic to the base while replica shingle spaces are exactly
 DISJOINT — pair density and df distribution per replica are
 scale-invariant and "linear rows -> linear work" is actually testable.
