@@ -18,11 +18,15 @@ plan regressions.
 Contention sentinels (round 10): three SYNTHETIC scale-independent
 plans (pre-warmed in warmup, so no catalog entry's cold number is
 disturbed) are timed first and last; their ratios to pinned quiet-host
-levels become `host_factor_first/last` and a `contention_suspect` flag
-in both the final JSON line and BENCH_DETAIL.json, so a slow round-end
-driver bench is adjudicable from the artifact alone. REPS>=2 runs
-additionally write BENCH_BUILDER.json, which the driver's reps=1
-round-end run never touches.
+levels become `host_factor_first/last` (informational) and their
+within-run first/last drift the `contention_suspect` flag in both the
+final JSON line and BENCH_DETAIL.json, so a slow round-end driver bench
+is adjudicable from the artifact alone. A fourth DIAGNOSTIC sentinel
+(round 11) times a parquet scan+filter+agg over a dedicated probe file
+— the mid-session slow-down class hits scan-shaped work while pure-CPU
+sentinels stay quiet; its raw times/drift are recorded but do not feed
+the flag. REPS>=2 runs additionally write BENCH_BUILDER.json, which the
+driver's reps=1 round-end run never touches.
 """
 
 from __future__ import annotations
@@ -113,6 +117,42 @@ def _sentinel_frames(spark) -> dict:
     return {"agg_sum_mod": agg, "join_window": jw, "string_ops": s}
 
 
+def _scan_sentinel_frame(spark):
+    """DIAGNOSTIC-ONLY fourth sentinel (r11): a parquet scan + filter +
+    agg over a dedicated probe file (written fresh each run to a temp
+    dir — deliberately NOT a catalog table, which would pre-warm the
+    memoized loads and corrupt cold numbers). Motivation: the r8/r10/r11
+    mid-session slow-down hits scan-shaped catalog work (grouped
+    quantiles, prefix joins) while the three pure-CPU synthetic
+    sentinels read quiet — this series makes that class visible in the
+    artifact. It has NO pinned quiet ref yet and does NOT feed
+    host_factor or contention_suspect; its raw first/last times and
+    drift are recorded for adjudication and for pinning once a quiet
+    window's levels are known."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(tempfile.mkdtemp(prefix="swbench_scan_"), "probe.parquet")
+    (
+        spark.range(400_000)
+        .select(
+            (F.col("id") % 997).alias("k"),
+            (F.col("id") % 31).alias("g"),
+            (F.col("id").cast("double") / 7.0).alias("v"),
+        )
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("k") < 500)
+        .groupBy("g")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+    )
+
+
 def _time_sentinels(frames: dict) -> dict[str, float]:
     """Min-of-2 wall time for each pre-built sentinel plan."""
     out: dict[str, float] = {}
@@ -178,11 +218,13 @@ def main() -> None:
     # execution reaches steady state; the pinned refs are steady-state
     # levels, so an unwarmed first pass would read as false contention)
     sentinel_frames = _sentinel_frames(spark)
-    for _df in sentinel_frames.values():
+    scan_frame = _scan_sentinel_frame(spark)
+    for _df in list(sentinel_frames.values()) + [scan_frame]:
         _df.write.format("noop").mode("overwrite").save()
         _df.write.format("noop").mode("overwrite").save()
 
     sentinel_first = _time_sentinels(sentinel_frames)
+    scan_first = _time_sentinels({"scan_filter_agg": scan_frame})["scan_filter_agg"]
 
     # Opt-in repetitions for local measurement on noisy hosts (this box's
     # effective speed fluctuates several-fold between windows — NOTES.md).
@@ -206,6 +248,10 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     sentinel_last = _time_sentinels(sentinel_frames)
+    scan_last = _time_sentinels({"scan_filter_agg": scan_frame})["scan_filter_agg"]
+    scan_drift = round(
+        max(scan_first, scan_last) / max(min(scan_first, scan_last), 1e-9), 2
+    )
     hf_first = _host_factor(sentinel_first)
     hf_last = _host_factor(sentinel_last)
     # within-run drift: median per-sentinel first↔last disagreement
@@ -239,6 +285,9 @@ def main() -> None:
         "sf": sf,
         "sentinel_first": sentinel_first,
         "sentinel_last": sentinel_last,
+        "scan_sentinel_first": scan_first,
+        "scan_sentinel_last": scan_last,
+        "scan_sentinel_drift": scan_drift,
         "sentinel_quiet_ref": dict(_SENTINEL_QUIET_REF),
         "host_factor_first": hf_first,
         "host_factor_last": hf_last,
@@ -271,6 +320,9 @@ def main() -> None:
                 "host_factor_first": hf_first,
                 "host_factor_last": hf_last,
                 "host_drift": host_drift,
+                "scan_sentinel_first": scan_first,
+                "scan_sentinel_last": scan_last,
+                "scan_sentinel_drift": scan_drift,
                 "contention_suspect": contention_suspect,
             }
         )
