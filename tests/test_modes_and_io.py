@@ -265,3 +265,54 @@ def test_load_table_normalizes_every_ts_generation(spark, tmp_path):
             r["ts"] for r in df.orderBy("event_id").select("ts").collect()
         ]
     assert got["nanos"] == got["ntz"] == got["utc"] == base
+
+
+def test_load_user_parquet_normalizes_every_ts_generation(spark, tmp_path):
+    """The CLI's user-input reader shares _lift_ts_col with load_table;
+    pin all three timestamp encodings through the USER path too (a
+    pandas-written nanos file crashed the CLI before round 11), on a
+    multi-ts-column schema like the ep2 blocks input."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from sparkwrangle.io import load_user_parquet
+
+    start = [
+        datetime.datetime(2024, 1, 1, 14, 30, 0),
+        datetime.datetime(2024, 1, 8, 14, 30, 0),
+    ]
+    end = [
+        datetime.datetime(2024, 1, 6, 0, 0, 0),
+        datetime.datetime(2024, 1, 13, 0, 0, 0),
+    ]
+    variants = {
+        "nanos": pa.timestamp("ns"),
+        "ntz": pa.timestamp("us"),
+        "utc": pa.timestamp("us", tz="UTC"),
+    }
+    got = {}
+    for name, t in variants.items():
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        tbl = pa.table(
+            {
+                "block_id": pa.array([1, 2], pa.int64()),
+                "start_ts": pa.array(start, t),
+                "end_ts": pa.array(end, t),
+            }
+        )
+        pq.write_table(tbl, f"{d}/blocks.parquet", version="2.6")
+        df = load_user_parquet(
+            spark, f"{d}/blocks.parquet", ts_cols=("start_ts", "end_ts")
+        )
+        for c in ("start_ts", "end_ts"):
+            assert isinstance(df.schema[c].dataType, TimestampType), (name, c)
+        got[name] = [
+            (r["start_ts"], r["end_ts"])
+            for r in df.orderBy("block_id").collect()
+        ]
+    assert got["nanos"] == got["ntz"] == got["utc"] == list(zip(start, end))
