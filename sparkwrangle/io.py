@@ -142,6 +142,27 @@ def write_table(
     writer.format(fmt).save(path)
 
 
+def _sniff_nanos_cols(path: str) -> list[str] | None:
+    """Footer-sniff a user parquet path for TIMESTAMP(NANOS) columns via
+    pyarrow (top-level fields only — nested nanos stay Spark-handled).
+    Returns the column names, or None when the sniff itself fails (path
+    style pyarrow can't resolve) — callers treat None as 'unknown,
+    assume nanos possible' and keep the defensive conf."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        local = path[7:] if path.startswith("file://") else path
+        schema = pads.dataset(local, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return None
+
+
 def load_user_parquet(spark: SparkSession, path: str, ts_cols: tuple = ()):
     """Read USER-supplied parquet defensively (tools/backtest.py inputs).
 
@@ -151,10 +172,27 @@ def load_user_parquet(spark: SparkSession, path: str, ts_cols: tuple = ()):
     strategy as ``load_table`` (shared ``_lift_ts_col``): read nanos as
     raw longs, floor to microseconds; lift NTZ to the session-TZ
     timestamp contract. Floors are exact for this data (bars are minutes
-    apart)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apart).
+
+    Conf hygiene (round 12): the pyarrow footer sniff decides up front
+    whether the file carries nanos columns at all — a nanos-free file is
+    read WITHOUT touching ``spark.sql.legacy.parquet.nanosAsLong``, so
+    this path no longer flips session-wide read semantics for users who
+    never needed it. When nanos ARE present the conf must stay set for
+    the returned (lazy) plan's lifetime — Spark re-reads it at execution,
+    so a save-and-restore here would crash the scan later — and EVERY
+    sniffed nanos column is lifted (union with ``ts_cols``), closing the
+    silent raw-long hole for columns the caller forgot to name."""
+    nanos = _sniff_nanos_cols(path)
+    lift: tuple | list = ts_cols
+    if nanos is None:
+        # unknown layout: keep the old defensive behavior verbatim
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    elif nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        lift = list(ts_cols) + [c for c in nanos if c not in ts_cols]
     df = spark.read.parquet(path)
-    for c in ts_cols:
+    for c in lift:
         df = _lift_ts_col(df, c)
     return df
 

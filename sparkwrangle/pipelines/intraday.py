@@ -153,7 +153,45 @@ def build_intraday_feed(
 def intraday_backtest(
     feed: DataFrame, params: dict, state_scope: str = "company"
 ) -> tuple[DataFrame, DataFrame]:
-    """Run S2 over the feed → (trades, balance_history)."""
+    """Run S2 over the feed → (trades, balance_history).
+
+    Relaxed mode (``state_scope="block"``) runs the per-(company, block)
+    Python state machine ONCE: a single combined local pass emits both
+    the trade rows and the per-tick balance rows as a tagged union,
+    which is localCheckpoint'ed (eager — the lineage break is what makes
+    the two downstream reads share one applyInPandas execution; the
+    package's cache/persist ban is about unbounded memory pinning,
+    whereas this materialization is the tick relation the operator
+    produces anyway) and split JVM-side into the two stitches. Calling
+    the two standalone operators instead would run the expensive Python
+    pass twice over the full feed (round-12 ADVICE item).
+
+    Faithful mode keeps the two standalone calls: its per-company pass
+    is the documented sequential bottleneck either way, and the
+    checkpoint would pin the full tick relation for no parallelism win.
+    """
+    if state_scope == "block":
+        from sparkwrangle.stateful.trader import (
+            _block_combined_local,
+            _check_scope,
+            _stitch_balances,
+            _stitch_ledger,
+        )
+
+        _check_scope(feed, state_scope, params)
+        local = _block_combined_local(feed, params).localCheckpoint(eager=True)
+        trades_local = local.filter(F.col("is_trade")).select(
+            "company", "block_id", "first_seq", "trade_seq_local",
+            "close_type", "roi_local", "bal_delta",
+        )
+        trades = _stitch_ledger(trades_local, params).select(
+            "company", "trade_seq", "close_type", "roi"
+        )
+        bal_local = local.filter(~F.col("is_trade")).select(
+            "company", "block_id", "first_seq", "tick_seq", "ts",
+            "balance", "block_last",
+        )
+        return trades, _stitch_balances(bal_local, params)
     return (
         backtest_trades(feed, params, state_scope=state_scope),
         backtest_balances(feed, params, state_scope=state_scope),

@@ -243,7 +243,21 @@ def run_trader_on_feed(
     # (feed_seq, ticker_idx) is unique per group → plain pivot (errors on
     # duplicates, which would mean a malformed feed) and much faster than
     # pivot_table's aggregation machinery
-    wide_p = feed.pivot(index="feed_seq", columns="ticker_idx", values="price").sort_index()
+    try:
+        wide_p = feed.pivot(index="feed_seq", columns="ticker_idx", values="price").sort_index()
+    except ValueError as e:
+        # name the company and the offending feed_seq values so a user
+        # debugging a malformed 100 TB feed can locate the rows instead
+        # of re-deriving them from pandas' generic "duplicate entries"
+        dup = feed[feed.duplicated(["feed_seq", "ticker_idx"], keep=False)]
+        company = feed["company"].iloc[0] if "company" in feed.columns else "<unknown>"
+        seqs = sorted(dup["feed_seq"].unique().tolist())[:10]
+        raise ValueError(
+            f"malformed feed for company {company!r}: duplicate "
+            f"(feed_seq, ticker_idx) rows at feed_seq={seqs}"
+            f"{' (first 10 shown)' if dup['feed_seq'].nunique() > 10 else ''} "
+            "— each (feed_seq, ticker_idx) must be unique per company"
+        ) from e
     wide_r = feed.pivot(index="feed_seq", columns="ticker_idx", values="ret").sort_index()
     n_idx = int(feed["ticker_idx"].max()) + 1
     wide_p = wide_p.reindex(columns=range(n_idx))
@@ -307,14 +321,33 @@ def _key_type(feed: DataFrame) -> str:
     return _col_type(feed, "company")
 
 
-def _check_scope(feed: DataFrame, state_scope: str) -> None:
+def _check_scope(feed: DataFrame, state_scope: str, params: dict | None = None) -> None:
     if state_scope not in ("company", "block"):
         raise ValueError(f"state_scope must be 'company' or 'block', got {state_scope!r}")
-    if state_scope == "block" and "block_id" not in feed.columns:
-        raise ValueError(
-            "state_scope='block' needs a block_id column in the feed — "
-            "build it with build_intraday_feed(..., with_block_id=True)"
-        )
+    if state_scope == "block":
+        if "block_id" not in feed.columns:
+            raise ValueError(
+                "state_scope='block' needs a block_id column in the feed — "
+                "build it with build_intraday_feed(..., with_block_id=True)"
+            )
+        if params is not None and not params.get("trade_size_percent", False):
+            # Surface the documented fixed-sizing caveat (module docstring,
+            # SCALE.md) at CALL time, not only in docs: relaxed blocks
+            # restart the SL denominator from bal0, so balance-marginal SL
+            # decisions can flip vs faithful mode. Percent sizing is exact
+            # (scale-invariant trajectory) and stays silent.
+            import warnings
+
+            warnings.warn(
+                "state_scope='block' with fixed sizing "
+                "(trade_size_percent=False): relaxed blocks restart from "
+                "bal0, so the SL check's balance denominator differs from "
+                "faithful mode — balance-marginal SL decisions can flip. "
+                "Exact only when no SL decision is marginal; use "
+                "trade_size_percent=True for guaranteed parity on "
+                "market-close-bounded feeds.",
+                stacklevel=3,
+            )
 
 
 def _block_trades_local(feed: DataFrame, params: dict) -> DataFrame:
@@ -405,7 +438,7 @@ def backtest_trades(
     (state persists across blocks); ``"block"`` is the relaxed scale mode
     (fresh state per block, JVM-stitched ledger — see module docstring).
     """
-    _check_scope(feed, state_scope)
+    _check_scope(feed, state_scope, params)
     if state_scope == "block":
         return _stitch_ledger(_block_trades_local(feed, params), params).select(
             "company", "trade_seq", "close_type", "roi"
@@ -435,7 +468,7 @@ def backtest_trades_ledger(
     balance right after each close — under percent sizing the compounded
     series bal₀·∏(1+roiⱼ), which is what the recursive-CTE oracle twin
     re-derives independently (ref :90-99 open / :137-139 close)."""
-    _check_scope(feed, state_scope)
+    _check_scope(feed, state_scope, params)
     if state_scope == "block":
         return _stitch_ledger(_block_trades_local(feed, params), params).select(
             "company", "trade_seq", "close_type", "roi", "bal_after"
@@ -500,6 +533,135 @@ def _block_balances_local(feed: DataFrame, params: dict) -> DataFrame:
     return feed.select(*cols).groupBy("company", "block_id").applyInPandas(run, schema)
 
 
+def _block_combined_local(feed: DataFrame, params: dict) -> DataFrame:
+    """Relaxed-mode SINGLE local pass emitting BOTH relations as a tagged
+    union: the per-trade rows `_block_trades_local` would produce
+    (``is_trade=true``; tick columns null) and the per-tick balance rows
+    `_block_balances_local` would produce (``is_trade=false``; trade
+    columns null). ``pipelines.intraday.intraday_backtest`` uses this —
+    when BOTH outputs are requested, running the expensive per-(company,
+    block) Python state machine once and splitting JVM-side halves the
+    applyInPandas cost vs calling the two standalone operators (each of
+    which re-runs the feed; round-12 ADVICE item)."""
+    bal0 = float(params["bal"])
+    schema = (
+        f"company {_key_type(feed)}, block_id {_col_type(feed, 'block_id')}, "
+        "first_seq long, is_trade boolean, "
+        "trade_seq_local int, close_type string, roi_local double, "
+        "bal_delta double, "
+        "tick_seq int, ts timestamp, balance double, block_last boolean"
+    )
+    cols = [
+        "company", "block_id", "first_seq", "is_trade",
+        "trade_seq_local", "close_type", "roi_local", "bal_delta",
+        "tick_seq", "ts", "balance", "block_last",
+    ]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        trades, history, balances = run_trader_on_feed(pdf, params)
+        company = pdf["company"].iloc[0]
+        block = pdf["block_id"].iloc[0]
+        first_seq = int(pdf["feed_seq"].min())
+        prev = [bal0] + balances[:-1]
+        n = len(history)
+        ts, bals = zip(*history) if history else ((), ())
+        trade_rows = pd.DataFrame(
+            {
+                "company": company,
+                "block_id": block,
+                "first_seq": first_seq,
+                "is_trade": True,
+                "trade_seq_local": range(len(trades)),
+                "close_type": [t for t, _ in trades],
+                "roi_local": [r for _, r in trades],
+                "bal_delta": [b - p for b, p in zip(balances, prev)],
+                "tick_seq": None,
+                "ts": pd.NaT,
+                "balance": None,
+                "block_last": None,
+            },
+            columns=cols,
+        )
+        tick_rows = pd.DataFrame(
+            {
+                "company": company,
+                "block_id": block,
+                "first_seq": first_seq,
+                "is_trade": False,
+                "trade_seq_local": None,
+                "close_type": None,
+                "roi_local": None,
+                "bal_delta": None,
+                "tick_seq": range(n),
+                "ts": list(ts),
+                "balance": list(bals),
+                "block_last": [i == n - 1 for i in range(n)],
+            },
+            columns=cols,
+        )
+        # the tagged union leaves the other tag's columns as object-NaN;
+        # coerce each half to Arrow-friendly nullable dtypes BEFORE the
+        # concat (uniformly-typed inputs — avoids both the all-NA concat
+        # FutureWarning and the serializer failing int/bool/ts casts)
+        dtypes = {
+            "trade_seq_local": "Int32",
+            "tick_seq": "Int32",
+            "roi_local": "Float64",
+            "bal_delta": "Float64",
+            "balance": "Float64",
+            "block_last": "boolean",
+        }
+        for half in (trade_rows, tick_rows):
+            half["ts"] = pd.to_datetime(half["ts"])
+        return pd.concat(
+            [trade_rows.astype(dtypes), tick_rows.astype(dtypes)],
+            ignore_index=True,
+        )
+
+    in_cols = ["company", "block_id", "feed_seq", "ts", "ticker_idx", "price", "ret"]
+    return (
+        feed.select(*in_cols)
+        .groupBy("company", "block_id")
+        .applyInPandas(run, schema)
+    )
+
+
+def _stitch_balances(local: DataFrame, params: dict) -> DataFrame:
+    """JVM stitch for the relaxed-mode balance history: lift each block's
+    within-block per-tick balances onto the carried ledger. The
+    prior-blocks adjustment is ``∏ end_bal/bal₀`` (percent sizing) or
+    ``Σ (end_bal − bal₀)`` (fixed sizing) read off the ``block_last``
+    rows; one window per company ordered by each block's first feed_seq
+    (= consumption order; see _stitch_ledger on why not block_id), then
+    within-block tick."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bal0 = F.lit(float(params["bal"]))
+    wprior = (
+        Window.partitionBy("company")
+        .orderBy("first_seq", "tick_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    if params.get("trade_size_percent", False):
+        factor = F.coalesce(
+            F.product(
+                F.when(F.col("block_last"), F.col("balance") / bal0)
+            ).over(wprior),
+            F.lit(1.0),
+        )
+        stitched = F.col("balance") * factor
+    else:
+        offset = F.coalesce(
+            F.sum(F.when(F.col("block_last"), F.col("balance") - bal0)).over(
+                wprior
+            ),
+            F.lit(0.0),
+        )
+        stitched = F.col("balance") + offset
+    return local.select("company", "ts", stitched.alias("balance"))
+
+
 def backtest_balances(
     feed: DataFrame, params: dict, state_scope: str = "company"
 ) -> DataFrame:
@@ -514,37 +676,9 @@ def backtest_balances(
     ``block_last`` rows. The window partitions by company — the same
     granularity as the feed's own feed_seq window — but it is a pure
     linear JVM scan; the expensive Python pass above it is per-block."""
-    _check_scope(feed, state_scope)
+    _check_scope(feed, state_scope, params)
     if state_scope == "block":
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
-        bal0 = F.lit(float(params["bal"]))
-        local = _block_balances_local(feed, params)
-        # ordered by each block's first feed_seq (= consumption order;
-        # see _stitch_ledger on why not block_id), then within-block tick
-        wprior = (
-            Window.partitionBy("company")
-            .orderBy("first_seq", "tick_seq")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        if params.get("trade_size_percent", False):
-            factor = F.coalesce(
-                F.product(
-                    F.when(F.col("block_last"), F.col("balance") / bal0)
-                ).over(wprior),
-                F.lit(1.0),
-            )
-            stitched = F.col("balance") * factor
-        else:
-            offset = F.coalesce(
-                F.sum(F.when(F.col("block_last"), F.col("balance") - bal0)).over(
-                    wprior
-                ),
-                F.lit(0.0),
-            )
-            stitched = F.col("balance") + offset
-        return local.select("company", "ts", stitched.alias("balance"))
+        return _stitch_balances(_block_balances_local(feed, params), params)
     schema = f"company {_key_type(feed)}, ts timestamp, balance double"
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:

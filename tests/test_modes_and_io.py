@@ -316,3 +316,69 @@ def test_load_user_parquet_normalizes_every_ts_generation(spark, tmp_path):
             for r in df.orderBy("block_id").collect()
         ]
     assert got["nanos"] == got["ntz"] == got["utc"] == list(zip(start, end))
+
+
+def test_load_user_parquet_conf_hygiene_and_autolift(spark, tmp_path):
+    """Round-12 ADVICE: (a) a nanos-free user file must not flip the
+    session-wide ``nanosAsLong`` read semantics; (b) a TIMESTAMP(NANOS)
+    column the caller did NOT name in ts_cols is footer-sniffed and
+    auto-lifted instead of silently landing as raw-nanos LongType."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, TimestampType
+
+    from sparkwrangle.io import load_user_parquet
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    ts = [
+        datetime.datetime(2024, 1, 1, 14, 30, 0, 123456),
+        datetime.datetime(2024, 1, 8, 16, 29, 30, 0),
+    ]
+
+    # (a) nanos-free file: conf stays at its default
+    clean_dir = str(tmp_path / "clean")
+    os.makedirs(clean_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+            }
+        ),
+        f"{clean_dir}/t.parquet",
+        version="2.6",
+    )
+    spark.conf.unset(conf_key)
+    df = load_user_parquet(spark, f"{clean_dir}/t.parquet", ts_cols=("ts",))
+    assert spark.conf.get(conf_key) == "false", (
+        "nanos-free read must not flip session read semantics"
+    )
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    assert [r["ts"] for r in df.orderBy("k").collect()] == ts
+
+    # (b) nanos column NOT in ts_cols: auto-lifted via the footer sniff
+    nanos_dir = str(tmp_path / "nanos")
+    os.makedirs(nanos_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "named_ts": pa.array(ts, pa.timestamp("ns")),
+                "forgotten_ts": pa.array(ts, pa.timestamp("ns")),
+            }
+        ),
+        f"{nanos_dir}/t.parquet",
+        version="2.6",
+    )
+    df2 = load_user_parquet(
+        spark, f"{nanos_dir}/t.parquet", ts_cols=("named_ts",)
+    )
+    for c in ("named_ts", "forgotten_ts"):
+        assert isinstance(df2.schema[c].dataType, TimestampType), c
+        assert not isinstance(df2.schema[c].dataType, LongType), c
+    rows = df2.orderBy("k").collect()
+    assert [r["named_ts"] for r in rows] == ts
+    assert [r["forgotten_ts"] for r in rows] == ts

@@ -218,3 +218,63 @@ def test_relaxed_through_pipeline_entry(spark, feed_with_blocks):
     f_trades, f_balances = intraday_backtest(feed_with_blocks, TRADER_PARAMS)
     assert trades.count() == f_trades.count()
     assert balances.count() == f_balances.count()
+
+
+def test_relaxed_fixed_sizing_warns_at_call_time(spark, feed_with_blocks):
+    """Round-12 ADVICE: the fixed-sizing SL-denominator caveat must
+    surface at call time (warnings.warn), not only in docstrings —
+    percent sizing stays silent (it is exact by scale invariance)."""
+    import warnings
+
+    fixed = {**TRADER_PARAMS, "trade_size": 50.0, "trade_size_percent": False}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        backtest_trades(feed_with_blocks, fixed, state_scope="block")
+    msgs = [str(w.message) for w in caught]
+    assert any("SL" in m and "bal0" in m for m in msgs), msgs
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        backtest_trades(feed_with_blocks, TRADER_PARAMS, state_scope="block")
+        backtest_trades(feed_with_blocks, fixed)  # faithful: no warning
+    assert not [w for w in caught if "SL" in str(w.message)], (
+        "percent sizing / faithful mode must not warn"
+    )
+
+
+def test_intraday_backtest_relaxed_single_pass(spark, feed_with_blocks):
+    """Round-12 ADVICE: intraday_backtest in relaxed mode runs the
+    per-(company, block) Python state machine ONCE — a combined tagged-
+    union local pass, checkpointed and split JVM-side. Pinned two ways:
+    (a) value parity with the standalone relaxed operators, (b) the
+    returned plans read from the checkpoint (no FlatMapGroupsInPandas
+    left in either output's physical plan)."""
+    trades, balances = intraday_backtest(
+        feed_with_blocks, TRADER_PARAMS, state_scope="block"
+    )
+    ref_trades = _trades_pdf(
+        backtest_trades(feed_with_blocks, TRADER_PARAMS, state_scope="block")
+    )
+    got_trades = _trades_pdf(trades)
+    assert list(got_trades.company) == list(ref_trades.company)
+    assert list(got_trades.trade_seq) == list(ref_trades.trade_seq)
+    assert list(got_trades.close_type) == list(ref_trades.close_type)
+    assert (
+        max(abs(got_trades.roi.to_numpy() - ref_trades.roi.to_numpy())) < 1e-9
+    )
+
+    ref_bal = (
+        backtest_balances(feed_with_blocks, TRADER_PARAMS, state_scope="block")
+        .orderBy("company", "ts")
+        .toPandas()
+    )
+    got_bal = balances.orderBy("company", "ts").toPandas()
+    assert list(got_bal.ts) == list(ref_bal.ts)
+    assert max(abs(got_bal.balance.to_numpy() - ref_bal.balance.to_numpy())) < 1e-9
+
+    for df in (trades, balances):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan, (
+            "combined-pass outputs must read the checkpointed local "
+            "relation, not re-run the Python stage"
+        )

@@ -366,3 +366,25 @@ def test_s2_single_position_restricted_regime(spark):
         import math
 
         assert abs(math.floor(roi * 1e6 + 0.5) / 1e6 - row.roi) < 1e-9
+
+
+def test_malformed_feed_error_names_company_and_feed_seq():
+    """Round-12 VERDICT item 7: the feed pivot's duplicate-(feed_seq,
+    ticker_idx) error must name the company and the offending feed_seq
+    values, so a 100 TB-scale user can locate the malformed rows."""
+    from sparkwrangle.stateful.trader import run_trader_on_feed
+
+    feed = pd.DataFrame(
+        {
+            "company": "ACME",
+            "feed_seq": [1, 1, 2, 2],
+            "ts": pd.to_datetime(["2026-01-05 15:00:00"] * 4),
+            "ticker_idx": [0, 0, 0, 1],  # (1, 0) duplicated
+            "price": [100.0, 100.5, 101.0, 50.0],
+            "ret": [float("nan")] * 3 + [0.2],
+        }
+    )
+    with pytest.raises(ValueError) as exc:
+        run_trader_on_feed(feed, TRADER_PARAMS)
+    msg = str(exc.value)
+    assert "ACME" in msg and "feed_seq=[1]" in msg, msg
