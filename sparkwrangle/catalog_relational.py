@@ -951,6 +951,53 @@ def sql_surface_shared_dialect(spark, sf_dir):
     return spark.sql(_SHARED_DIALECT_SQL)
 
 
+# Deliberately DuckDB-dialect text (unnest-free but exercising the shim's
+# rule classes: len(), 1-based subscripts, // integer division, list
+# literals, list_transform + list_sum, arg_max, {...} struct literals).
+# The catalog fn runs it through sparkwrangle.sql_dialect.translate on
+# Spark; the oracle runs the SAME text verbatim on DuckDB — so the shim
+# itself sits under the driver's hash gate, not just the pytest suite.
+_DUCKDB_DIALECT_SQL = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents WHERE doc_id < 500
+    ),
+    st AS (
+        SELECT doc_id, source, t, len(t) AS n_tokens
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(arg_max(doc_id, n_tokens * 100000 + doc_id) AS BIGINT)
+               AS longest_doc,
+           round(avg(n_tokens // 2), 6) AS avg_half,
+           CAST(round(list_sum(list_transform([1, 2, 3], i -> i * 2)), 6)
+               AS DOUBLE) AS lit_sum,
+           (max({'n': n_tokens, 'first': t[1]})).first AS top_first_token
+    FROM st GROUP BY source
+"""
+
+
+@register(
+    "sql_dialect_shim",
+    _DUCKDB_DIALECT_SQL,
+    doc="DuckDB-dialect SQL-text entry (round 12): the same DuckDB text "
+    "runs via sql_dialect.translate on Spark AND verbatim on the DuckDB "
+    "oracle — the mechanical dialect shim under the driver's hash gate. "
+    "tests/test_sql_surface.py pins 74 more catalog oracles through the "
+    "same shim.",
+)
+def sql_dialect_shim(spark, sf_dir):
+    from sparkwrangle.io import register_views
+    from sparkwrangle.session import prep_session
+    from sparkwrangle.sql_dialect import translate
+
+    prep_session(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(translate(_DUCKDB_DIALECT_SQL))
+
+
 @register(
     "w_sessionize_gaps",
     """
