@@ -112,3 +112,43 @@ def test_cli_ep2_smoke(tmp_path, scope):
     assert got["Percent of winning trades"] == (
         f"{len(wins) / (len(wins) + len(losses)):.2%}"
     )
+
+
+def test_sql_cli_spark_and_duckdb_dialect():
+    """tools/sql.py smoke: the SQL runner executes both Spark-dialect and
+    DuckDB-dialect text (through the mechanical shim) as a real
+    subprocess against the smoke testdata, with bounded output and a
+    truncation notice."""
+    sf = "/root/testdata/sf0.001"
+
+    def run(args):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "sql.py"), *args],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, f"sql CLI failed:\n{proc.stderr[-2000:]}"
+        return proc
+
+    out = run(["--sf-dir", sf, "SELECT count(*) AS n FROM lineitem"])
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert lines[-2] == "n" and int(lines[-1]) > 0
+
+    # DuckDB-dialect text: len() on a list + // division + 1-based index
+    duck = (
+        "SELECT doc_id, len(t) AS n_tokens, len(t) // 2 AS half, "
+        "t[1] AS first_tok FROM (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents) "
+        "WHERE len(t) > 3 ORDER BY doc_id LIMIT 3"
+    )
+    out = run(["--sf-dir", sf, "--dialect", "duckdb", "--show-sql", duck])
+    assert "size(t)" in out.stdout and "element_at(t, 1)" in out.stdout
+    body = [ln for ln in out.stdout.splitlines() if "\t" in ln]
+    assert body[0].split("\t") == ["doc_id", "n_tokens", "half", "first_tok"]
+    assert len(body) == 4  # header + 3 rows
+
+    # truncation notice is reported, never silent
+    out = run(["--sf-dir", sf, "--max-rows", "2",
+               "SELECT doc_id FROM documents ORDER BY doc_id"])
+    assert "truncated at 2 rows" in out.stderr
