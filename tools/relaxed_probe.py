@@ -163,6 +163,33 @@ def main() -> None:
             .toPandas()
         )
 
+    # ADVICE-5 measurement: when BOTH outputs are needed, the combined
+    # single-pass intraday_backtest vs two standalone relaxed operators
+    # (each re-running the per-(company, block) Python pass).
+    from sparkwrangle.pipelines.intraday import intraday_backtest
+    from sparkwrangle.stateful.trader import backtest_balances, backtest_trades
+
+    def drain(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    drain(backtest_trades(feed, PARAMS, state_scope="block"))
+    drain(backtest_balances(feed, PARAMS, state_scope="block"))
+    two_pass = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    tr, bal = intraday_backtest(feed, PARAMS, state_scope="block")
+    drain(tr)
+    drain(bal)
+    one_pass = round(time.perf_counter() - t0, 2)
+    print(
+        json.dumps(
+            {"both_outputs_two_standalone_sec": two_pass,
+             "both_outputs_combined_sec": one_pass,
+             "combined_win": round(two_pass / one_pass, 2)}
+        ),
+        flush=True,
+    )
+
     f, r = trades["company"], trades["block"]
     assert len(f) == len(r) and len(f) > 0, (len(f), len(r))
     assert list(f.close_type) == list(r.close_type)
