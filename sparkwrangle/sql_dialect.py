@@ -6,12 +6,13 @@ query text was written for DuckDB (the oracle dialect of this repo's
 correctness gate, and a common local-analytics dialect). ``translate``
 applies MECHANICAL, expression-local rewrites only — function renames,
 argument reshapes, and literal-syntax conversions with exact Spark
-equivalents. It is deliberately NOT a SQL parser: constructs whose
-semantics have no local Spark twin (``QUALIFY``, aggregate-internal
+equivalents (plus one statement-level rewrite: top-level ``QUALIFY``
+becomes a filtered subquery). It is deliberately NOT a SQL parser:
+constructs whose semantics have no local Spark twin (aggregate-internal
 ``ORDER BY``, lateral ``range()`` table functions, generators nested
-inside scalar expressions) are passed through untouched and will fail in
-Spark — the caller finds out at parse/run time, exactly as with any
-unsupported SQL.
+inside scalar expressions, ``UNION`` inside recursive CTEs) are passed
+through untouched and will fail in Spark — the caller finds out at
+parse/run time, exactly as with any unsupported SQL.
 
 Rules (each one line of the table below is one rewrite):
 
