@@ -303,3 +303,18 @@ def test_translate_rules_unit():
     assert t("arg_max(v, ts)") == "max_by(v, ts)"
     assert t("list(v)") == "collect_list(v)"
     assert t("ts + to_days(3)") == "ts + make_dt_interval(3)"
+
+
+def test_translate_idempotent_on_every_oracle():
+    """translate(translate(x)) == translate(x) for every oracle string —
+    no rule re-fires on its own output, so a user double-translating
+    (or piping already-Spark SQL through --dialect duckdb) is safe."""
+    from sparkwrangle.sql_dialect import translate
+
+    import __spark_entry__ as entry
+
+    for name, sql in entry.oracle_sql().items():
+        if sql is None:
+            continue
+        once = translate(sql)
+        assert translate(once) == once, name
