@@ -183,38 +183,55 @@ def _rewrite_calls(sql: str, name: str, make) -> str:
             pos = m.end()
             continue
         out = out[: m.start()] + repl + out[rp + 1 :]
-        pos = m.start() + len(repl)
+        # resume just past the match START, not past the replacement:
+        # the replacement may embed NESTED same-name calls from the
+        # original arg text (list_slice(list_slice(...), ...)), which a
+        # full skip would leave untranslated (caught by
+        # fuzz_sql_dialect_shim). +1 cannot re-match this call (the
+        # name no longer starts there) and pos is strictly monotonic,
+        # so identity rewrites (e.g. 3-arg regexp_extract_all) terminate.
+        pos = m.start() + 1
 
 
 # ---- per-rule arg reshapes -------------------------------------------------
 
 
 def _range_to_sequence(args: list[str]) -> str:
-    # DuckDB range(a, b) is end-EXCLUSIVE and returns [] when b <= a;
-    # Spark sequence is end-inclusive and THROWS on inverted bounds with
-    # a positive step, so guard with CASE (NULL explodes to zero rows,
-    # matching unnest([]) — the dominant consumer)
+    # DuckDB range(a, b) is end-EXCLUSIVE and returns [] (not NULL) when
+    # b <= a; Spark sequence is end-inclusive and generates a DESCENDING
+    # sequence on inverted bounds (or throws with an explicit positive
+    # step), so guard with CASE. The ELSE branch materializes a typed
+    # EMPTY array — slice([a], 1, 0) — because NULL is observably
+    # different (len([]) = 0 vs size(NULL) = NULL; list_transform([])
+    # = [] vs transform(NULL) = NULL).
     if len(args) == 1:
         a, b = "0", args[0]
+        step = ""
     elif len(args) == 2:
         a, b = args
+        step = ""
     elif len(args) == 3:
         a, b, s = args
-        return (
-            f"(CASE WHEN ({b}) > ({a}) THEN "
-            f"sequence({a}, ({b}) - 1, {s}) END)"
-        )
+        step = f", {s}"
     else:
         raise ValueError("range arity")
-    return f"(CASE WHEN ({b}) > ({a}) THEN sequence({a}, ({b}) - 1) END)"
+    return (
+        f"(CASE WHEN ({b}) > ({a}) THEN sequence({a}, ({b}) - 1{step}) "
+        f"ELSE slice(sequence(({a}), ({a})), 1, 0) END)"
+    )
 
 
 def _list_sum(args: list[str]) -> str:
+    # SQL SUM semantics, exactly like DuckDB's list_sum: NULL on an
+    # empty list (a 0.0 seed would return 0.0), NULL elements skipped
+    # (a plain acc + v would poison the whole sum). The NULL seed +
+    # coalesce inside the lambda gives both.
     if len(args) != 1:
         raise ValueError("list_sum arity")
     return (
-        f"aggregate({args[0]}, CAST(0.0 AS DOUBLE), "
-        "(acc, v) -> acc + CAST(v AS DOUBLE))"
+        f"aggregate({args[0]}, CAST(NULL AS DOUBLE), (acc, v) -> "
+        "CASE WHEN v IS NULL THEN acc "
+        "ELSE coalesce(acc, CAST(0.0 AS DOUBLE)) + CAST(v AS DOUBLE) END)"
     )
 
 
@@ -353,7 +370,10 @@ def _brace_struct(sql: str) -> str:
             if ok and parts:
                 repl = f"named_struct({', '.join(parts)})"
                 out = out[:j] + repl + out[rb + 1 :]
-                j += len(repl)
+                # do NOT skip the replacement: it may embed NESTED brace
+                # literals from the original value text ({'a': {'b': x}})
+                # — re-scan from the same index (now 'n', so no re-match;
+                # each iteration consumes one '{' → terminates)
                 continue
         j += 1
     return out
@@ -381,7 +401,11 @@ def _subscripts(sql: str) -> str:
             while k >= 0 and out[k].isspace():
                 k -= 1
             if k >= 0 and out[k] == ")":
-                # parenthesized base: walk back to its opener
+                # parenthesized base: walk back to its opener, then
+                # extend over a preceding callee name — func(...)[k]
+                # must subscript the whole CALL, not splice element_at
+                # between the name and its argument list (caught by
+                # fuzz_sql_dialect_shim on list_filter(...)[k])
                 depth = 0
                 b = k
                 while b >= 0:
@@ -392,7 +416,12 @@ def _subscripts(sql: str) -> str:
                         if depth == 0:
                             break
                     b -= 1
-                base_start = b if depth == 0 else None
+                if depth == 0:
+                    while b > 0 and (out[b - 1].isalnum() or out[b - 1] in "_.`"):
+                        b -= 1
+                    base_start = b
+                else:
+                    base_start = None
             else:
                 m = _SUBSCRIPT_BASE.search(out[: k + 1])
                 if m and m.group():
@@ -405,7 +434,11 @@ def _subscripts(sql: str) -> str:
                 if idx:
                     repl = f"element_at({base}, {idx})"
                     out = out[:base_start] + repl + out[rb + 1 :]
-                    j = base_start + len(repl)
+                    # re-scan from the replacement start: the base/index
+                    # text may embed NESTED subscripts or list literals
+                    # (l[(l[2])]); every iteration consumes one '[' and
+                    # none are introduced, so this terminates
+                    j = base_start
                     continue
             if base_start is None:
                 # no base expression → a DuckDB list LITERAL [a, b, ...]
@@ -413,7 +446,7 @@ def _subscripts(sql: str) -> str:
                 elems = _split_args(out[j + 1 : rb])
                 repl = f"array({', '.join(elems)})"
                 out = out[:j] + repl + out[rb + 1 :]
-                j += len(repl)
+                # same nested-rescan rule as above ([[1,2],[3]])
                 continue
         j += 1
     return out

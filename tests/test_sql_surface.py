@@ -272,9 +272,9 @@ def test_translate_rules_unit():
     # strings are never rewritten
     assert t("SELECT 'unnest(t) // len(x)' AS s") == "SELECT 'unnest(t) // len(x)' AS s"
     assert t("a // b") == "a  DIV  b"
-    assert (
-        t("range(1, len(w) + 1)")
-        == "(CASE WHEN (size(w) + 1) > (1) THEN sequence(1, (size(w) + 1) - 1) END)"
+    assert t("range(1, len(w) + 1)") == (
+        "(CASE WHEN (size(w) + 1) > (1) THEN sequence(1, (size(w) + 1) - 1) "
+        "ELSE slice(sequence((1), (1)), 1, 0) END)"
     )
     assert t("list_slice(t, i + 1, i + 3)") == "slice(t, i + 1, (i + 3) - (i + 1) + 1)"
     assert t("syms[i]") == "element_at(syms, i)"
@@ -318,3 +318,32 @@ def test_translate_idempotent_on_every_oracle():
             continue
         once = translate(sql)
         assert translate(once) == once, name
+
+
+def test_translate_edge_semantics_match_duckdb(spark):
+    """The two edge cases the r12 shim fuzz surfaced, pinned against
+    real DuckDB behavior: empty range() is a typed EMPTY array (not
+    NULL — len 0, transform []), and list_sum has SQL SUM semantics
+    (NULL on empty, NULL elements skipped)."""
+    import duckdb
+
+    from sparkwrangle.sql_dialect import translate
+
+    con = duckdb.connect()
+    cases = [
+        "SELECT len(range(1, 1)) AS v",
+        "SELECT len(list_transform(range(1, 1), u -> u + 1)) AS v",
+        "SELECT list_sum(list_filter([1, 2], u -> u > 5)) AS v",
+        "SELECT list_sum([1, NULL, 2]) AS v",
+        "SELECT list_sum([3]) AS v",
+        "SELECT range(3, 1) AS v",
+    ]
+    for sql in cases:
+        duck = con.execute(sql).fetchone()[0]
+        got = spark.sql(translate(sql)).collect()[0]["v"]
+        if isinstance(duck, (int, float)) and got is not None:
+            assert float(got) == float(duck), (sql, duck, got)
+        else:
+            assert (list(got) if got is not None else None) == duck or got == duck, (
+                sql, duck, got
+            )

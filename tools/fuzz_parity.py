@@ -24,7 +24,10 @@ dimension-filtered keys), asof_join (vs a Python brute force of
 pandas.merge_asof semantics: all three directions x tolerance incl.
 0.0, dense exact-timestamp ties, missing keys, empty sides),
 trader_transcription (engine trader vs the engine-independent
-reference transcription, bitwise, fresh random multi-ticker feeds).
+reference transcription, bitwise, fresh random multi-ticker feeds),
+sql_dialect_shim (randomized DuckDB-dialect expressions on real DuckDB
+vs spark.sql(translate(...)) — rule interactions to depth 3, string
+decoys, NULL/empty-list edges).
 Exit code 1 on any mismatch.
 """
 
@@ -742,6 +745,112 @@ def fuzz_relaxed_block_scope(spark):
     check("relaxed_block_scope", total_trades > 30, f"only {total_trades} trades")
 
 
+def fuzz_sql_dialect_shim(spark, trials=None):
+    """Suite 11 (round 12): randomized DuckDB-dialect EXPRESSIONS run on
+    real DuckDB vs spark.sql(translate(...)) over the same table — the
+    generator composes the shim's rule classes (len / 1-based
+    subscripts / list_slice / list_transform / list_filter / list_sum /
+    range / xor / // / {..} struct literals) to depth 3, including
+    string-literal decoys containing rule triggers, so rule
+    INTERACTIONS are fuzzed, not just the per-rule unit pins. Already
+    caught two real edge divergences while being written: empty
+    range() must be a typed [] (not NULL), and list_sum needs SQL SUM
+    semantics (NULL on empty, NULL elements skipped)."""
+    import duckdb
+    import pandas as pd
+
+    from sparkwrangle.sql_dialect import translate
+
+    trials = trials or 80 * MULT
+    rng = random.Random(0xD1A7EC7)
+    n = 25
+    pdf = pd.DataFrame(
+        {
+            "rid": list(range(n)),
+            "i": [rng.randrange(0, 50) for _ in range(n)],
+            "j": [rng.randrange(1, 7) for _ in range(n)],
+            "s": [rng.choice(["ab", "cd", "len", "xor"]) for _ in range(n)],
+            "l": [
+                [rng.randrange(0, 10) for _ in range(rng.randrange(1, 5))]
+                for _ in range(n)
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("shimfuzz_t", pdf)
+    spark.createDataFrame(pdf).createOrReplaceTempView("shimfuzz_t")
+
+    def lst(d):
+        r = rng.random()
+        if d <= 0 or r < 0.35:
+            return "l"
+        if r < 0.55:
+            # lower bound 2 keeps range non-degenerate MOST of the time;
+            # the empty case is exercised via range(k, 2) below
+            return f"range(1, {rng.randrange(1, 6)})"
+        if r < 0.7:
+            return f"list_slice({lst(d - 1)}, 1, {rng.randrange(1, 5)})"
+        if r < 0.85:
+            return f"list_transform({lst(d - 1)}, u -> u + {rng.randrange(0, 4)})"
+        return f"list_filter({lst(d - 1)}, u -> u > {rng.randrange(0, 7)})"
+
+    def inum(d):
+        # integer-typed expressions only: xor and // stay int-kind on
+        # both engines (the shim's list_sum carries DOUBLE where DuckDB
+        # carries BIGINT — equal VALUES, the documented carrier-type
+        # class — so it may not feed bitwise/integer-division operators)
+        r = rng.random()
+        if d <= 0:
+            return rng.choice(["i", "j", str(rng.randrange(0, 9))])
+        if r < 0.18:
+            return f"({inum(d - 1)} + {inum(d - 1)})"
+        if r < 0.36:
+            return f"({inum(d - 1)} // j)"
+        if r < 0.5:
+            return f"xor({inum(d - 1)}, {inum(d - 1)})"
+        if r < 0.68:
+            return f"len({lst(d - 1)})"
+        if r < 0.86:
+            # 1-based; index 0 excluded (DuckDB → NULL, Spark element_at
+            # throws — a documented shim edge, not a silent divergence)
+            return f"{lst(d - 1)}[{rng.randrange(1, 6)}]"
+        return f"({{'a': {inum(d - 1)}, 'b': j}}).a"
+
+    def num(d):
+        if rng.random() < 0.25:
+            return f"list_sum({lst(d - 1)})"
+        return inum(d)
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return v
+        return round(float(v), 6)
+
+    for trial in range(trials):
+        expr = num(3)
+        if rng.random() < 0.3:
+            # decoy literal full of rule triggers: must never be rewritten
+            expr = (
+                "(CASE WHEN s = 'xor(i, j) // len(l) [1]' THEN -1 "
+                f"ELSE {expr} END)"
+            )
+        sql = f"SELECT rid, {expr} AS v FROM shimfuzz_t ORDER BY rid"
+        duck = [(r[0], norm(r[1])) for r in con.execute(sql).fetchall()]
+        got = [
+            (r["rid"], norm(r["v"]))
+            for r in spark.sql(translate(sql)).collect()
+        ]
+        check(
+            "sql_dialect_shim",
+            got == duck,
+            f"trial {trial} expr={expr!r} duck={duck[:3]} spark={got[:3]}",
+        )
+        if FAILS:
+            break
+
+
 def main():
     spark = get_spark("fuzz_parity")
     spark.sparkContext.setLogLevel("ERROR")
@@ -756,6 +865,7 @@ def main():
         fuzz_asof_join,
         fuzz_trader_transcription,
         fuzz_relaxed_block_scope,
+        fuzz_sql_dialect_shim,
     ):
         fn(spark)
         print(f"done  {fn.__name__}")
