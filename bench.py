@@ -354,6 +354,19 @@ def main() -> None:
         # quiet-host protocol — ALSO lands here, where the driver
         # never writes.
         (here / "BENCH_BUILDER.json").write_text(json.dumps(payload, indent=2))
+        # r13 (VERDICT r12 item 1): per-round ARCHIVE — repeated REPS>=2
+        # runs overwrite BENCH_BUILDER.json within and across rounds, so
+        # round-over-round per-entry attribution history was lost. When
+        # SPARK_GRAFT_ROUND is set (the builder exports it for the
+        # round's record run), the same payload is also copied to an
+        # immutable per-round file the judge can diff against later
+        # rounds. Kept opt-in so throwaway REPS>=2 probes don't clobber
+        # the round's archived record.
+        rnd = os.environ.get("SPARK_GRAFT_ROUND", "").strip()
+        if rnd:
+            (here / f"BENCH_BUILDER_r{rnd}.json").write_text(
+                json.dumps(payload, indent=2)
+            )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )

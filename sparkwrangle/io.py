@@ -144,21 +144,49 @@ def write_table(
 
 def _sniff_nanos_cols(path: str) -> list[str] | None:
     """Footer-sniff a user parquet path for TIMESTAMP(NANOS) columns via
-    pyarrow (top-level fields only — nested nanos stay Spark-handled).
-    Returns the column names, or None when the sniff itself fails (path
-    style pyarrow can't resolve) — callers treat None as 'unknown,
-    assume nanos possible' and keep the defensive conf."""
+    pyarrow. Top-level nanos columns are returned by name (they get the
+    raw-long → microsecond lift); nanos NESTED inside struct/list/map
+    types can't be lifted column-wise, so their presence demotes the
+    answer to None — 'unknown, assume nanos possible', which keeps the
+    defensive ``nanosAsLong`` conf exactly like the pre-r12 behavior
+    (ADVICE r12: the r12 top-level-only sniff returned [] for
+    nested-only files, dropping the conf and crashing the scan the old
+    code could read). None is also returned when the sniff itself fails
+    (path style pyarrow can't resolve)."""
     try:
         import pyarrow as pa
         import pyarrow.dataset as pads
 
+        def _has_nanos(t) -> bool:
+            if pa.types.is_timestamp(t) and t.unit == "ns":
+                return True
+            if pa.types.is_struct(t):
+                return any(_has_nanos(f.type) for f in t)
+            if (
+                pa.types.is_list(t)
+                or pa.types.is_large_list(t)
+                or pa.types.is_fixed_size_list(t)
+            ):
+                return _has_nanos(t.value_type)
+            if pa.types.is_map(t):
+                return _has_nanos(t.key_type) or _has_nanos(t.item_type)
+            return False
+
         local = path[7:] if path.startswith("file://") else path
         schema = pads.dataset(local, format="parquet").schema
-        return [
+        top = [
             f.name
             for f in schema
             if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
         ]
+        nested = any(
+            _has_nanos(f.type)
+            for f in schema
+            if not (pa.types.is_timestamp(f.type) and f.type.unit == "ns")
+        )
+        if nested and not top:
+            return None
+        return top
     except Exception:
         return None
 

@@ -142,8 +142,12 @@ def test_sql_cli_spark_and_duckdb_dialect():
         "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents) "
         "WHERE len(t) > 3 ORDER BY doc_id LIMIT 3"
     )
-    out = run(["--sf-dir", sf, "--dialect", "duckdb", "--show-sql", duck])
-    assert "size(t)" in out.stdout and "element_at(t, 1)" in out.stdout
+    # --validate (r13): round-trips the translated text and fails on
+    # non-idempotence — exercised on every CLI shim run here
+    out = run(
+        ["--sf-dir", sf, "--dialect", "duckdb", "--show-sql", "--validate", duck]
+    )
+    assert "size(t)" in out.stdout and "try_element_at(t, 1)" in out.stdout
     body = [ln for ln in out.stdout.splitlines() if "\t" in ln]
     assert body[0].split("\t") == ["doc_id", "n_tokens", "half", "first_tok"]
     assert len(body) == 4  # header + 3 rows

@@ -382,3 +382,51 @@ def test_load_user_parquet_conf_hygiene_and_autolift(spark, tmp_path):
     rows = df2.orderBy("k").collect()
     assert [r["named_ts"] for r in rows] == ts
     assert [r["forgotten_ts"] for r in rows] == ts
+
+
+def test_load_user_parquet_nested_nanos_keeps_defensive_conf(spark, tmp_path):
+    """Round-13 (ADVICE r12 low): a user file whose ONLY
+    TIMESTAMP(NANOS) columns are nested inside a struct must read like
+    the pre-r12 code did — the recursive footer sniff demotes to the
+    'unknown' path, sets ``nanosAsLong``, and the scan succeeds (nested
+    nanos land as raw longs, exactly the old conf-always behavior) —
+    instead of the r12 top-level-only sniff returning [] and the scan
+    throwing on the Illegal-Parquet-type field."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkwrangle.io import load_user_parquet
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    ts = [
+        datetime.datetime(2024, 1, 1, 14, 30, 0, 123456),
+        datetime.datetime(2024, 1, 8, 16, 29, 30, 0),
+    ]
+    nested_dir = str(tmp_path / "nested")
+    os.makedirs(nested_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "meta": pa.array(
+                    [{"created": t} for t in ts],
+                    pa.struct([("created", pa.timestamp("ns"))]),
+                ),
+            }
+        ),
+        f"{nested_dir}/t.parquet",
+        version="2.6",
+    )
+    spark.conf.unset(conf_key)
+    df = load_user_parquet(spark, f"{nested_dir}/t.parquet")
+    assert spark.conf.get(conf_key) == "true", (
+        "nested-only nanos must keep the defensive conf (unknown path)"
+    )
+    rows = df.orderBy("k").collect()
+    expect = [int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6) * 1000
+              for t in ts]
+    assert [r["meta"]["created"] for r in rows] == expect
+    spark.conf.unset(conf_key)

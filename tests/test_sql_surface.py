@@ -95,16 +95,18 @@ SHARED_DIALECT_ENTRIES = [
 ]
 
 
-# 74 more oracles run through the MECHANICAL DuckDB->Spark dialect shim
+# 79 more oracles run through the MECHANICAL DuckDB->Spark dialect shim
 # (sparkwrangle.sql_dialect.translate — function renames, 1-based
 # subscript lifting, literal-syntax conversion; NOT a SQL parser) and
-# match the DataFrame surface (probed at sf0.001, round-12). Together
-# with the verbatim list above, 137 of the catalog's 185 SQL oracles are
-# SQL-text entry points. The 48 still absent are structural (generators
-# nested in expressions, UNION inside recursive CTEs, aggregate-internal
-# ORDER BY, lateral range() tables) or engine-semantic (native hash(),
-# round-half boundaries, dow conventions) — translate() passes them
-# through untouched by design.
+# match the DataFrame surface (probed at sf0.001 AND sf0.01; 74 pinned
+# round-12, 5 more round-13 via the regexp_replace-'g' rule and the
+# r13 subscript/comment hardening). Together with the verbatim list
+# above, 142 of the catalog's SQL oracles are SQL-text entry points.
+# The 43 still absent are structural (generators nested in expressions,
+# UNION inside recursive CTEs, aggregate-internal ORDER BY, lateral
+# range() tables) or engine-semantic (native hash(), round-half
+# boundaries, dow conventions, DuckDB map[k]-returns-LIST) —
+# translate() passes them through untouched by design.
 SHIMMED_DIALECT_ENTRIES = [
     "a_plot_downsample",
     "b_ffill_gaps",
@@ -131,6 +133,7 @@ SHIMMED_DIALECT_ENTRIES = [
     "s1_daily_pairs_backtest",
     "s2_trader_percent_ledger",
     "s2_trader_single_position",
+    "sql_dialect_shim",
     "w_pct_change_log_returns",
     "w_running_interval_sum",
     "w_zscore_anomaly",
@@ -141,6 +144,8 @@ SHIMMED_DIALECT_ENTRIES = [
     "x_countmin_heavy_hitters",
     "x_cross_source_dup_matrix",
     "x_dedup_containment",
+    "x_dedup_exact",
+    "x_dedup_exact_keep_first",
     "x_dedup_incremental",
     "x_dedup_lsh_recall_audit",
     "x_dedup_minhash_lsh",
@@ -168,6 +173,7 @@ SHIMMED_DIALECT_ENTRIES = [
     "x_lang_id",
     "x_length_histogram",
     "x_minhash_jaccard_est",
+    "x_negative_sampling",
     "x_pagerank_centrality",
     "x_perplexity_prune",
     "x_repetition_stats",
@@ -176,6 +182,7 @@ SHIMMED_DIALECT_ENTRIES = [
     "x_source_mixing_weights",
     "x_span_dedup",
     "x_stratified_sample",
+    "x_text_normalize",
     "x_tfidf_top_terms",
     "x_token_entropy",
     "x_unigram_logprob",
@@ -277,8 +284,12 @@ def test_translate_rules_unit():
         "ELSE slice(sequence((1), (1)), 1, 0) END)"
     )
     assert t("list_slice(t, i + 1, i + 3)") == "slice(t, i + 1, (i + 3) - (i + 1) + 1)"
-    assert t("syms[i]") == "element_at(syms, i)"
-    assert t("(m['k'])[1]") == "element_at((element_at(m, 'k')), 1)"
+    # non-literal index → nullif guard (DuckDB l[0] is NULL, Spark's
+    # element family throws on 0); literal indexes stay unguarded
+    assert t("syms[i]") == "try_element_at(syms, nullif(i, 0))"
+    assert t("(m['k'])[1]") == "try_element_at((try_element_at(m, 'k')), 1)"
+    assert t("l[0]") == "try_element_at(l, CAST(NULL AS INT))"
+    assert t("l[-1]") == "try_element_at(l, -1)"
     assert t("[0.5, 0.9]") == "array(0.5, 0.9)"
     assert t("struct_pack(k := a, v := b)") == "named_struct('k', a, 'v', b)"
     assert t("{'ts': ts, 'v': v}") == "named_struct('ts', ts, 'v', v)"
@@ -288,6 +299,10 @@ def test_translate_rules_unit():
     assert t("date_trunc('month', ts)") == "date_trunc('month', ts)"
     assert t("regexp_extract_all(s, '[a-z]+')") == "regexp_extract_all(s, '[a-z]+', 0)"
     assert t("regexp_extract_all(s, p, 1)") == "regexp_extract_all(s, p, 1)"
+    # r13: DuckDB's global flag drops (Spark is global-always; its 4th
+    # arg is a position the flag would silently NULL through)
+    assert t("regexp_replace(s, ' +', ' ', 'g')") == "regexp_replace(s, ' +', ' ')"
+    assert t("regexp_replace(s, p, r)") == "regexp_replace(s, p, r)"
     assert t('SELECT "return" FROM t') == "SELECT `return` FROM t"
     assert t("xor(a, b)") == "(a ^ b)"
     assert (
@@ -303,6 +318,34 @@ def test_translate_rules_unit():
     assert t("arg_max(v, ts)") == "max_by(v, ts)"
     assert t("list(v)") == "collect_list(v)"
     assert t("ts + to_days(3)") == "ts + make_dt_interval(3)"
+    # r13: comments are stripped BEFORE any scan — an apostrophe in a
+    # comment must not flip quote parity (the ADVICE r12 repro: the
+    # string literal below used to be corrupted to 'size(l)  DIV  2')
+    assert (
+        t("SELECT 1 -- don't\n, 'len(l) // 2' AS s")
+        == "SELECT 1 \n, 'len(l) // 2' AS s"
+    )
+    assert t("SELECT /* nested /* don't */ ok */ len(l) FROM t") == (
+        "SELECT   size(l) FROM t"
+    )
+    # r13: apostrophe inside a double-quoted identifier → backtick
+    # identifier, opaque to every later pass
+    assert t('SELECT "don\'t", len(l) FROM t') == "SELECT `don't`, size(l) FROM t"
+    # r13: sign-branched 3-arg range (negative steps used to silently
+    # return [])
+    assert t("range(5, 0, -1)") == (
+        "(CASE WHEN (-1) > 0 AND (0) > (5) THEN sequence(5, (0) - 1, -1) "
+        "WHEN (-1) < 0 AND (0) < (5) THEN sequence(5, (0) + 1, -1) "
+        "ELSE slice(sequence((5), (5)), 1, 0) END)"
+    )
+    # r13: inline-window QUALIFY hoists to __qual_wN + SELECT * EXCEPT
+    assert t(
+        "SELECT x, y FROM t QUALIFY row_number() OVER (PARTITION BY x ORDER BY y) = 1"
+    ) == (
+        "SELECT * EXCEPT (__qual_w1) FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY x ORDER BY y) AS __qual_w1 "
+        "FROM (SELECT x, y FROM t)) WHERE __qual_w1 = 1"
+    )
 
 
 def test_translate_idempotent_on_every_oracle():
@@ -337,6 +380,25 @@ def test_translate_edge_semantics_match_duckdb(spark):
         "SELECT list_sum([1, NULL, 2]) AS v",
         "SELECT list_sum([3]) AS v",
         "SELECT range(3, 1) AS v",
+        # r13: negative / zero / expression-signed range steps
+        "SELECT range(5, 0, -1) AS v",
+        "SELECT range(5, 0, -2) AS v",
+        "SELECT range(0, 5, -1) AS v",
+        "SELECT range(1, 5, 0) AS v",
+        "SELECT range(1, 6, 2) AS v",
+        # r13: index 0 / out-of-range / negative subscripts are NULL
+        "SELECT ([10, 20, 30])[0] AS v",
+        "SELECT ([10, 20, 30])[7] AS v",
+        "SELECT ([10, 20, 30])[-1] AS v",
+        "SELECT ([10, 20, 30])[-9] AS v",
+        "SELECT ([10, 20, 30])[NULL] AS v",
+        # r13: integer-list list_sum carries an integer type again —
+        # composes with // and xor like DuckDB's HUGEINT carrier
+        "SELECT list_sum([1, 2, 3]) // 2 AS v",
+        "SELECT xor(list_sum([1, 2, 3]), 2) AS v",
+        # e-notation literals are DOUBLE on both engines (plain 1.5 is
+        # DECIMAL, the shim's documented loud-unsupported list_sum class)
+        "SELECT list_sum([1.5e0, 2.25e0]) AS v",
     ]
     for sql in cases:
         duck = con.execute(sql).fetchone()[0]
@@ -347,3 +409,61 @@ def test_translate_edge_semantics_match_duckdb(spark):
             assert (list(got) if got is not None else None) == duck or got == duck, (
                 sql, duck, got
             )
+
+
+def test_translate_qualify_inline_window_matches_duckdb(spark):
+    """r13: inline-window QUALIFY — the most common DuckDB form, which
+    the r12 shim rewrote into invalid Spark (window fn in WHERE) — now
+    hoists to __qual_wN aliases; schema and rows pinned vs real DuckDB,
+    including a statement-level ORDER BY after a window containing its
+    own ORDER BY (the depth-aware split)."""
+    import duckdb
+
+    from sparkwrangle.sql_dialect import translate
+
+    con = duckdb.connect()
+    rows = [(1, "a", 10), (1, "b", 20), (2, "c", 5), (2, "d", 1)]
+    con.execute(
+        "CREATE TABLE q AS SELECT * FROM (VALUES "
+        + ", ".join(f"({g}, '{k}', {v})" for g, k, v in rows)
+        + ") t(g, k, v)"
+    )
+    spark.createDataFrame(rows, "g INT, k STRING, v INT").createOrReplaceTempView(
+        "qualify_t"
+    )
+    for cond in [
+        "row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1",
+        "rank() OVER (ORDER BY v) <= 2",
+        "count(*) OVER (PARTITION BY g) > 1 AND v >= 10",
+    ]:
+        sql = f"SELECT g, k, v FROM q QUALIFY {cond} ORDER BY g, k"
+        duck = con.execute(sql).fetchall()
+        translated = translate(sql.replace(" FROM q ", " FROM qualify_t "))
+        out = spark.sql(translated)
+        assert out.columns == ["g", "k", "v"], (cond, out.columns)
+        assert [tuple(r) for r in out.collect()] == duck, (cond, translated)
+
+
+def test_translate_comments_and_quoted_idents_match_duckdb(spark):
+    """r13 (ADVICE r12 medium): an apostrophe in a `--` comment or a
+    double-quoted identifier must not corrupt later string literals
+    containing rule triggers — behavioral pin vs real DuckDB."""
+    import duckdb
+
+    from sparkwrangle.sql_dialect import translate
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c AS SELECT * FROM (VALUES (1), (2)) t(g)")
+    spark.createDataFrame([(1,), (2,)], "g INT").createOrReplaceTempView("comment_t")
+    sql = (
+        "SELECT g, 'len(l) // 2' AS s -- don't touch\n"
+        ", 'xor(a, b) [1]' AS s2 /* nor 'this' */ FROM c ORDER BY g"
+    )
+    duck = con.execute(sql).fetchall()
+    got = spark.sql(translate(sql.replace("FROM c ", "FROM comment_t ")))
+    assert [tuple(r) for r in got.collect()] == duck
+    sql2 = "SELECT g AS \"don't\", len([g, g]) AS n FROM c ORDER BY 1"
+    duck2 = con.execute(sql2).fetchall()
+    got2 = spark.sql(translate(sql2.replace("FROM c ", "FROM comment_t ")))
+    assert [tuple(r) for r in got2.collect()] == duck2
+    assert got2.columns[0] == "don't"

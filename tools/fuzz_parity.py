@@ -755,7 +755,14 @@ def fuzz_sql_dialect_shim(spark, trials=None):
     INTERACTIONS are fuzzed, not just the per-rule unit pins. Already
     caught two real edge divergences while being written: empty
     range() must be a typed [] (not NULL), and list_sum needs SQL SUM
-    semantics (NULL on empty, NULL elements skipped)."""
+    semantics (NULL on empty, NULL elements skipped). r13 widens the
+    grammar over the edges the r12 shim documented as exclusions and
+    the ADVICE items, all now translated: subscript index 0 / negative
+    / out-of-range (NULL on both engines via try_element_at),
+    negative- and zero-step range(), list_sum inside the INTEGER
+    grammar (the carrier is elem-type⊔BIGINT now, so it composes with
+    // and xor), and `--` / block comments containing apostrophes and
+    rule triggers."""
     import duckdb
     import pandas as pd
 
@@ -785,8 +792,14 @@ def fuzz_sql_dialect_shim(spark, trials=None):
         if d <= 0 or r < 0.35:
             return "l"
         if r < 0.55:
-            # lower bound 2 keeps range non-degenerate MOST of the time;
-            # the empty case is exercised via range(k, 2) below
+            if rng.random() < 0.4:
+                # r13: signed / zero steps — descending, empty-direction
+                # and zero-step cases are all [] or real sequences on
+                # both engines now (sign-branched CASE in the shim)
+                return (
+                    f"range({rng.randrange(0, 6)}, {rng.randrange(0, 6)}, "
+                    f"{rng.choice([-2, -1, 0, 1, 2, 3])})"
+                )
             return f"range(1, {rng.randrange(1, 6)})"
         if r < 0.7:
             return f"list_slice({lst(d - 1)}, 1, {rng.randrange(1, 5)})"
@@ -796,24 +809,26 @@ def fuzz_sql_dialect_shim(spark, trials=None):
 
     def inum(d):
         # integer-typed expressions only: xor and // stay int-kind on
-        # both engines (the shim's list_sum carries DOUBLE where DuckDB
-        # carries BIGINT — equal VALUES, the documented carrier-type
-        # class — so it may not feed bitwise/integer-division operators)
+        # both engines. Since r13 that INCLUDES list_sum — the shim's
+        # carrier is the element type widened to BIGINT (DuckDB carries
+        # HUGEINT; equal values at these magnitudes) — and subscript
+        # indexes 0 / negative / past-the-end, all NULL on both engines
+        # through try_element_at + the nullif(idx, 0) guard.
         r = rng.random()
         if d <= 0:
             return rng.choice(["i", "j", str(rng.randrange(0, 9))])
-        if r < 0.18:
+        if r < 0.15:
             return f"({inum(d - 1)} + {inum(d - 1)})"
-        if r < 0.36:
+        if r < 0.3:
             return f"({inum(d - 1)} // j)"
-        if r < 0.5:
+        if r < 0.44:
             return f"xor({inum(d - 1)}, {inum(d - 1)})"
-        if r < 0.68:
+        if r < 0.58:
             return f"len({lst(d - 1)})"
-        if r < 0.86:
-            # 1-based; index 0 excluded (DuckDB → NULL, Spark element_at
-            # throws — a documented shim edge, not a silent divergence)
-            return f"{lst(d - 1)}[{rng.randrange(1, 6)}]"
+        if r < 0.74:
+            return f"{lst(d - 1)}[{rng.randrange(-2, 7)}]"
+        if r < 0.88:
+            return f"list_sum({lst(d - 1)})"
         return f"({{'a': {inum(d - 1)}, 'b': j}}).a"
 
     def num(d):
@@ -837,6 +852,16 @@ def fuzz_sql_dialect_shim(spark, trials=None):
                 f"ELSE {expr} END)"
             )
         sql = f"SELECT rid, {expr} AS v FROM shimfuzz_t ORDER BY rid"
+        if rng.random() < 0.25:
+            # r13: comment decoys — apostrophes and rule triggers inside
+            # comments must not corrupt the statement (ADVICE r12)
+            sql = sql.replace(
+                " FROM ", " -- don't xor(i, j) // len(l) [1] 'open\n FROM ", 1
+            )
+        if rng.random() < 0.2:
+            sql = sql.replace(
+                "SELECT rid", "SELECT /* nested /* don't */ 'x */ rid", 1
+            )
         duck = [(r[0], norm(r[1])) for r in con.execute(sql).fetchall()]
         got = [
             (r["rid"], norm(r["v"]))

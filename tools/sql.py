@@ -12,7 +12,10 @@ the text through the mechanical DuckDB→Spark shim
 (sparkwrangle.sql_dialect.translate — see its docstring for the rule
 table), so a user arriving from a DuckDB workflow can run their existing
 query text unchanged for everything expression-local; ``--show-sql``
-prints the translated text for inspection. Output is BOUNDED: at most
+prints the translated text for inspection and ``--validate`` asserts
+the translation is idempotent for the given statement (the guarantee
+the test suite pins for every catalog oracle, extended to arbitrary
+user input). Output is BOUNDED: at most
 ``--max-rows`` rows are brought to the driver (a deliberate
 ``limit(n+1)`` so truncation is reported, never silent).
 """
@@ -39,6 +42,14 @@ def main() -> None:
     p.add_argument("--max-rows", type=int, default=100)
     p.add_argument("--explain", action="store_true", help="print the plan instead of rows")
     p.add_argument("--show-sql", action="store_true", help="print the (translated) SQL first")
+    p.add_argument(
+        "--validate",
+        action="store_true",
+        help="with --dialect duckdb: re-translate the translated text and "
+        "fail if it changes (idempotence — proves no rule fired on its "
+        "own output for THIS statement, the same property the test "
+        "suite pins for every catalog oracle)",
+    )
     args = p.parse_args()
 
     from sparkwrangle.io import register_views
@@ -49,6 +60,19 @@ def main() -> None:
         from sparkwrangle.sql_dialect import translate
 
         sql = translate(sql)
+        if args.validate:
+            again = translate(sql)
+            if again != sql:
+                print(
+                    "--validate: translate() is NOT idempotent on this "
+                    "statement — a rule re-fired on translated output.\n"
+                    f"first pass:  {sql}\nsecond pass: {again}",
+                    file=sys.stderr,
+                )
+                sys.exit(2)
+    elif args.validate:
+        print("--validate requires --dialect duckdb", file=sys.stderr)
+        sys.exit(2)
     if args.show_sql:
         print(sql)
 
