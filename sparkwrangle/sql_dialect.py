@@ -60,9 +60,14 @@ Rules (each one line of the table below is one rewrite):
     xor(a, b)                           (a ^ b)
     ord(c)                              ascii(c)
     arg_max / arg_min                   max_by / min_by
-    generate_series(a, b)  [incl]       sequence(a, b)
+    generate_series([a,] b[, s]) [incl] CASE direction → sequence(a, b[, s])
+                                        (inverted bounds / wrong-sign
+                                        step / step 0 → typed [] like
+                                        DuckDB; Spark's bare sequence
+                                        auto-descends or throws there)
     list(x)                             collect_list(x)
     to_days(n)                          make_dt_interval(n)
+    INTERVAL (expr) UNIT                ((expr) * INTERVAL '1' UNIT)
     CAST(concat('0x', h) AS BIGINT)     CAST(conv(h, 16, 10) AS BIGINT)
                                         (Spark casts hex strings to NULL)
     <query> QUALIFY c                   SELECT * FROM (<query>) WHERE c
@@ -321,6 +326,48 @@ def _range_to_sequence(args: list[str]) -> str:
         f"(CASE WHEN ({b}) > ({a}) THEN sequence({a}, ({b}) - 1) "
         f"ELSE slice(sequence(({a}), ({a})), 1, 0) END)"
     )
+
+
+def _generate_series(args: list[str]) -> str:
+    # DuckDB generate_series is end-INCLUSIVE and DIRECTION-GUARDED:
+    # [] when b < a ascending, b > a descending, or step 0 (and the
+    # 1-arg form counts 0..n). Spark sequence is inclusive too but
+    # AUTO-DESCENDS on inverted 2-arg bounds (sequence(5, 1) = [5..1]
+    # where DuckDB says []) and THROWS on a wrong-sign explicit step —
+    # so the r12 plain rename silently diverged on inverted bounds
+    # (r13). Same typed-empty ELSE as range().
+    def empty(a: str) -> str:
+        return f"slice(sequence(({a}), ({a})), 1, 0)"
+
+    if len(args) == 1:
+        (n,) = args
+        return (
+            f"(CASE WHEN ({n}) >= 0 THEN sequence(0, {n}) "
+            f"ELSE {empty('0')} END)"
+        )
+    if len(args) == 2:
+        a, b = args
+        return (
+            f"(CASE WHEN ({b}) >= ({a}) THEN sequence({a}, {b}) "
+            f"ELSE {empty(a)} END)"
+        )
+    if len(args) == 3:
+        a, b, s = args
+        if re.search(r"\binterval\b", s, re.IGNORECASE) or "'" in s:
+            # DATE/TIMESTAMP series with an INTERVAL step: the sign
+            # guard can't compare an interval to 0, and Spark sequence
+            # handles interval steps natively — plain rename, with the
+            # pre-r13 caveat (wrong-direction throws in Spark where
+            # DuckDB returns []; loud, not silent)
+            return f"sequence({a}, {b}, {s})"
+        return (
+            f"(CASE WHEN ({s}) > 0 AND ({b}) >= ({a}) "
+            f"THEN sequence({a}, {b}, {s}) "
+            f"WHEN ({s}) < 0 AND ({b}) <= ({a}) "
+            f"THEN sequence({a}, {b}, {s}) "
+            f"ELSE {empty(a)} END)"
+        )
+    raise ValueError("generate_series arity")
 
 
 def _list_sum(args: list[str]) -> str:
@@ -727,6 +774,47 @@ def _intdiv(sql: str) -> str:
     return "".join(out)
 
 
+_INTERVAL_UNITS = {
+    "year": "YEAR", "years": "YEAR", "month": "MONTH", "months": "MONTH",
+    "week": "WEEK", "weeks": "WEEK", "day": "DAY", "days": "DAY",
+    "hour": "HOUR", "hours": "HOUR", "minute": "MINUTE",
+    "minutes": "MINUTE", "second": "SECOND", "seconds": "SECOND",
+}
+
+
+def _interval_expr(sql: str) -> str:
+    """DuckDB computed intervals ``INTERVAL (expr) UNIT`` →
+    ``((expr) * INTERVAL '1' UNIT)`` — Spark's INTERVAL literal syntax
+    only takes literals, but interval-by-integer multiplication is
+    native (r13; the c_block_range_join oracle's
+    ``INTERVAL (7 * b) DAY`` parse error). Literal intervals
+    (``INTERVAL '7' DAY``, ``INTERVAL 1 DAY``) have no following ``(``
+    and pass through untouched."""
+    out = sql
+    j = 0
+    pat = re.compile(r"\bINTERVAL\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(out, j)
+        if not m:
+            return out
+        if _in_quoted(out, m.start()):
+            j = m.end()
+            continue
+        lp = m.end() - 1
+        rp = _match_paren(out, lp)
+        rest = out[rp + 1 :]
+        um = re.match(r"\s*([A-Za-z]+)", rest)
+        unit = _INTERVAL_UNITS.get(um.group(1).lower()) if um else None
+        if unit is None:
+            j = m.end()
+            continue
+        expr = out[lp : rp + 1]
+        repl = f"({expr} * INTERVAL '1' {unit})"
+        end = rp + 1 + um.end()
+        out = out[: m.start()] + repl + out[end:]
+        j = m.start() + len(repl)
+
+
 def _dquote_idents(sql: str) -> str:
     """DuckDB double quotes are ALWAYS identifiers (strings are
     single-quoted) → backticks."""
@@ -762,8 +850,6 @@ _WORD_RENAMES = [
     ("json_extract_string", "get_json_object"),
     ("arg_max", "max_by"),
     ("arg_min", "min_by"),
-    # generate_series is end-INCLUSIVE in DuckDB — exactly Spark sequence
-    ("generate_series", "sequence"),
     # the bare list() aggregate (list(x ORDER BY y) stays untranslatable)
     ("list", "collect_list"),
     # to_days(n) builds an n-day interval
@@ -782,8 +868,10 @@ def translate(sql: str) -> str:
     out = _dquote_idents(out)
     out = _brace_struct(out)
     out = _intdiv(out)
+    out = _interval_expr(out)
     # arg-reshaping call rewrites (paren-aware)
     out = _rewrite_calls(out, "range", _range_to_sequence)
+    out = _rewrite_calls(out, "generate_series", _generate_series)
     out = _rewrite_calls(out, "list_sum", _list_sum)
     out = _rewrite_calls(out, "list_slice", _list_slice)
     out = _rewrite_calls(out, "list_dot_product", _list_dot_product)

@@ -95,17 +95,17 @@ SHARED_DIALECT_ENTRIES = [
 ]
 
 
-# 79 more oracles run through the MECHANICAL DuckDB->Spark dialect shim
+# 80 more oracles run through the MECHANICAL DuckDB->Spark dialect shim
 # (sparkwrangle.sql_dialect.translate — function renames, 1-based
 # subscript lifting, literal-syntax conversion; NOT a SQL parser) and
 # match the DataFrame surface (probed at sf0.001 AND sf0.01; 74 pinned
-# round-12, 5 more round-13 via the regexp_replace-'g' rule and the
-# r13 subscript/comment hardening). Together with the verbatim list
-# above, 142 of the catalog's SQL oracles are SQL-text entry points.
-# The 43 still absent are structural (generators nested in expressions,
-# UNION inside recursive CTEs, aggregate-internal ORDER BY, lateral
-# range() tables) or engine-semantic (native hash(), round-half
-# boundaries, dow conventions, DuckDB map[k]-returns-LIST) —
+# round-12, 6 more round-13 via the regexp_replace-'g' and computed-
+# INTERVAL rules plus the r13 subscript/comment hardening). Together
+# with the verbatim list above, 143 of the catalog's SQL oracles are
+# SQL-text entry points. The 42 still absent are structural (generators
+# nested in expressions, UNION inside recursive CTEs, aggregate-internal
+# ORDER BY, lateral range() tables) or engine-semantic (native hash(),
+# round-half boundaries, dow conventions, DuckDB map[k]-returns-LIST) —
 # translate() passes them through untouched by design.
 SHIMMED_DIALECT_ENTRIES = [
     "a_plot_downsample",
@@ -114,6 +114,7 @@ SHIMMED_DIALECT_ENTRIES = [
     "c_asof_nearest",
     "c_asof_tolerance",
     "c_asof_union_ffill",
+    "c_block_range_join",
     "c_interval_overlap_join",
     "d_compounded_return",
     "d_conditional_trade_stats",
@@ -303,6 +304,19 @@ def test_translate_rules_unit():
     # arg is a position the flag would silently NULL through)
     assert t("regexp_replace(s, ' +', ' ', 'g')") == "regexp_replace(s, ' +', ' ')"
     assert t("regexp_replace(s, p, r)") == "regexp_replace(s, p, r)"
+    # r13: computed intervals; literal intervals pass through
+    assert t("ts + INTERVAL (7 * b) DAY") == "ts + ((7 * b) * INTERVAL '1' DAY)"
+    assert t("ts + INTERVAL '7' DAY") == "ts + INTERVAL '7' DAY"
+    # r13: generate_series is direction-guarded (2-arg shown; interval
+    # steps fall back to the plain rename)
+    assert t("generate_series(a, b)") == (
+        "(CASE WHEN (b) >= (a) THEN sequence(a, b) "
+        "ELSE slice(sequence((a), (a)), 1, 0) END)"
+    )
+    assert (
+        t("generate_series(d1, d2, INTERVAL 1 DAY)")
+        == "sequence(d1, d2, INTERVAL 1 DAY)"
+    )
     assert t('SELECT "return" FROM t') == "SELECT `return` FROM t"
     assert t("xor(a, b)") == "(a ^ b)"
     assert (
@@ -386,6 +400,14 @@ def test_translate_edge_semantics_match_duckdb(spark):
         "SELECT range(0, 5, -1) AS v",
         "SELECT range(1, 5, 0) AS v",
         "SELECT range(1, 6, 2) AS v",
+        # r13: generate_series is direction-guarded in DuckDB (inverted
+        # 2-arg bounds are [], where a bare Spark sequence auto-descends)
+        "SELECT generate_series(5, 1) AS v",
+        "SELECT generate_series(1, 5) AS v",
+        "SELECT generate_series(5, 1, -2) AS v",
+        "SELECT generate_series(1, 5, -1) AS v",
+        "SELECT generate_series(3) AS v",
+        "SELECT len(generate_series(4, 0)) AS v",
         # r13: index 0 / out-of-range / negative subscripts are NULL
         "SELECT ([10, 20, 30])[0] AS v",
         "SELECT ([10, 20, 30])[7] AS v",

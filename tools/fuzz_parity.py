@@ -792,13 +792,28 @@ def fuzz_sql_dialect_shim(spark, trials=None):
         if d <= 0 or r < 0.35:
             return "l"
         if r < 0.55:
-            if rng.random() < 0.4:
+            rr = rng.random()
+            if rr < 0.3:
                 # r13: signed / zero steps — descending, empty-direction
                 # and zero-step cases are all [] or real sequences on
                 # both engines now (sign-branched CASE in the shim)
                 return (
                     f"range({rng.randrange(0, 6)}, {rng.randrange(0, 6)}, "
                     f"{rng.choice([-2, -1, 0, 1, 2, 3])})"
+                )
+            if rr < 0.55:
+                # r13: generate_series is inclusive AND direction-guarded
+                # in DuckDB (inverted 2-arg bounds are [], where Spark's
+                # bare sequence would auto-descend)
+                if rng.random() < 0.5:
+                    return (
+                        f"generate_series({rng.randrange(0, 6)}, "
+                        f"{rng.randrange(0, 6)})"
+                    )
+                return (
+                    f"generate_series({rng.randrange(0, 6)}, "
+                    f"{rng.randrange(0, 6)}, "
+                    f"{rng.choice([-2, -1, 1, 2, 3])})"
                 )
             return f"range(1, {rng.randrange(1, 6)})"
         if r < 0.7:
@@ -863,9 +878,18 @@ def fuzz_sql_dialect_shim(spark, trials=None):
                 "SELECT rid", "SELECT /* nested /* don't */ 'x */ rid", 1
             )
         duck = [(r[0], norm(r[1])) for r in con.execute(sql).fetchall()]
+        translated = translate(sql)
+        # r13: idempotence fuzzed on the random grammar too (the suite
+        # pins it on every oracle; here it covers rule interactions the
+        # catalog never exercises)
+        check(
+            "sql_dialect_shim",
+            translate(translated) == translated,
+            f"trial {trial} NOT idempotent: {translated!r}",
+        )
         got = [
             (r["rid"], norm(r["v"]))
-            for r in spark.sql(translate(sql)).collect()
+            for r in spark.sql(translated).collect()
         ]
         check(
             "sql_dialect_shim",
