@@ -40,6 +40,19 @@ def _pad_returns(df: DataFrame, w, out_col: str) -> DataFrame:
     0.0 return and the next real bar diffs against the last REAL close.
     NaN closes are nullified before the ignorenulls ffill. Stepwise
     withColumns because window expressions cannot nest."""
+    df = _pad_log_arg(df, w, "__arg")
+    return df.withColumn(out_col, _log1p_from_arg(F.col("__arg"))).drop("__arg")
+
+
+def _pad_log_arg(df: DataFrame, w, out_col: str) -> DataFrame:
+    """The log1p ARGUMENT of the pad-semantics return: 1 + pct_change(ffill).
+
+    Split out from the log itself so that downstream dropna/±inf handling
+    can be expressed as tiny predicates on this one column instead of
+    re-inlining the full safe-div CASE tree per reference (the collapsed
+    projections made the S1 dropna filter a multi-KB codegen unit — the
+    driver's cold pass paid ~16 s of compilation for it; guide §1.2 step 2,
+    "make the code inside each stage fast")."""
     clean = F.when(~F.isnan(F.col("close")), F.col("close"))
     df = df.withColumn(
         "__ff",
@@ -49,7 +62,43 @@ def _pad_returns(df: DataFrame, w, out_col: str) -> DataFrame:
     )
     df = df.withColumn("__prev", F.lag("__ff").over(w))
     pct = safe_div_pandas(F.col("__ff"), F.col("__prev")) - 1
-    return df.withColumn(out_col, _log1p(pct)).drop("__ff", "__prev")
+    return df.withColumn(out_col, F.lit(1.0) + pct).drop("__ff", "__prev")
+
+
+def _log1p_from_arg(arg: F.Column) -> F.Column:
+    """_log1p expressed over the materialized argument column — branch
+    structure identical to _log1p(pct) with arg = 1 + pct."""
+    return (
+        F.when(arg > 0, F.log(arg))
+        .when(arg == 0, F.lit(_NINF))
+        .when(arg < 0, F.lit(float("nan")))
+    )
+
+
+def _ret_kept(arg: F.Column) -> F.Column:
+    """dropna keep-predicate for a pad-returns column, expressed on the
+    log ARGUMENT: ret = _log1p(arg) is non-null and non-NaN exactly when
+    arg >= 0 and arg is not NaN. Case-by-case against _log1p: arg NULL →
+    ret NULL (dropped; arg >= 0 is NULL → filtered). arg NaN → Spark
+    orders NaN above all doubles, so the arg > 0 branch fires and ret =
+    log(NaN) = NaN (dropped; here ~isnan(arg) filters). arg < 0 → NaN
+    (dropped). arg == 0 → -inf (KEPT by dropna — replaced by 0.0 later).
+    arg in (0, inf] → log(arg) finite or +inf (kept). One comparison and
+    one isnan instead of re-inlining the ~40-node safe-div/log CASE tree
+    six times through the collapsed filter."""
+    return (arg >= 0) & ~F.isnan(arg)
+
+
+def _ret_final(arg: F.Column) -> F.Column:
+    """ret AFTER dropna + replace([±inf], 0.0), for rows where _ret_kept:
+    arg == +inf → log = +inf → 0.0; arg == 0 → -inf → 0.0; else (finite
+    positive) log(arg), which is always finite (log of the smallest
+    positive double is ≈ -744.44, never -inf). Bitwise identical to
+    replace_inf(_log1p(arg)) on the kept rows."""
+    return (
+        F.when((arg == F.lit(_INF)) | (arg == F.lit(0.0)), F.lit(0.0))
+        .otherwise(F.log(arg))
+    )
 
 
 def prepare_pair(
@@ -75,28 +124,47 @@ def prepare_pair(
     keys = list(extra_keys or [])
     if from_ts is not None:
         bars = bars.filter(F.col("ts") >= F.lit(from_ts))
-    w = Window.partitionBy(*keys, "ticker").orderBy("ts")
+    # Each leg is filtered to ONE ticker before its window, so the window
+    # partition key only needs the extra keys — within a leg, (keys) and
+    # (keys, ticker) group identical row sets. Dropping the constant
+    # ticker key makes every exchange in the plan hash(keys): the two leg
+    # windows, the a2⋈a1 join, and the downstream S1 groupBy(keys)
+    # applyInPandas all share that clustering, so EnsureRequirements
+    # inserts no re-shuffle between the windows and the Python stage
+    # (guide §2.4: two operations keyed the same way share one exchange).
+    # The no-keys case keeps ticker as the partition key as before (one
+    # constant partition per leg — never a global window).
+    w = Window.partitionBy(*(keys or ["ticker"])).orderBy("ts")
 
-    a1 = _pad_returns(bars.filter(F.col("ticker") == ticker1), w, "ret1").select(
-        *keys, "ts", F.col("close").alias("c1"), "ret1"
+    a1 = _pad_log_arg(bars.filter(F.col("ticker") == ticker1), w, "__arg1").select(
+        *keys, "ts", F.col("close").alias("c1"), "__arg1"
     )
     a2 = bars.filter(F.col("ticker") == ticker2).withColumn(
         "close", F.col("close") * F.lit(ratio)
     )
-    a2 = _pad_returns(a2, w, "ret2").select(
-        *keys, "ts", F.col("close").alias("c2"), "ret2"
+    a2 = _pad_log_arg(a2, w, "__arg2").select(
+        *keys, "ts", F.col("close").alias("c2"), "__arg2"
     )
     joined = a2.join(a1, on=[*keys, "ts"], how="left")
-    prepared = joined.withColumn(
+    joined = joined.withColumn(
         "delta", safe_div_pandas(F.col("c2") - F.col("c1"), F.col("c2"))
     )
     # pandas dropna treats NaN and missing alike; Spark must drop NaN too.
-    cond = None
-    for c in ["delta", "ret1", "ret2"]:
-        k = F.col(c).isNotNull() & ~F.isnan(c)
-        cond = k if cond is None else (cond & k)
-    prepared = prepared.filter(cond)
-    prepared = replace_inf(prepared, ["delta", "ret1", "ret2"], 0.0)
+    # For the two return columns the predicate is expressed on the log
+    # ARGUMENT (_ret_kept — provably the same row set), which keeps the
+    # collapsed filter's expression tree ~10x smaller than filtering on
+    # the full log-return CASE trees; delta's own tree is small enough to
+    # reference directly.
+    prepared = joined.filter(
+        F.col("delta").isNotNull()
+        & ~F.isnan("delta")
+        & _ret_kept(F.col("__arg1"))
+        & _ret_kept(F.col("__arg2"))
+    )
+    prepared = replace_inf(prepared, ["delta"], 0.0)
+    prepared = prepared.withColumn("ret1", _ret_final(F.col("__arg1"))).withColumn(
+        "ret2", _ret_final(F.col("__arg2"))
+    )
     if not keys:
         prepared = prepared.withColumn("pair", F.lit(pair_name or f"{ticker1}/{ticker2}"))
         keys = ["pair"]

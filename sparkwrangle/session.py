@@ -50,6 +50,21 @@ def get_spark(
         # window/groupBy exchange, whose read AQE then coalesces.)
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Subset co-partitioning for joins (guide §2.4 "remove shuffles
+        # outright"): by default Spark only treats two join children as
+        # co-partitioned when they are hash-partitioned on ALL join keys,
+        # so a frame pre-partitioned on (k1) feeding a join on (k1, k2)
+        # re-shuffles BOTH sides on (k1, k2) — and the join output's
+        # 4-key partitioning then fails every downstream window's
+        # 3-key/1-key clustering, cascading re-shuffles. Allowing subset
+        # co-partition lets EnsureRequirements accept hash(k1) on both
+        # sides (same rule aggregations/windows already use), which cut
+        # the EP2 feed plan from 6 data exchanges to 3 (plans/r13/
+        # ep2_feed_builder_{before,after}.txt). Scale note: this is not a
+        # local[32] tune — partition COUNT is unchanged; the only risk is
+        # key-space collapse when k1 has few distinct values, which AQE
+        # skew-join splitting (enabled above) handles for joins.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -73,6 +88,9 @@ def prep_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # see get_spark: keep python-bound stages parallel on small shuffles
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    # see get_spark: subset co-partitioning removes cascaded join/window
+    # re-shuffles; runtime-settable, affects plans only, never values
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     # a foreign session may carry the 200-partition default; AQE coalesces,
     # but a sane floor cuts scheduling overhead on small-SF runs
     try:
