@@ -902,20 +902,26 @@ def prefix_filter_pairs(
         "shingle",
         F.row_number().over(wdoc.orderBy(*order_cols)).alias("pos"),
         F.count("*").over(wdoc).alias("sz"),
-    )
+    ).localCheckpoint()
+    # ^ consumed THREE times — both sides of the candidate self-join
+    # (via the prefix filter below) and the exact-verify member sets —
+    # so the materialization point moved UP from the prefix cut to the
+    # full positioned stream (r13 optimization, guide §1.2 step 1 /
+    # §3.3): the verify previously re-derived the corpus shingle stream
+    # plus its distinct from scratch TWICE, and the stream's df-order
+    # pass (count + join-back + two per-doc windows) ran again with it.
+    # ranked is the distinct shingle stream plus (pos, sz) — ~2× the
+    # bytes of the old prefix cut at t=0.5, same block-manager-local
+    # policy, and the verify becomes a semi-join + collect_set over an
+    # already-distinct, already-tokenized relation (measured min-of-5
+    # at sf0.1: whole entry 5.63 → 4.93 s warm, 17.4 → 12.6 s cold,
+    # isolated session).
     # prefix length p = sz − ceil(t·sz) + 1; the 1e-9 slack keeps a float
     # product like 3.0000000004 from ceiling to 4 and shortening the
     # prefix (which would be a FALSE-NEGATIVE bug, not a slowdown)
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
-    ).localCheckpoint()
-    # ^ consumed on BOTH sides of the candidate self-join: without
-    # materialization the shingle stream + df groupBy + join-back +
-    # per-doc window all re-evaluate per side. The prefix is the
-    # smallest shared cut point (≈ (1-t)·sz rows per doc); at t=0.5
-    # that is half the shingle stream — block-manager-local storage,
-    # no driver materialization, same policy as the cand checkpoint
-    # below and edit_distance_pairs' prefix.
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     cand = (
@@ -955,11 +961,14 @@ def prefix_filter_pairs(
         # re-evaluates per consumer, same policy as lsh_verified_pairs
         .localCheckpoint()
     )
-    # exact verify via the shared member-set core (measured 3.5 s →
-    # 2.0 s warm for the verify half at sf0.1, t=0.5, 120k candidates);
-    # sizes come from cand's sz_a/sz_b (set semantics — input is
-    # contractually distinct, so collect_set changes nothing)
-    out = _member_set_intersections(sh, cand, id_col).withColumn(
+    # exact verify via the shared member-set core, reading the RANKED
+    # checkpoint (already tokenized + distinct) instead of re-deriving
+    # the shingle stream from the raw input; sizes come from cand's
+    # sz_a/sz_b (set semantics — input is contractually distinct, so
+    # collect_set changes nothing)
+    out = _member_set_intersections(
+        ranked.select(id_col, "shingle"), cand, id_col
+    ).withColumn(
         "jaccard",
         F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
     )

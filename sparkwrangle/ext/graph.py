@@ -46,6 +46,8 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = DAMPING,
+    loop_shuffle_partitions: int | None = None,
+    loop_rows_per_partition: int = 40_000,
 ) -> DataFrame:
     """``iters`` power-iteration rounds of PageRank over a DIRECTED edge
     list (pass both directions for an undirected graph). Nodes with no
@@ -70,18 +72,62 @@ def pagerank(
     |V| rows — vertex-sized, never edge-sized, exactly what a cluster
     materializes between Pregel supersteps.
     """
+    # Scale-adaptive iteration parallelism (guide §2.2: size shuffle
+    # partitions to the data, not a constant; the brief's "derive from
+    # input size" rule). The power-iteration loop runs ~4 shuffles and a
+    # vertex-sized localCheckpoint per round; with the session's full
+    # shuffle-partition count on a small graph, per-task and per-stage
+    # scheduling dominates (measured at sf0.1, |E|=285k: 5.9 s warm at
+    # 32 partitions vs 2.5 s at 8 — identical ranks, decimal
+    # accumulators are partitioning-insensitive by design). The loop
+    # therefore runs its shuffles at min(session conf, ceil(|E| /
+    # loop_rows_per_partition)): on a cluster-sized graph the min()
+    # keeps the cluster's configured partitioning — this only ever
+    # SHRINKS below the session conf when the edge table is small.
+    # |E| comes from a count over ``edges``, which callers should pass
+    # materialized (the catalog checkpoints it first — deg and every
+    # round consume it anyway).
+    spark = edges.sparkSession
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if loop_shuffle_partitions is None:
+        n_edges = edges.count()
+        loop_shuffle_partitions = max(
+            1, min(conf_p, -(-n_edges // loop_rows_per_partition))
+        )
+
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     nn = F.broadcast(nodes.agg(F.count("*").alias("n_nodes")))
     # Static vertex table (node, deg, n_nodes), built ONCE: carrying deg
     # and the node count inside the checkpointed vector means each round
     # is a single edges⋈ranks join — no per-round deg join and no
     # per-round crossJoin(count) broadcast job.
-    vtab = (
-        nodes.join(deg, nodes[node_col] == deg[src], "left")
-        .crossJoin(nn)
-        .select(node_col, "deg", "n_nodes")
-        .localCheckpoint()
-    )
+    # The conf is set only around the EAGER part of the loop (vtab +
+    # per-round localCheckpoints all materialize inside this block) and
+    # restored before returning; the returned frame is a plain select
+    # over the last checkpoint, so no later execution depends on it.
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle_partitions))
+    try:
+        vtab = (
+            nodes.join(deg, nodes[node_col] == deg[src], "left")
+            .crossJoin(nn)
+            .select(node_col, "deg", "n_nodes")
+            .localCheckpoint()
+        )
+        ranks = _power_iterations(vtab, edges, node_col, src, dst, iters, damping)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_p))
+    return ranks.select(node_col, "rank")
+
+
+def _power_iterations(
+    vtab: DataFrame,
+    edges: DataFrame,
+    node_col: str,
+    src: str,
+    dst: str,
+    iters: int,
+    damping: float,
+) -> DataFrame:
     ranks = vtab.withColumn("rank", F.lit(1.0) / F.col("n_nodes"))
     for _ in range(iters):
         # NO forced broadcast: the rank vector is vertex-sized, which on a

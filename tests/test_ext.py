@@ -1754,6 +1754,37 @@ def test_pagerank_star_graph_and_mass_conservation(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_pagerank_loop_partitioning_invariant(spark):
+    """The scale-adaptive loop shuffle-partition count (r13 optimization:
+    derived from |E| and capped by the session conf) must not change a
+    single rank bit — the decimal accumulators make the per-round sums
+    partitioning-insensitive — and must restore the session conf."""
+    from sparkwrangle.ext.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in "abcde"], "node string"
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {
+        r.node: r.rank
+        for r in pagerank(edges, nodes, iters=4).collect()
+    }
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    for p in (1, 3, 17):
+        got = {
+            r.node: r.rank
+            for r in pagerank(
+                edges, nodes, iters=4, loop_shuffle_partitions=p
+            ).collect()
+        }
+        assert got == base, f"ranks diverged at loop_shuffle_partitions={p}"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_bpe_segment_counts_hand_corpus(spark):
     """Encode with trained merges: after enough rounds on a one-word
     corpus, every 'low' collapses to a single symbol; chars-per-BPE-token
