@@ -389,7 +389,14 @@ def histogram_quantiles(
         Window.partitionBy(*keys).orderBy("bin") if keys else Window.orderBy("bin")
     ).rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("cnt").over(wc))
-    pdf = df.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
+    # provably bounded (len(ps) rows) → forced broadcast, or the
+    # ps × cumulative-histogram attach plans as a CartesianProduct (the
+    # non-equi cum >= p·n condition leaves no equi keys and the planner
+    # was not broadcasting the tiny side; guide §3.1 — hint when you
+    # know a side is small)
+    pdf = F.broadcast(
+        df.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
+    )
     cand = (
         pdf.crossJoin(_stats_join(cum) if keys else cum.crossJoin(F.broadcast(st)))
         .filter(F.col("cum") >= F.col("p") * F.col("n"))
