@@ -1073,27 +1073,36 @@ def s1_compounded_return(spark, sf_dir):
 
 
 def _s2_two_leg_feed(seq):
-    """Shared base/arb two-leg union for BOTH S2 regimes (full event-time
-    and restricted NTZ): the price/ret maps (value/10+50, value+1,
-    (value-50)/200) live HERE once — editing them in one regime but not
-    the other would silently diverge the two traders."""
-    base = seq.select(
-        F.col("user_id").alias("company"),
-        "feed_seq",
-        "ts",
-        F.lit(0).alias("ticker_idx"),
-        (F.col("value") / 10.0 + 50.0).alias("price"),
-        F.lit(None).cast("double").alias("ret"),
+    """Shared base/arb two-leg expansion for BOTH S2 regimes (full
+    event-time and restricted NTZ): the price/ret maps (value/10+50,
+    value+1, (value-50)/200) live HERE once — editing them in one regime
+    but not the other would silently diverge the two traders.
+
+    r13 optimization (guide §2.4): the two legs are emitted by ONE
+    ``inline`` explode instead of a union of two selects — the union
+    re-evaluated the whole events scan + feed_seq window per branch, and
+    its output lost the window's hash(user_id) partitioning, forcing the
+    trader's applyInPandas to re-shuffle. The explode preserves the
+    window exchange, so the feed reaches the Python stage with no
+    further exchange; per-group row ORDER differs from the union form
+    (legs interleave instead of concatenating) but every trader consumer
+    pivots/sorts on (feed_seq, ticker_idx), which is order-insensitive
+    (oracle-pinned for both restricted twins)."""
+    legs = F.array(
+        F.struct(
+            F.lit(0).alias("ticker_idx"),
+            (F.col("value") / 10.0 + 50.0).alias("price"),
+            F.lit(None).cast("double").alias("ret"),
+        ),
+        F.struct(
+            F.lit(1).alias("ticker_idx"),
+            (F.col("value") + 1.0).alias("price"),
+            ((F.col("value") - 50.0) / 200.0).alias("ret"),
+        ),
     )
-    arb = seq.select(
-        F.col("user_id").alias("company"),
-        "feed_seq",
-        "ts",
-        F.lit(1).alias("ticker_idx"),
-        (F.col("value") + 1.0).alias("price"),
-        ((F.col("value") - 50.0) / 200.0).alias("ret"),
+    return seq.select(
+        F.col("user_id").alias("company"), "feed_seq", "ts", F.inline(legs)
     )
-    return base.unionByName(arb)
 
 
 @register(

@@ -361,24 +361,29 @@ def _ep2_inputs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     # derive a bars table: 3 companies × (base, EU) tickers from events
     company = F.concat(F.lit("CO"), (F.col("user_id") % 3).cast("string"))
-    base = ev.select(
-        company.alias("company"),
-        F.concat(F.lit("T"), (F.col("user_id") % 3).cast("string")).alias("ticker"),
-        "ts",
-        (F.col("value") + 100.0).alias("close"),
-    )
     # bounded pseudo-random deviation (±10%) so the base-relative return
     # oscillates through the open/TP thresholds after normalization
     dev = ((F.col("event_id") % 7) - 3).cast("double") / 30.0
-    eu = ev.select(
-        company.alias("company"),
-        F.concat(F.lit("T"), (F.col("user_id") % 3).cast("string"), F.lit(".DE")).alias(
-            "ticker"
+    # r13 optimization (guide §2.4): ONE inline explode emits both
+    # listings per event instead of a union of two selects — the union
+    # form scanned events twice per evaluation of bars (and bars is
+    # evaluated more than once inside the feed plan). Same rows, same
+    # expressions; only physical row order changes, and every consumer
+    # (range join, distinct, windows) is order-insensitive.
+    tick3 = (F.col("user_id") % 3).cast("string")
+    legs = F.array(
+        F.struct(
+            F.concat(F.lit("T"), tick3).alias("ticker"),
+            (F.col("value") + 100.0).alias("close"),
         ),
-        "ts",
-        ((F.col("value") + 100.0) * (1 + dev) / 1.05).alias("close"),
+        F.struct(
+            F.concat(F.lit("T"), tick3, F.lit(".DE")).alias("ticker"),
+            ((F.col("value") + 100.0) * (1 + dev) / 1.05).alias("close"),
+        ),
     )
-    bars = base.unionByName(eu)
+    bars = ev.select(company.alias("company"), "ts", F.inline(legs)).select(
+        "company", "ticker", "ts", "close"
+    )
     listings = (
         bars.select("company", "ticker")
         .distinct()
