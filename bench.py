@@ -238,6 +238,18 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     CATALOG["a_scan_pushdown"].fn(spark, sf_dir).count()
+    # r13: warm the per-session table memo for EVERY testdata table, not
+    # just events — load_table's first call per table pays a driver-side
+    # parquet footer/schema read that the memo exists to keep out of
+    # per-query numbers (module docstring); previously the first entry
+    # touching documents/embeddings/TPC-H tables silently carried it.
+    # No data is scanned and nothing is computed or cached beyond the
+    # DataFrame handle; per-query work still runs from parquet each time.
+    from sparkwrangle.io import TABLES, load_table
+
+    for _tbl in TABLES:
+        if (Path(sf_dir) / f"{_tbl}.parquet").exists():
+            load_table(spark, sf_dir, _tbl)
     _wdf = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "k int, v double")
     _wj = (
         _wdf.join(F.broadcast(_wdf.select("k")), "k")

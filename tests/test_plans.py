@@ -338,7 +338,8 @@ def test_forced_broadcast_sites_are_allowlisted():
         ("catalog_relational.py", "tpch_q7_volume_shipping"): (2, "dim"),
         ("catalog_relational.py", "tpch_q8_market_share"): (3, "dim"),
         ("catalog_relational.py", "tpch_q9_shape_product_profit"): (1, "dim"),
-        ("ext/graph.py", "pagerank"): (2, "agg"),
+        ("ext/graph.py", "_power_iterations"): (1, "agg"),
+        ("ext/graph.py", "pagerank"): (1, "agg"),
         ("ext/similarity.py", "_adc_scored"): (1, "codebook"),
         ("ext/similarity.py", "_pq_assign"): (1, "codebook"),
         ("ext/similarity.py", "assign_cells"): (1, "codebook"),
@@ -350,7 +351,7 @@ def test_forced_broadcast_sites_are_allowlisted():
         ("ext/similarity.py", "pq_encode_long"): (1, "codebook"),
         ("ext/similarity.py", "pq_rerank_topk"): (1, "query"),
         ("ext/sketches.py", "est"): (2, "sketch"),
-        ("ext/sketches.py", "histogram_quantiles"): (2, "agg"),
+        ("ext/sketches.py", "histogram_quantiles"): (3, "agg"),
         ("ext/text.py", "bm25_scores"): (1, "agg"),
         ("jobs/report.py", "downsample_series"): (1, "agg"),
         ("ops/joins.py", "block_range_join"): (1, "dim"),
@@ -682,9 +683,10 @@ def test_checkpoint_sites_are_allowlisted():
         ("ext/dedup.py", "connected_components"): (3, "edge list once + per-round label vector, vertex-sized"),
         ("ext/dedup.py", "connected_components_propagation"): (3, "edge list once + per-round label vector, vertex-sized"),
         ("ext/dedup.py", "lsh_verified_pairs"): (1, "LSH candidate pair list, candidate-sized"),
-        ("ext/dedup.py", "prefix_filter_pairs"): (2, "rarest-first prefix table ((1-t)*shingle rows) feeding both self-join sides + candidate pairs"),
+        ("ext/dedup.py", "prefix_filter_pairs"): (2, "rarest-first ranked stream (distinct shingles + pos/sz) feeding both self-join sides AND the exact-verify member sets + candidate pairs"),
         ("ext/dedup.py", "edit_distance_pairs"): (1, "q-gram candidate pairs, candidate-sized"),
-        ("ext/graph.py", "pagerank"): (2, "static vertex table once + per-round rank vector, vertex-sized"),
+        ("ext/graph.py", "pagerank"): (1, "static vertex table once, vertex-sized"),
+        ("ext/graph.py", "_power_iterations"): (1, "per-round rank vector, vertex-sized"),
         ("ext/similarity.py", "pq_adc_topk"): (1, "trained codebook, m*K rows"),
         ("ext/text.py", "bpe_train"): (2, "per-round merge row + per-round symbol table, vocab-sized"),
         ("pipelines/intraday.py", "intraday_backtest"): (1, "relaxed-mode combined local pass (ticks + trades rows — the relation the operator produces anyway); the lineage break is what lets the trade and balance stitches share ONE applyInPandas execution"),
