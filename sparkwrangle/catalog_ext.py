@@ -3337,7 +3337,16 @@ def x_curation_pipeline_end_to_end(spark, sf_dir):
         .filter(F.col("pr") >= 0.2)
         .select("doc_id", "lang", "source", "n_tokens")
     )
-    keepq = kept.join(train.select("doc_id", "text"), "doc_id").localCheckpoint()
+    # LAZY checkpoint (guide §5: one fewer eager barrier): the survivor
+    # set still materializes exactly once — inside the FIRST job that
+    # touches it (lsh_verified_pairs' candidate-pair checkpoint, whose
+    # plan reads keepq through one reused exchange) — instead of in its
+    # own driver-blocking job; the other three consumers (CC node
+    # universe, 8-gram shingles, final join) read the persisted blocks
+    # exactly as before. Same artifact, same bound, one fewer barrier.
+    keepq = kept.join(train.select("doc_id", "text"), "doc_id").localCheckpoint(
+        eager=False
+    )
     sh = shingles(keepq, "doc_id", "text", 3, distinct=False)
     verified = lsh_verified_pairs(sh, "doc_id", k=16, bands=4, threshold=0.15)
     reps = (

@@ -757,11 +757,13 @@ def _member_set_intersections(
     Σ df(shingle)² over the corpus. array_intersect is
     order-insensitive, so the two set joins carry no exchange-reuse
     dependence."""
-    cdocs = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
+    # one explode pass instead of a union of two selects (r14): the union
+    # form read the candidate list twice (2×N map partitions feeding the
+    # distinct); inline explode emits both endpoints from a single read —
+    # same rows, half the map passes over the pair list at any scale
+    cdocs = cand.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+    ).distinct()
     # no forced broadcast: cdocs is near-dup-sized on a healthy corpus,
     # but on a DUP-HEAVY corpus (where dedup actually runs) it can
     # approach the corpus — let statistics/AQE broadcast it when it is
@@ -1058,10 +1060,28 @@ def edit_distance_pairs(
     strs = df.select(
         F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
     ).filter(F.col("_s").isNotNull())
+    min_len_long = q * (k + 1)
+    # The short-string existence probe rides the prefix checkpoint job as
+    # an Observation instead of its own take(1) job (guide §1/§5: one
+    # fewer eager driver barrier per call). The observe sits ABOVE the
+    # length >= q gram filter, so sub-q strings ARE counted; Catalyst
+    # does not push filters below CollectMetrics (probed — the node must
+    # see exactly the rows of the Dataset it was attached to), so the
+    # count is over every non-null string. The gram subtree evaluates the
+    # observed node once per consuming branch, which can only OVERcount —
+    # the probe consumes a boolean (> 0), so that is harmless. sum() over
+    # an empty corpus is NULL → `or 0`.
+    from pyspark.sql import Observation
+
+    _short_obs = Observation()
+    strs_obs = strs.observe(
+        _short_obs,
+        F.sum((F.length("_s") < min_len_long).cast("long")).alias("n_short"),
+    )
     # distinct positional q-grams -> gram SET per string; the sequence
     # upper bound is always >= 0 after the length filter (sequence counts
     # DOWN for negative spans — the filter is load-bearing)
-    grams = strs.filter(F.length("_s") >= q).select(
+    grams = strs_obs.filter(F.length("_s") >= q).select(
         "_id",
         F.length("_s").alias("_len"),
         F.explode(
@@ -1099,17 +1119,14 @@ def edit_distance_pairs(
     # short pass: strings with < k*q+1 grams sit outside the prefix
     # lemma — pair each against every string the length filter admits,
     # via an equi-join on exploded candidate length (never a cartesian)
-    min_len_long = q * (k + 1)
     lens = strs.select("_id", F.length("_s").alias("_len"))
     # The short pass exists ONLY for strings with < k*q+1 grams (the
     # prefix lemma is silent about them). When the corpus has none —
-    # the common case for entity keys — skip the whole banded subtree:
-    # the emptiness probe is one take(1) with the length predicate
-    # evaluated stream-wise (stops at the first short string), far
-    # cheaper than planning + running the band join it would replace.
-    # localCheckpoint above already made this function eager, so the
-    # probe adds no laziness regression.
-    has_shorts = not lens.filter(F.col("_len") < min_len_long).isEmpty()
+    # the common case for entity keys — skip the whole banded subtree.
+    # The existence bit was observed during the prefix checkpoint job
+    # above (r14: previously a separate take(1) probe job; the
+    # Observation folds it into the job that runs anyway).
+    has_shorts = (_short_obs.get["n_short"] or 0) > 0
     if has_shorts:
         shorts = lens.filter(F.col("_len") < min_len_long).select(
             "_id",
