@@ -24,7 +24,14 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sparkwrangle.ext.hashing import MERSENNE_P, h60, minhash_coeffs, universal_hash
+from sparkwrangle.ext.hashing import (
+    MERSENNE_P,
+    h60,
+    h60_spark_sql,
+    minhash_coeffs,
+    universal_hash,
+    universal_hash_sql,
+)
 from sparkwrangle.ext.text import tokenize
 
 _log = logging.getLogger("sparkwrangle.dedup")
@@ -206,8 +213,13 @@ def minhash_signatures(
     equals min over its set, and skipping the distinct saves a full
     corpus-wide shuffle before the aggregation."""
     base = sh.withColumn("h", h60(F.col("shingle")) )
+    # each signature column is one SQL string parsed in a single py4j
+    # round trip (r14): the Column-operator form cost ~10 trips per
+    # permutation (~0.3 s of driver-side construction per call at k=16,
+    # re-paid by every consumer); identical parsed trees, pinned by the
+    # mapside-vs-aggregate bit-equality test and the minhash oracles
     aggs = [
-        F.min(universal_hash(F.col("h"), a, b)).alias(f"mh{i}")
+        F.expr(f"min({universal_hash_sql('h', a, b)}) AS mh{i}")
         for i, (a, b) in enumerate(minhash_coeffs(k, seed))
     ]
     return base.groupBy(id_col).agg(*aggs)
@@ -266,13 +278,18 @@ def mapside_minhash_sigs(
     base = df.select(
         id_col, *(keep_cols or []), arr.alias("_sh")
     ).filter(F.size("_sh") > 0)
-    def perm(a: int, b: int):
-        # closure, not lambda default-args: PySpark derives HOF arity
-        # from the lambda's parameter count, defaults included
-        return lambda h: (F.lit(a) * (h % MERSENNE_P) + F.lit(b)) % MERSENNE_P
-
+    # one SQL string per permutation (r14, same rationale as
+    # minhash_signatures): the Python-lambda HOF form cost ~8 py4j
+    # round trips per permutation; the SQL lambda parses to the same
+    # LambdaFunction tree (`h` is the lambda-bound variable, shadowing
+    # any outer column of that name exactly as the Python lambda's
+    # UnresolvedNamedLambdaVariable does). Bit-equality with the
+    # aggregate path stays pinned by test.
     sigs = [
-        F.array_min(F.transform(F.col("_sh"), perm(a, b))).alias(f"mh{i}")
+        F.expr(
+            f"array_min(transform(_sh, h -> {universal_hash_sql('h', a, b)}))"
+            f" AS mh{i}"
+        )
         for i, (a, b) in enumerate(minhash_coeffs(k, seed))
     ]
     return base.select(id_col, *(keep_cols or []), *sigs)
@@ -291,13 +308,18 @@ def band_struct_array(k: int = 16, bands: int = 4) -> Column:
             f"(got k={k}, bands={bands})"
         )
     rows_per_band = k // bands
-    band_cols = []
+    # one SQL string, one py4j round trip (r14) — the Column-operator
+    # form cost ~12 trips per band; same parsed tree (analyzer inserts
+    # the same implicit bigint→string casts under concat_ws), pinned by
+    # the banding oracles across seven entries
+    parts = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), h60(F.concat_ws("_", *cols)).alias("bh"))
+        cols = ", ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
         )
-    return F.array(*band_cols)
+        bh = h60_spark_sql(f"concat_ws('_', {cols})")
+        parts.append(f"struct({b} AS band, {bh} AS bh)")
+    return F.expr("array(" + ", ".join(parts) + ")")
 
 
 def band_explode(
@@ -726,20 +748,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         raise ValueError(f"simhash: bits must be in 1..60, got {bits}")
     toks = df.select(id_col, F.explode(tokenize(F.col(text_col))).alias("tok"))
     toks = toks.withColumn("h", h60(F.col("tok")))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
+    # The whole signature is ONE SQL string parsed in a single py4j call
+    # (r14): the Column-operator form issued ~10 py4j round trips per
+    # bit (~450 for bits=32 at ~2 ms each — ~1 s of driver-side plan
+    # construction on EVERY call, paid again per self-join consumer).
+    # Catalyst sees the same 32 conditional-sum aggregates folded into
+    # the same weighted sum (bit j set iff its ±1 token sum is > 0);
+    # results pinned by the simhash unit test and the two oracle-hashed
+    # catalog entries.
+    sig = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (shiftright(h, {j}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) > 0 THEN CAST({2**j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
         for j in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig + term
-    return agg.select(id_col, sig.alias("simhash"))
+    )
+    return toks.groupBy(id_col).agg(F.expr(sig).alias("simhash"))
 
 
 def _member_set_intersections(

@@ -87,6 +87,13 @@ def pagerank(
     # |E| comes from a count over ``edges``, which callers should pass
     # materialized (the catalog checkpoints it first — deg and every
     # round consume it anyway).
+    # NOTE (thread-safety): the derived count is applied by temporarily
+    # mutating the session-global spark.sql.shuffle.partitions around the
+    # eager loop below — any query PLANNED CONCURRENTLY on this session
+    # from another thread would pick up the shrunken value. Single-query
+    # drivers (the catalog, the bench) are unaffected; a multi-threaded
+    # caller should pass loop_shuffle_partitions explicitly (e.g. its own
+    # cluster setting) so no conf mutation window matters to it.
     spark = edges.sparkSession
     conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if loop_shuffle_partitions is None:
@@ -94,6 +101,11 @@ def pagerank(
         loop_shuffle_partitions = max(
             1, min(conf_p, -(-n_edges // loop_rows_per_partition))
         )
+    else:
+        # an explicit 0/negative would reach spark.conf.set unvalidated
+        # and fail every loop shuffle at runtime — clamp like the derived
+        # branch does
+        loop_shuffle_partitions = max(1, int(loop_shuffle_partitions))
 
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     nn = F.broadcast(nodes.agg(F.count("*").alias("n_nodes")))

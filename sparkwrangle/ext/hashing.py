@@ -44,6 +44,15 @@ def h60_sql(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def h60_spark_sql(expr: str) -> str:
+    """The SAME portable 60-bit hash as ``h60``, as a Spark-SQL string —
+    for call sites that assemble whole expressions as single-parse SQL
+    (one py4j round trip) instead of Column-operator chains. Must stay
+    the string twin of ``h60`` above (pinned by test_ext's portable-hash
+    equality checks through every consumer)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def minhash_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for k universal-hash functions, identical
     on both sides because they're generated here and inlined as literals."""

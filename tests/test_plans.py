@@ -737,3 +737,78 @@ def test_checkpoint_sites_are_allowlisted():
         "artifact and its bound, then allowlist"
     )
     assert not stale, f"allowlist stale: {stale}"
+
+
+# Subset keys a co-partitioned join may legally accept (session.py sets
+# spark.sql.requireAllClusterKeysForCoPartition=false): each must be a
+# HIGH-CARDINALITY entity key, because the accepted subset becomes the
+# join's effective key space — a constant or near-constant subset key
+# would collapse every row onto a handful of partitions at scale, and
+# the downstream window that inherits the narrow clustering is NOT
+# covered by AQE skew-splitting (joins are, windows are not). The r13
+# audit found exactly two families using the rule: the EP2 feed's
+# grid⋈bars join on hash(company, block_id) and the recall audit's
+# pair-key full-outer on hash(id_a); both keys are per-entity/per-doc.
+_SUBSET_COPARTITION_OK = {
+    "company",  # per-ticker entity key (EP2 grid⋈bars)
+    "block_id",  # time-block within company — multiplies company's space
+    "user_id",  # per-user feeds (S1/S2 families)
+    "doc_id",  # per-document dedup keys
+    "id_a",  # pair-list endpoint (doc-id-valued)
+    "id_b",  # pair-list endpoint (doc-id-valued)
+}
+
+
+def test_subset_copartitioned_joins_use_high_cardinality_keys(spark):
+    """Every SortMergeJoin/ShuffledHashJoin child whose hash partitioning
+    is a PROPER subset of the join keys must be partitioned on
+    high-cardinality keys only (allowlist above). Walks the JVM plan
+    tree (AQE initialPlan) rather than the explain text so the child's
+    effective output partitioning — possibly inherited through
+    windows/joins several operators up — is read from the same property
+    EnsureRequirements consulted."""
+    import re
+
+    def keyset(seq):
+        return {
+            re.sub(r"#\d+L?", "", seq.apply(i).toString())
+            for i in range(seq.size())
+        }
+
+    def hash_part_keys(p):
+        out = []
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", p.toString()):
+            args = [a.strip() for a in m.group(1).split(",")]
+            out.append({re.sub(r"#\d+L?", "", a) for a in args[:-1]})
+        return out
+
+    problems = []
+    for name in sorted(CATALOG):
+        jdf = CATALOG[name].fn(spark, SF_SMOKE)._jdf
+        plan = jdf.queryExecution().executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.initialPlan()
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+            if node.getClass().getSimpleName() not in (
+                "SortMergeJoinExec",
+                "ShuffledHashJoinExec",
+            ):
+                continue
+            for side in (0, 1):
+                ks = keyset(node.leftKeys() if side == 0 else node.rightKeys())
+                child = node.children().apply(side)
+                for pk in hash_part_keys(child.outputPartitioning()):
+                    if pk and pk < ks and not pk <= _SUBSET_COPARTITION_OK:
+                        problems.append(
+                            f"{name}: join on {sorted(ks)} accepts subset "
+                            f"co-partitioning on {sorted(pk)} — low-"
+                            "cardinality subset keys collapse the key "
+                            "space at scale; allowlist only if the key "
+                            "is per-entity"
+                        )
+    assert not problems, problems

@@ -1,5 +1,6 @@
 """Isolate and profile catalog entries (guide §1): per-entry noop-sink
-timing (cold build+drain, then N warm re-runs) plus the formatted plan,
+timing (--reps runs TOTAL: one cold build+drain, then reps-1 warm
+re-runs) plus the formatted plan,
 away from the full-catalog loop so one entry's numbers aren't polluted
 by session state built by its neighbors.
 
