@@ -553,117 +553,149 @@ def connected_components(
     edges = edges.localCheckpoint()
     prev = (obs.get["n"], obs.get["hs"])
 
-    # -- shallow fast path: fused-init propagation, one verification round
-    if prev[0] > 0:
-        und0 = edges.select("src", "dst").union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Scale-adaptive loop parallelism (r14, guide §2.2 — the pagerank
+    # pattern): the fast-path propagation and every contraction round
+    # run 3-5 tiny shuffles over edge/vertex-sized data, and at the
+    # session's full partition count per-task scheduling dominates on a
+    # small graph. The edge count is FREE here (it rides the fingerprint
+    # observation); the vertex side is bounded by the optimizer's size
+    # estimate of ``all_ids`` (conservative: an unknown estimate — e.g.
+    # a checkpointed RDD leaf — reads as huge and keeps the session
+    # conf). min() with the session conf means a cluster-sized graph or
+    # node universe keeps the cluster's partitioning — this only ever
+    # SHRINKS for small inputs. Conf restored in the finally; same
+    # session-global thread-safety caveat as ext/graph.pagerank.
+    spark = pairs.sparkSession
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        _ids_bytes = int(
+            str(all_ids._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
-        # init is NOT checkpointed: its two consumers (the union branch
-        # and prop's join) sit in the SAME job, so ReuseExchange serves
-        # both from one materialization of the groupBy exchange — a
-        # separate checkpoint job would add a barrier to buy nothing
-        # (edges/all_ids below it are already materialized).
-        init = (
-            all_ids.select(
-                F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
-            )
-            .union(und0.select(F.col("src").alias("node"), F.col("dst").alias("lbl")))
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        prop = und0.join(init, und0["dst"] == init["node"]).select(
-            F.col("src").alias("node"), F.col("lbl")
-        )
-        both = init.withColumn("_old", F.col("lbl")).union(
-            prop.withColumn("_old", F.lit(None).cast(dict(init.dtypes)["lbl"]))
-        )
-        pobs = Observation()
-        agg = (
-            both.groupBy("node")
-            .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old"))
-            .observe(
-                pobs,
-                F.sum((F.col("lbl") < F.col("_old")).cast("long")).alias(
-                    "changed"
-                ),
-            )
-        )
-        labels1 = agg.drop("_old").localCheckpoint()
-        if pobs.get["changed"] == 0:
-            if stats is not None:
-                stats["rounds"] = 1
-                stats["path"] = "propagation"
-            return labels1.select(
-                F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
-            )
+    except Exception:
+        _ids_bytes = conf_p * 64 * 1024
+    loop_p = max(
+        1,
+        min(
+            conf_p,
+            max(-(-int(prev[0]) // 40_000), -(-_ids_bytes // (64 * 1024))),
+        ),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
 
-    rounds = 1 if prev[0] > 0 else 0  # the propagation probe round above
-    converged = prev[0] == 0
-    for _ in range(max_iter):
-        if prev[0] == 0:
-            converged = True
-            break
-        # -- large-star: und = both directions; m(u) = min(u, min N(u));
-        #    emit (v, m(u)) for v > u
-        und = edges.select("src", "dst").union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    try:
+        # -- shallow fast path: fused-init propagation, one verification round
+        if prev[0] > 0:
+            und0 = edges.select("src", "dst").union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            # init is NOT checkpointed: its two consumers (the union branch
+            # and prop's join) sit in the SAME job, so ReuseExchange serves
+            # both from one materialization of the groupBy exchange — a
+            # separate checkpoint job would add a barrier to buy nothing
+            # (edges/all_ids below it are already materialized).
+            init = (
+                all_ids.select(
+                    F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+                )
+                .union(und0.select(F.col("src").alias("node"), F.col("dst").alias("lbl")))
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            prop = und0.join(init, und0["dst"] == init["node"]).select(
+                F.col("src").alias("node"), F.col("lbl")
+            )
+            both = init.withColumn("_old", F.col("lbl")).union(
+                prop.withColumn("_old", F.lit(None).cast(dict(init.dtypes)["lbl"]))
+            )
+            pobs = Observation()
+            agg = (
+                both.groupBy("node")
+                .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old"))
+                .observe(
+                    pobs,
+                    F.sum((F.col("lbl") < F.col("_old")).cast("long")).alias(
+                        "changed"
+                    ),
+                )
+            )
+            labels1 = agg.drop("_old").localCheckpoint()
+            if pobs.get["changed"] == 0:
+                if stats is not None:
+                    stats["rounds"] = 1
+                    stats["path"] = "propagation"
+                return labels1.select(
+                    F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
+                )
+
+        rounds = 1 if prev[0] > 0 else 0  # the propagation probe round above
+        converged = prev[0] == 0
+        for _ in range(max_iter):
+            if prev[0] == 0:
+                converged = True
+                break
+            # -- large-star: und = both directions; m(u) = min(u, min N(u));
+            #    emit (v, m(u)) for v > u
+            und = edges.select("src", "dst").union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            mins = und.groupBy("src").agg(F.min("dst").alias("mn"))
+            mins = mins.select(
+                "src", F.least("src", "mn").alias("m")
+            )
+            large = (
+                und.join(mins, "src")
+                .filter(F.col("dst") > F.col("src"))
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .distinct()
+            )
+            # -- small-star on the large-star output, oriented hi → lo:
+            #    m(u) = min N(u) (all neighbors are < u); emit (u, m) and
+            #    (v, m) for the other small neighbors
+            sm = large.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            ).filter(F.col("src") != F.col("dst"))
+            mins2 = sm.groupBy("src").agg(F.min("dst").alias("m"))
+            rewired = (
+                sm.join(mins2, "src")
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .union(mins2.select("src", F.col("m").alias("dst")))
+                .distinct()
+            )
+            rewired, obs = fingerprint(rewired)
+            edges = rewired.localCheckpoint()
+            rounds += 1
+            cur = (obs.get["n"], obs.get["hs"])
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+        if not converged:
+            # a non-fixpoint edge set is NOT a star forest: the label join
+            # below would assign different cluster_ids to nodes of the same
+            # component — plausible-looking but WRONG output, so fail loudly
+            raise RuntimeError(
+                f"connected_components: no fixpoint after max_iter={max_iter} "
+                f"contraction rounds (contraction needs ~log2(diameter) "
+                f"rounds; raise max_iter)"
+            )
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["path"] = "contraction"
+        # at fixpoint the edge set is a star forest (node → component min);
+        # singletons label themselves
+        labels = all_ids.select(F.col(id_col).alias("node")).join(
+            edges.select(F.col("src").alias("node"), F.col("dst").alias("root")),
+            "node",
+            "left",
         )
-        mins = und.groupBy("src").agg(F.min("dst").alias("mn"))
-        mins = mins.select(
-            "src", F.least("src", "mn").alias("m")
+        return labels.select(
+            F.col("node").alias(id_col),
+            F.coalesce("root", "node").alias("cluster_id"),
         )
-        large = (
-            und.join(mins, "src")
-            .filter(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .distinct()
-        )
-        # -- small-star on the large-star output, oriented hi → lo:
-        #    m(u) = min N(u) (all neighbors are < u); emit (u, m) and
-        #    (v, m) for the other small neighbors
-        sm = large.select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
-        ).filter(F.col("src") != F.col("dst"))
-        mins2 = sm.groupBy("src").agg(F.min("dst").alias("m"))
-        rewired = (
-            sm.join(mins2, "src")
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .union(mins2.select("src", F.col("m").alias("dst")))
-            .distinct()
-        )
-        rewired, obs = fingerprint(rewired)
-        edges = rewired.localCheckpoint()
-        rounds += 1
-        cur = (obs.get["n"], obs.get["hs"])
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
-    if not converged:
-        # a non-fixpoint edge set is NOT a star forest: the label join
-        # below would assign different cluster_ids to nodes of the same
-        # component — plausible-looking but WRONG output, so fail loudly
-        raise RuntimeError(
-            f"connected_components: no fixpoint after max_iter={max_iter} "
-            f"contraction rounds (contraction needs ~log2(diameter) "
-            f"rounds; raise max_iter)"
-        )
-    if stats is not None:
-        stats["rounds"] = rounds
-        stats["path"] = "contraction"
-    # at fixpoint the edge set is a star forest (node → component min);
-    # singletons label themselves
-    labels = all_ids.select(F.col(id_col).alias("node")).join(
-        edges.select(F.col("src").alias("node"), F.col("dst").alias("root")),
-        "node",
-        "left",
-    )
-    return labels.select(
-        F.col("node").alias(id_col),
-        F.coalesce("root", "node").alias("cluster_id"),
-    )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_p))
 
 
 def connected_components_propagation(
@@ -839,7 +871,27 @@ def lsh_verified_pairs(
     instead of the whole corpus. Output is identical either way.
     """
     sigs = minhash_signatures(sh, id_col, k=k)
-    cand = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands).localCheckpoint()
+    # Scale-adaptive parallelism for the candidate-pair checkpoint job
+    # (r14, guide §2.2 — same pattern and same 64 KB-per-task floor as
+    # prefix_filter_pairs): partitions derive from the optimizer's
+    # pruned-source size estimate of the shingle stream, min'd with the
+    # session conf (an unknown estimate — e.g. a checkpointed-RDD leaf —
+    # reads as huge and keeps the session conf); restored before the
+    # lazy verify plan is built, so the drain runs at session conf.
+    spark = sh.sparkSession
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        _est = int(
+            str(sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        eager_p = max(1, min(conf_p, -(-_est // (64 * 1024))))
+    except Exception:
+        eager_p = conf_p
+    spark.conf.set("spark.sql.shuffle.partitions", str(eager_p))
+    try:
+        cand = lsh_candidate_pairs(sigs, id_col, k=k, bands=bands).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_p))
     # exact verify via the shared member-set core (collect_set dedupes
     # the multiset input) — measured ~2× faster than the long-format
     # intersection join at sf0.1; sizes come from the set arrays
@@ -921,71 +973,98 @@ def prefix_filter_pairs(
     else:
         src = sh
         order_cols = [F.xxhash64("shingle"), F.col("shingle")]
+    # Scale-adaptive parallelism for the EAGER phase (guide §2.2, the
+    # pagerank/change-3 pattern): the ranked-stream and candidate
+    # checkpoints run several small shuffles whose per-task overhead
+    # dominates when the corpus is small — measured at sf0.1: entry
+    # total 5.10/4.08 s at the session's 32 partitions vs 3.33/2.83 s
+    # with the eager phase at 8 (interleaved A/B, drain at session conf
+    # both times). Partitions derive from the optimizer's own pruned-
+    # source size estimate at one 64 KB-per-task floor (the same floor
+    # the session's AQE coalescing uses), capped at the session conf so
+    # a cluster-sized corpus keeps the cluster's partitioning — this
+    # only ever SHRINKS below the conf for small inputs. Conf restored
+    # before returning; the verify/drain plan runs at session conf.
+    # Thread-safety caveat as in ext/graph.pagerank: the conf mutation
+    # is session-global for the duration of the two checkpoint jobs.
+    spark = sh.sparkSession
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        _est = int(
+            str(sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        eager_p = max(1, min(conf_p, -(-_est // (64 * 1024))))
+    except Exception:
+        eager_p = conf_p
     wdoc = Window.partitionBy(id_col)
-    ranked = src.select(
-        id_col,
-        "shingle",
-        F.row_number().over(wdoc.orderBy(*order_cols)).alias("pos"),
-        F.count("*").over(wdoc).alias("sz"),
-    ).localCheckpoint()
-    # ^ consumed THREE times — both sides of the candidate self-join
-    # (via the prefix filter below) and the exact-verify member sets —
-    # so the materialization point moved UP from the prefix cut to the
-    # full positioned stream (r13 optimization, guide §1.2 step 1 /
-    # §3.3): the verify previously re-derived the corpus shingle stream
-    # plus its distinct from scratch TWICE, and the stream's df-order
-    # pass (count + join-back + two per-doc windows) ran again with it.
-    # ranked is the distinct shingle stream plus (pos, sz) — ~2× the
-    # bytes of the old prefix cut at t=0.5, same block-manager-local
-    # policy, and the verify becomes a semi-join + collect_set over an
-    # already-distinct, already-tokenized relation (measured min-of-5
-    # at sf0.1: whole entry 5.63 → 4.93 s warm, 17.4 → 12.6 s cold,
-    # isolated session).
-    # prefix length p = sz − ceil(t·sz) + 1; the 1e-9 slack keeps a float
-    # product like 3.0000000004 from ceiling to 4 and shortening the
-    # prefix (which would be a FALSE-NEGATIVE bug, not a slowdown)
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (ida < idb)
-            # length filter: J ≥ t ⟹ t·|A| ≤ |B| and t·|B| ≤ |A|
-            & (F.lit(t) * F.col("a.sz") <= F.col("b.sz") + F.lit(1e-9))
-            & (F.lit(t) * F.col("b.sz") <= F.col("a.sz") + F.lit(1e-9)),
+    spark.conf.set("spark.sql.shuffle.partitions", str(eager_p))
+    try:
+        ranked = src.select(
+            id_col,
+            "shingle",
+            F.row_number().over(wdoc.orderBy(*order_cols)).alias("pos"),
+            F.count("*").over(wdoc).alias("sz"),
+        ).localCheckpoint()
+        # ^ consumed THREE times — both sides of the candidate self-join
+        # (via the prefix filter below) and the exact-verify member sets —
+        # so the materialization point moved UP from the prefix cut to the
+        # full positioned stream (r13 optimization, guide §1.2 step 1 /
+        # §3.3): the verify previously re-derived the corpus shingle stream
+        # plus its distinct from scratch TWICE, and the stream's df-order
+        # pass (count + join-back + two per-doc windows) ran again with it.
+        # ranked is the distinct shingle stream plus (pos, sz) — ~2× the
+        # bytes of the old prefix cut at t=0.5, same block-manager-local
+        # policy, and the verify becomes a semi-join + collect_set over an
+        # already-distinct, already-tokenized relation (measured min-of-5
+        # at sf0.1: whole entry 5.63 → 4.93 s warm, 17.4 → 12.6 s cold,
+        # isolated session).
+        # prefix length p = sz − ceil(t·sz) + 1; the 1e-9 slack keeps a float
+        # product like 3.0000000004 from ceiling to 4 and shortening the
+        # prefix (which would be a FALSE-NEGATIVE bug, not a slowdown)
+        prefix = ranked.filter(
+            F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
         )
-        .groupBy(ida.alias("id_a"), idb.alias("id_b"))
-        .agg(
-            F.count("*").alias("pm"),
-            F.max("a.pos").alias("max_pa"),
-            F.max("b.pos").alias("max_pb"),
-            F.max("a.sz").alias("sz_a"),  # constant per group
-            F.max("b.sz").alias("sz_b"),
-        )
-        # positional filter: overlap ≤ pm + min(remaining suffix lengths);
-        # J ≥ t ⟺ (1+t)·overlap ≥ t·(sz_a+sz_b), so prune when even the
-        # bound cannot reach it
-        .filter(
-            (
-                F.col("pm")
-                + F.least(
-                    F.col("sz_a") - F.col("max_pa"), F.col("sz_b") - F.col("max_pb")
-                )
+        a, b = prefix.alias("a"), prefix.alias("b")
+        ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (ida < idb)
+                # length filter: J ≥ t ⟹ t·|A| ≤ |B| and t·|B| ≤ |A|
+                & (F.lit(t) * F.col("a.sz") <= F.col("b.sz") + F.lit(1e-9))
+                & (F.lit(t) * F.col("b.sz") <= F.col("a.sz") + F.lit(1e-9)),
             )
-            * F.lit(1.0 + t)
-            >= F.lit(t) * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9)
+            .groupBy(ida.alias("id_a"), idb.alias("id_b"))
+            .agg(
+                F.count("*").alias("pm"),
+                F.max("a.pos").alias("max_pa"),
+                F.max("b.pos").alias("max_pb"),
+                F.max("a.sz").alias("sz_a"),  # constant per group
+                F.max("b.sz").alias("sz_b"),
+            )
+            # positional filter: overlap ≤ pm + min(remaining suffix lengths);
+            # J ≥ t ⟺ (1+t)·overlap ≥ t·(sz_a+sz_b), so prune when even the
+            # bound cannot reach it
+            .filter(
+                (
+                    F.col("pm")
+                    + F.least(
+                        F.col("sz_a") - F.col("max_pa"), F.col("sz_b") - F.col("max_pb")
+                    )
+                )
+                * F.lit(1.0 + t)
+                >= F.lit(t) * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9)
+            )
+            .select("id_a", "id_b", "sz_a", "sz_b")
+            # the pair list is near-dup-sized and consumed TWICE (the verify
+            # join chain and the final size join) — materialize it once or
+            # the whole prefix subtree (df count + join + windows + self-join)
+            # re-evaluates per consumer, same policy as lsh_verified_pairs
+            .localCheckpoint()
         )
-        .select("id_a", "id_b", "sz_a", "sz_b")
-        # the pair list is near-dup-sized and consumed TWICE (the verify
-        # join chain and the final size join) — materialize it once or
-        # the whole prefix subtree (df count + join + windows + self-join)
-        # re-evaluates per consumer, same policy as lsh_verified_pairs
-        .localCheckpoint()
-    )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_p))
     # exact verify via the shared member-set core, reading the RANKED
     # checkpoint (already tokenized + distinct) instead of re-deriving
     # the shingle stream from the raw input; sizes come from cand's
